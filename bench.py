@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark: run every registered headline query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = wall seconds per query for plan + full execution, forced with the
+``noop`` write format (materializes every row without count()'s
+sort/project elision and without driver-side collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def infer_sf(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def main() -> None:
+    from lawfirm_data_pipeline_spark.session import get_spark
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    spark = get_spark(app_name="bench")
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm the JVM + parquet footers with the flagship before timing.
+    run(next(iter(QUERIES.values()))(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        run(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": infer_sf(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

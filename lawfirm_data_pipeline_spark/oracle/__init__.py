@@ -1,0 +1,3 @@
+"""Oracle-checked query registrations, one module per milestone."""
+
+from . import m0_flagship  # noqa: F401
