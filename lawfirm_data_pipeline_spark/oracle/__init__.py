@@ -1,3 +1,4 @@
 """Oracle-checked query registrations, one module per milestone."""
 
 from . import m0_flagship  # noqa: F401
+from . import m1_query_layer  # noqa: F401

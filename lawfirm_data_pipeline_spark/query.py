@@ -1,0 +1,187 @@
+"""Model query API: the reference's per-model delegate surface on DataFrames.
+
+Mirrors the 16-method Prisma delegate (reference: generated client, e.g.
+src/db/client/models/Company.ts:813-1111 and the Effect wrapper
+src/db/client/effect.ts:430+) minus the mutation methods, which live in
+operators/mutations.py.  Read methods here:
+
+    find_unique / find_first / find_many   (Company.ts:813,842,876)
+    count                                  (Company.ts:1057)
+    aggregate                              (Company.ts:1091)
+    group_by                               (Company.ts:1111)
+
+Everything stays declarative DataFrame API so Catalyst prunes/pushes; the
+only intentional divergence from the reference is documented on
+``find_first``: Prisma's un-ordered findFirst is storage-order
+nondeterministic (src/runner/locator.ts:61-67), ours tie-breaks on the
+provided order or not at all (caller's choice), because a distributed scan
+has no storage order.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .predicates import compile_order_by, compile_where
+
+_AGG_FNS = {
+    "_count": F.count,
+    "_min": F.min,
+    "_max": F.max,
+    "_sum": F.sum,
+    "_avg": F.avg,
+}
+
+
+def _paginate(
+    df: DataFrame,
+    order_by=None,
+    take: int | None = None,
+    skip: int | None = None,
+    cursor: dict[str, Any] | None = None,
+) -> DataFrame:
+    """orderBy → cursor (keyset) → offset(skip) → limit(take).
+
+    Cursor pagination compiles to a keyset predicate (``key >= value`` on
+    the ordered key), the scale-safe pagination strategy: unlike
+    offset-only paging it does not rescan/discard at 100 TB.  Prisma
+    includes the cursor row itself; skip=1 excludes it (same contract).
+    """
+    cols = compile_order_by(order_by)
+    if cursor:
+        if not order_by:
+            raise ValueError("cursor pagination requires order_by")
+        ((field, value),) = cursor.items()
+        direction = order_by if isinstance(order_by, dict) else order_by[0]
+        spec = direction[field]
+        desc = (spec if isinstance(spec, str) else spec.get("sort", "asc")) == "desc"
+        df = df.filter(F.col(field) <= F.lit(value) if desc else F.col(field) >= F.lit(value))
+    if cols:
+        df = df.orderBy(*cols)
+    if skip:
+        df = df.offset(skip)
+    if take is not None:
+        df = df.limit(take)
+    return df
+
+
+class Model:
+    """Query delegate for one table, Prisma-shaped."""
+
+    def __init__(self, df: DataFrame, name: str = "model"):
+        self.df = df
+        self.name = name
+
+    # -- finds ------------------------------------------------------------
+
+    def find_many(
+        self,
+        where: dict | None = None,
+        order_by=None,
+        take: int | None = None,
+        skip: int | None = None,
+        cursor: dict[str, Any] | None = None,
+        distinct: list[str] | None = None,
+        select: list[str] | None = None,
+    ) -> DataFrame:
+        out = self.df.filter(compile_where(where))
+        if distinct:
+            # Prisma distinct-on-fields: first row per distinct combination.
+            # dropDuplicates matches when the caller doesn't rely on which
+            # row survives; with order_by we pick the ordered-first row via
+            # a window (deterministic, unlike dropDuplicates).
+            if order_by:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*distinct).orderBy(*compile_order_by(order_by))
+                out = (
+                    out.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                out = out.dropDuplicates(distinct)
+        out = _paginate(out, order_by, take, skip, cursor)
+        if select:
+            out = out.select(*select)
+        return out
+
+    def find_first(self, where: dict | None = None, order_by=None, select: list[str] | None = None) -> DataFrame:
+        return self.find_many(where, order_by, take=1, select=select)
+
+    def find_unique(self, where: dict, select: list[str] | None = None) -> DataFrame:
+        return self.find_first(where, select=select)
+
+    # -- aggregates --------------------------------------------------------
+
+    def count(self, where: dict | None = None, select: list[str] | None = None) -> DataFrame:
+        """count with filter; ``select`` adds per-field non-null counts
+        (Prisma ``_count: {_all, field}`` — count(col) skips nulls)."""
+        filtered = self.df.filter(compile_where(where))
+        aggs = [F.count(F.lit(1)).alias("_all")]
+        for f in select or []:
+            aggs.append(F.count(F.col(f)).alias(f))
+        return filtered.agg(*aggs)
+
+    def aggregate(
+        self,
+        where: dict | None = None,
+        order_by=None,
+        take: int | None = None,
+        skip: int | None = None,
+        **aggs: dict,
+    ) -> DataFrame:
+        """Global aggregates: ``aggregate(_min={"x": True}, _sum={"y": True})``.
+
+        Output columns are named ``<agg>_<field>`` (``_count`` of ``_all``
+        → ``count_all``).  Prisma applies where/orderBy/take/skip before
+        aggregating (Company.ts:108-155); so do we.
+        """
+        df = _paginate(self.df.filter(compile_where(where)), order_by, take, skip)
+        exprs: list[Column] = []
+        for agg_key, fields in aggs.items():
+            fn = _AGG_FNS[agg_key]
+            for field in fields:
+                if agg_key == "_count" and field == "_all":
+                    exprs.append(F.count(F.lit(1)).alias("count_all"))
+                else:
+                    exprs.append(fn(F.col(field)).alias(f"{agg_key[1:]}_{field}"))
+        if not exprs:
+            raise ValueError("aggregate() needs at least one _count/_min/_max/_sum/_avg")
+        return df.agg(*exprs)
+
+    def group_by(
+        self,
+        by: list[str],
+        where: dict | None = None,
+        having: dict | None = None,
+        order_by=None,
+        take: int | None = None,
+        skip: int | None = None,
+        **aggs: dict,
+    ) -> DataFrame:
+        """groupBy + aggregates + HAVING + order-by-aggregate + limit.
+
+        ``having`` uses the same filter vocabulary, over the aggregate
+        output columns (Prisma ScalarWhereWithAggregatesInput,
+        Company.ts:278-292): ``having={"count_all": {"gt": 3}}``.
+        Aggregation is partial-then-final (map-side combine) by Spark
+        default, so the shuffle carries only group states — scale-safe as
+        long as group cardinality is bounded.
+        """
+        df = self.df.filter(compile_where(where))
+        exprs: list[Column] = []
+        for agg_key, fields in aggs.items():
+            fn = _AGG_FNS[agg_key]
+            for field in fields:
+                if agg_key == "_count" and field == "_all":
+                    exprs.append(F.count(F.lit(1)).alias("count_all"))
+                else:
+                    exprs.append(fn(F.col(field)).alias(f"{agg_key[1:]}_{field}"))
+        out = df.groupBy(*by).agg(*exprs) if exprs else df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_all"))
+        if having:
+            out = out.filter(compile_where(having))
+        return _paginate(out, order_by, take, skip)
