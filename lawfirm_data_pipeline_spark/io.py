@@ -20,6 +20,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
+    """ns-long → µs timestamp with exact integer division (`div`), the
+    same truncation DuckDB applies reading TIMESTAMP(NANOS)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table.
 
@@ -28,10 +36,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     differences across scale factors.
     """
     reader = spark.read
+    if name == "events":
+        return _events_ts_to_timestamp(
+            reader.schema(schemas.EVENTS_RAW).parquet(table_path(sf_dir, name))
+        )
     schema = schemas.DRIVER_TABLES.get(name)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(table_path(sf_dir, name))
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a streaming source with the logical schema.
+
+    File streaming sources need a directory or glob (not a bare file);
+    the trailing ``*`` makes the single-parquet layout streamable.
+    """
+    return _events_ts_to_timestamp(
+        spark.readStream.schema(schemas.EVENTS_RAW).parquet(table_path(sf_dir, "events") + "*")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -5,3 +5,4 @@ from . import m1_query_layer  # noqa: F401
 from . import m2_relations  # noqa: F401
 from . import m3_mutations  # noqa: F401
 from . import m4_scalar  # noqa: F401
+from . import m5_streaming  # noqa: F401

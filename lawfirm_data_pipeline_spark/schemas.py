@@ -109,6 +109,22 @@ EVENTS = T.StructType(
     ]
 )
 
+# Physical scan schema for the driver's events parquet: ts is
+# TIMESTAMP(NANOS), which Spark reads only as a raw long
+# (spark.sql.legacy.parquet.nanosAsLong).  io.load_table converts to the
+# logical EVENTS schema via integer ns→µs division (matching DuckDB's
+# truncation).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), False),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
 DOCUMENTS = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

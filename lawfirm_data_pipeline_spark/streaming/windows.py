@@ -1,0 +1,104 @@
+"""Event-time window aggregates: tumbling, sliding, session + watermark.
+
+The transforms are plain DataFrame functions so the SAME code path serves
+batch DataFrames and streaming DataFrames (Spark's unified API); streaming
+tests wrap them with ``readStream`` + memory sink, batch oracle queries
+call them directly.
+
+Watermark policy: ``withWatermark`` bounds state for late data.  On a
+bounded replay (tests) a generous watermark admits everything; in
+production the delay is the lateness SLA — state size is
+O(windows-in-flight × groups), independent of total stream length, which
+is what makes these safe on an unbounded 100 TB/day event firehose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    width: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window(ts_col, width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"), "n")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user: a session ends after ``gap`` of silence.
+
+    ``session_window`` end = last event + gap (Spark semantics; the
+    oracle replicates with lag/cumsum island detection).
+    """
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_table(
+    spark,
+    source_df_stream,
+    transform,
+    table_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a bounded streaming source through ``transform`` to a memory
+    sink synchronously; returns the materialized result table.
+
+    This is the test/oracle harness for streaming queries: real
+    ``readStream`` execution, deterministic completion via
+    ``processAllAvailable``.
+    """
+    q = (
+        transform(source_df_stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)
