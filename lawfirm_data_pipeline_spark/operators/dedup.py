@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (charter §2.C).
+
+Scale design (the point of each variant):
+
+* **exact_dedup** — hash-groupBy on a fingerprint: one shuffle keyed by
+  the fingerprint, group state O(1).  At 100 TB: shuffle only (doc_id,
+  16-byte md5), never the text.
+* **ngram_jaccard_pairs** — exact pairwise Jaccard via shingle inverted
+  index (explode → self-join on shingle → count).  Quadratic in the
+  worst case; use only behind a candidate filter (LSH) or on bounded
+  subsets.
+* **minhash_signatures / lsh_candidate_pairs** — the scale path: k
+  min-hashes per doc (one explode + groupBy), banded into b buckets;
+  candidate pairs come from same-bucket joins, expected cost ~linear for
+  near-dup densities real corpora have.  Verify candidates with exact
+  Jaccard afterwards (classic MinHash-LSH pipeline).
+* **simhash** — per-doc bit signature from token hashes; near-dups =
+  signatures within small Hamming distance.  Bit tricks stay in
+  expressions; pairing goes through band-prefix buckets like LSH.
+* **embedding_neardup_pairs** — cosine over `embeddings.embedding`;
+  exact pairwise on bounded subsets, LSH-bucketed variant in
+  similarity.py for scale.
+
+Hashes are md5-based so the DuckDB oracle can reproduce them exactly;
+``F.hash`` (Murmur3) would be Spark-private.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp: Column | None = None,
+) -> DataFrame:
+    """Group documents by content fingerprint; keep the min-id row as
+    canonical.  Returns (fingerprint, canonical_id, group_size)."""
+    fp = fp if fp is not None else fingerprint(text_col)
+    return (
+        docs.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def dedup_keep_canonical(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop non-canonical duplicates (semantics of the reference's
+    unique-key insert A8, lifted to content identity)."""
+    groups = exact_dedup(docs, text_col, id_col)
+    return docs.join(
+        groups.select(F.col("canonical_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+
+
+def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Inverted index: (shingle, doc_id), distinct."""
+    return (
+        docs.select(F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, sim ≥ threshold).
+
+    |A∩B| from the inverted-index self-join; |A|,|B| from per-doc distinct
+    shingle counts; J = |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    idx = _shingle_index(docs, text_col, id_col, n).cache()
+    sizes = idx.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("ida"), F.col("b.did").alias("idb"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("did").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("did").alias("idb"), F.col("sz").alias("szb"))
+    out = (
+        common.join(sa, "ida")
+        .join(sb, "idb")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Permutation i is simulated by md5(i || shingle); the signature element
+    is the lexicographic min digest — one explode + one groupBy with k
+    min() aggregates, no per-permutation passes.  Empty-shingle docs get
+    NULL signature elements.
+    """
+    idx = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return idx.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate pairs (a < b).
+
+    Documents agreeing on ALL rows of at least one band collide in that
+    band's bucket.  The band bucket key is md5(band-slice); the join is
+    per-bucket, so cost tracks bucket occupancy, not n².
+    """
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    with_bands = signatures.select(F.col(id_col).alias("did"), *band_keys)
+    stacked = with_bands.select(
+        "did",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.did") < F.col("b.did")))
+        .select(F.col("a.did").alias("ida"), F.col("b.did").alias("idb"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: sign → band → candidates →
+    exact-Jaccard verify.  Returns verified pairs (ida < idb, jaccard)."""
+    sigs = minhash_signatures(docs, k, n, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, k // bands, id_col)
+    exact = ngram_jaccard_pairs(docs, 0.0, n, text_col, id_col)
+    return (
+        cands.join(exact, ["ida", "idb"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "jaccard")
+    )
+
+
+def simhash_bits(text_col: Column | str, bits: int = 16, n_chars_per_tok: int = 1) -> Column:
+    """SimHash signature as a bit-string column.
+
+    Bit j's evidence is the high bit of hex digit j of each token's md5
+    (deterministic and oracle-reproducible); the signature bit is the
+    majority vote.  Returns e.g. '1011…' (length = bits ≤ 32).
+    """
+    from .text import tokens
+
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)))
+    digests = F.transform(toks, lambda t: F.md5(t))
+    bit_chars = []
+    for j in range(1, bits + 1):
+        # +1 if hex digit j ∈ [8,f] else -1, summed over tokens
+        vote = F.aggregate(
+            digests,
+            F.lit(0),
+            lambda acc, d: acc
+            + F.when(F.substring(d, j, 1).isin(*"89abcdef"), 1).otherwise(-1),
+        )
+        bit_chars.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_chars)
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: pairs within ``max_hamming`` bit flips.
+
+    Pairing is bucketed by the signature prefix (documents differing only
+    in low bits still collide; a production variant unions several
+    rotated prefixes — same plan shape).
+    """
+    sigs = docs.select(F.col(id_col).alias("did"), simhash_bits(text_col, bits).alias("sig"))
+    with_bucket = sigs.withColumn("bucket", F.substring("sig", 1, prefix_bits))
+    a, b = with_bucket.alias("a"), with_bucket.alias("b")
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("a.sig"), ""),
+            F.split(F.col("b.sig"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.did") < F.col("b.did")))
+        .select(
+            F.col("a.did").alias("ida"),
+            F.col("b.did").alias("idb"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

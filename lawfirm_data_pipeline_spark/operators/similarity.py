@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (charter §2.C).
+
+Two paths, same answer shape:
+
+* **brute-force cosine top-k** — the correctness baseline.  Queries are
+  broadcast (k rows), the corpus is scanned once, cosine is a JVM-side
+  ``zip_with``/``aggregate`` expression (no Python per row), ranking is a
+  per-query window.  At 100 TB the scan dominates; no shuffle of the
+  corpus (broadcast join) and the window shuffles only (query_id, score,
+  id) triples — |corpus| × |queries| rows, so bound |queries| or move to
+  the bucketed path.
+* **random-hyperplane LSH (sign-LSH) buckets** — the scale path: each
+  vector maps to a b-bit bucket of dot-product signs against
+  deterministic pseudo-random hyperplanes; candidate pairs/lookups join
+  per-bucket.  Recall is tunable with more tables (union of bucketings);
+  tested against brute-force recall in tests/test_llm_ops.py.
+
+Vectors are cast to double before arithmetic so results are stable across
+Arrow float32 readers, and accumulation is left-to-right (F.aggregate),
+matching the DuckDB oracle's list_dot_product order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dvec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self-matches).
+
+    Returns (query_id, vec_id, score, rank), rank 1..k, ties broken by
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _dvec(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), _dvec(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
+    """b-bit sign-LSH bucket key: '10110…' from dot-product signs."""
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(v) for v in plane])
+        bits.append(F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def deterministic_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Pseudo-random ±1 hyperplanes from a hash recurrence (no RNG state;
+    reproducible across engines/runs)."""
+    planes = []
+    x = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 1103515245 + 12345) % (2**31)
+            row.append(1.0 if x & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: union of ``n_tables`` sign-LSH bucketings, exact
+    cosine re-rank inside the candidate set.
+
+    Plan shape: corpus scanned once per table for bucket keys (cheap
+    map-side expressions), equi-join on (table, bucket) replaces the
+    all-pairs broadcast — at 1B vectors this is the difference between a
+    scan and an n×q blow-up.  Recall grows with n_tables.
+    """
+    pieces = []
+    for t in range(n_tables):
+        planes = deterministic_planes(dim, n_planes, seed=7 + 31 * t)
+        cb = corpus.select(
+            F.col(id_col), _dvec(vec_col).alias("cv")
+        ).withColumn("bucket", hyperplane_signs(F.col("cv"), planes))
+        qb = queries.select(
+            F.col(id_col).alias(query_id_col), _dvec(vec_col).alias("qv")
+        ).withColumn("bucket", hyperplane_signs(F.col("qv"), planes))
+        pieces.append(
+            cb.join(F.broadcast(qb), on="bucket")
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .select(query_id_col, id_col, "qv", "cv")
+        )
+    cands = pieces[0]
+    for p in pieces[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        cands.withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-duplicate pairs (a < b, score ≥ threshold) — the
+    embedding-space variant of near-dedup.  Exact pairwise; gate with
+    sign-LSH buckets (lsh_topk's bucketing) before running at scale."""
+    v = vectors.select(F.col(id_col).alias("vid"), _dvec(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .withColumn("score", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("a.vid").alias("ida"),
+            F.col("b.vid").alias("idb"),
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis operators for a training-data pipeline (charter §2.C).
+
+All operators are pure Column expressions over ``documents.text`` —
+JVM-side, codegen-friendly, no Python in the row path.  At 100 TB these
+run map-side with zero shuffle (per-document projections), so throughput
+is scan-bound; only the aggregating consumers (dedup joins, corpus stats)
+shuffle.
+
+Operators:
+    tokens / token_count        — whitespace tokenization
+    bpe_token_estimate          — BPE-ish regex token counting
+    quality_features/score      — length / punctuation / stopword ratios
+    lang_id                     — marker-word n-gram heuristic
+    fingerprint                 — order-insensitive content fingerprint
+    shingles                    — word n-gram shingling (dedup substrate)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the heuristic language id.
+# Real pipelines use char-n-gram models; the *operator shape* (argmax of
+# per-language evidence scores, computed scan-side) is identical.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+    "zh": ["的", "是", "不", "了", "在"],
+}
+
+# English stopwords for the quality-score ratio
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+# BPE-ish token regex: words, numbers, or single non-space symbols —
+# the standard cheap proxy for subword token counts.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_estimate(text: Column | str) -> Column:
+    """Count of BPE-ish regex matches — subword-count proxy."""
+    return F.regexp_count(_c(text), F.lit(BPE_RE))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(F.lower(_c(text)))
+    sw = F.array([F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw))
+    # ratio of *distinct-matching* stopword tokens per token — cheap and
+    # deterministic; avoids a per-token join
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = _c(text)
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + word shape +
+    punctuation sanity + stopword presence.  The exact recipe is less
+    important than being a deterministic scan-side projection the
+    filter/sample stages can push on."""
+    c = _c(text)
+    n_tok = token_count(c)
+    len_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).when(n_tok >= 5, 0.5).otherwise(0.0)
+    wl = mean_word_len(c)
+    shape = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.3)
+    punct = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.2)
+    stop = F.when(stopword_ratio(c) >= 0.05, 1.0).otherwise(0.4)
+    return F.round((len_band + shape + punct + stop) / 4.0, 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts."""
+    toks = tokens(F.lower(_c(text)))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array([F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over language marker scores; ties and zero evidence → 'und'.
+
+    Deterministic tie-break: higher score wins, then lexicographic lang.
+    """
+    scores = lang_scores(text)
+    # build struct array (score, lang) and take max — array_max on structs
+    # compares field-wise, giving score-then-lang ordering
+    entries = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    )
+    best = F.array_max(entries)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set.  Robust to token reordering — the batch analogue of a
+    rolling-hash content signature."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(_c(text)))))
+    return F.md5(F.array_join(toks, " "))
+
+
+def prefix_fingerprint(text: Column | str, k: int = 5) -> Column:
+    """md5 of the first k tokens — a locality-sensitive prefix signature
+    (collides for documents sharing an opening)."""
+    return F.md5(F.array_join(F.slice(tokens(F.lower(_c(text))), 1, k), " "))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles: substrate for Jaccard / MinHash dedup.
+
+    Documents with < n tokens produce an empty array (guarded: Spark's
+    ``sequence(1, 0)`` counts DOWN rather than returning empty).
+    """
+    toks = tokens(F.lower(_c(text)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))

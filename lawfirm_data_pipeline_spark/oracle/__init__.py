@@ -6,3 +6,6 @@ from . import m2_relations  # noqa: F401
 from . import m3_mutations  # noqa: F401
 from . import m4_scalar  # noqa: F401
 from . import m5_streaming  # noqa: F401
+from . import m6_text  # noqa: F401
+from . import m6_dedup  # noqa: F401
+from . import m6_similarity  # noqa: F401

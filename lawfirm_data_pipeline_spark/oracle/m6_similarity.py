@@ -1,0 +1,151 @@
+"""M6c — similarity-search + multimodal oracle queries (charter §2.C).
+
+Cosine arithmetic is bit-identical between F.aggregate (left-to-right
+double accumulation) and DuckDB's list_dot_product — verified empirically
+— so scores hash-match without tolerance; both sides still round(6) as
+belt-and-braces.
+
+Embedding near-dup queries plant deterministic perturbed copies (the
+corpus is random noise with no natural neighbors): vec_id % 20 == 0
+re-enters as vec_id + 100000 with +0.1 added to the first 4 coordinates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.multimodal import frame_sample_stub, image_features_stub, synth_media
+from ..operators.similarity import brute_force_topk, embedding_neardup_pairs, lsh_topk
+from ..queries import query
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@query(
+    "q36_cosine_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+         scored AS (
+            SELECT q.query_id, c.vec_id,
+                   {_COS.format(a='q.qv', b='c.v')} AS score
+            FROM c CROSS JOIN q WHERE c.vec_id != q.query_id
+         ),
+         ranked AS (
+            SELECT query_id, vec_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rank
+            FROM scored
+         )
+    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, k=5)
+
+
+# planted perturbed copies, shared derivation
+_PLANT_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_concat(list_transform((embedding::DOUBLE[])[1:4], x -> x + 0.1),
+                       (embedding::DOUBLE[])[5:])
+    FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def _planted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "v")
+    perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.transform(F.slice("v", 1, 4), lambda x: x + 0.1),
+            F.slice(F.col("v"), 5, 10**6),
+        ).alias("v"),
+    )
+    return base.unionByName(perturbed)
+
+
+@query(
+    "q37_embedding_neardup",
+    f"""
+    WITH vecs AS ({_PLANT_SQL}),
+         pairs AS (
+            SELECT a.vec_id AS ida, b.vec_id AS idb,
+                   {_COS.format(a='a.v', b='b.v')} AS score
+            FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+         )
+    SELECT ida, idb, round(score, 6) AS score
+    FROM pairs WHERE round(score, 6) >= 0.9
+    """,
+)
+def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: finds exactly the planted
+    perturbed copies (random noise pairs sit near 0)."""
+    return embedding_neardup_pairs(
+        _planted_vectors(spark, sf_dir), threshold=0.9, id_col="vec_id", vec_col="v"
+    )
+
+
+@query("q38_lsh_ann_topk", None)  # approximate: rows-only gate; recall vs
+def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (the scale path). No SQL oracle — the result
+    is approximate by design; tests/test_llm_ops.py asserts recall@10 vs
+    the brute-force baseline instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries, k=10, n_planes=6, n_tables=6)
+
+
+@query(
+    "q39_multimodal_frames",
+    """
+    WITH media AS (
+        SELECT p_partkey AS media_id,
+               CASE WHEN p_partkey % 3 > 0 THEN 1000 + p_partkey * 37 END AS duration_ms
+        FROM part WHERE p_partkey < 400
+    )
+    SELECT media_id,
+           unnest(generate_series(0, greatest(CAST(duration_ms // 1000 AS BIGINT) - 1, 0))) AS frame_idx
+    FROM media WHERE duration_ms IS NOT NULL
+    """,
+)
+def q39_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling shape (1 media row → N frame rows) with the
+    frame grid derived from typed metadata; media synthesized from `part`
+    so the oracle shares the derivation."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    media = part.selectExpr(
+        "p_partkey AS media_id",
+        "CAST(NULL AS BINARY) AS payload",
+        """named_struct(
+             'media_type', element_at(array('image','audio','video'), CAST(p_partkey % 3 AS INT) + 1),
+             'mime', CAST(NULL AS STRING), 'width', CAST(NULL AS INT),
+             'height', CAST(NULL AS INT),
+             'duration_ms', CASE WHEN p_partkey % 3 > 0 THEN 1000 + p_partkey * 37 END,
+             'sample_rate', CAST(NULL AS INT)) AS meta""",
+    )
+    frames = frame_sample_stub(media.filter(F.col("meta.duration_ms").isNotNull()), every_ms=1000)
+    return frames.select("media_id", "frame_idx")
+
+
+@query("q40_multimodal_features", None)  # rows-only: mapInPandas boundary
+def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over a binary media column
+    (mapInPandas).  Deterministic stub kernel; rows-only driver gate, with
+    exact value assertions in tests/test_llm_ops.py."""
+    media = synth_media(spark, 64)
+    return image_features_stub(media)

@@ -1,0 +1,93 @@
+"""LLM-pipeline operator tests: planted-duplicate recovery, LSH recall
+vs brute force, SimHash pairing, multimodal kernel correctness."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawfirm_data_pipeline_spark.io import load_table
+from lawfirm_data_pipeline_spark.operators.dedup import (
+    dedup_keep_canonical,
+    minhash_lsh_dedup,
+    simhash_neardup_pairs,
+)
+from lawfirm_data_pipeline_spark.operators.multimodal import (
+    decode_image,
+    image_features_stub,
+    synth_media,
+)
+from lawfirm_data_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+from lawfirm_data_pipeline_spark.oracle.m6_dedup import _planted_corpus
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_planted_pairs_are_found_not_vacuous(spark):
+    """The oracle dedup queries only prove something if the planted dups
+    actually surface; assert the expected pair inventory."""
+    corpus = _planted_corpus(spark, SF)
+    verified = minhash_lsh_dedup(corpus, threshold=0.5, k=16, bands=4)
+    pairs = {(r.ida, r.idb) for r in verified.collect()}
+    # every exact copy (doc_id%25==0 → +200000) must pair with its source
+    exact_expect = {(i, i + 200000) for i in range(0, 150, 25)}
+    assert exact_expect <= pairs
+    # near copies (first token dropped) pair at high jaccard
+    near_expect = {(i, i + 100000) for i in range(0, 150, 10)}
+    assert len(near_expect & pairs) >= len(near_expect) * 0.8
+    for r in verified.collect():
+        assert r.jaccard >= 0.5
+
+
+def test_dedup_keep_canonical_drops_exact_copies(spark):
+    corpus = _planted_corpus(spark, SF)
+    kept = dedup_keep_canonical(corpus)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # planted copies always lose to their lower-id source (min-id canonical)
+    assert all(i + 200000 not in ids for i in range(0, 150, 25))
+    # result is exactly one row per distinct fingerprint
+    from lawfirm_data_pipeline_spark.operators.dedup import exact_dedup
+
+    assert kept.count() == exact_dedup(corpus).count()
+
+
+def test_simhash_finds_near_dups(spark):
+    corpus = _planted_corpus(spark, SF)
+    pairs = {
+        (r.ida, r.idb)
+        for r in simhash_neardup_pairs(corpus, max_hamming=2, bits=16).collect()
+    }
+    exact_expect = {(i, i + 200000) for i in range(0, 150, 25)}
+    assert exact_expect <= pairs  # hamming 0 for identical token sets
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = lsh_topk(emb, queries, k=10, n_planes=6, n_tables=6)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # random 64-dim corpus is a hard case; sign-LSH with 6×6 tables should
+    # still recover a solid share of true neighbors
+    assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_multimodal_feature_kernel_matches_reference_hash(spark):
+    media = synth_media(spark, 16)
+    out = {r.media_id: r for r in image_features_stub(media).collect()}
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for mid, row in out.items():
+        digest = hashlib.md5(payloads[mid]).hexdigest()
+        assert row.phash == digest[:16]
+        assert row.n_bytes == len(payloads[mid])
+        assert len(row.features) == 8
+        assert abs(row.features[0] - int(digest[:2], 16) / 255.0) < 1e-6
+
+
+def test_decode_image_is_explicitly_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(synth_media(spark, 1))
