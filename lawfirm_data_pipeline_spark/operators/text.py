@@ -133,6 +133,43 @@ def prefix_fingerprint(text: Column | str, k: int = 5) -> Column:
     return F.md5(F.array_join(F.slice(tokens(F.lower(_c(text))), 1, k), " "))
 
 
+def tfidf_topk(docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Top-k terms per document by TF-IDF over the given corpus.
+
+    Corpus-level operator (DataFrame in, DataFrame out): one explode of
+    the token array, a per-(doc, term) count, a per-term document
+    frequency, and the document count joined back broadcast-style.  At
+    100 TB the explode and the (doc, term) groupBy are the only wide
+    stages and both partial-aggregate map-side; the df / n_docs sides are
+    tiny aggregates that broadcast.
+
+    tf = term_count / doc_token_count; idf = ln(n_docs / df); ties broken
+    by term for determinism.  Returns (doc_id, term, tfidf, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_counts = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        term_counts.join(doc_lens, id_col)
+        .join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tc") / F.col("dl")) * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles: substrate for Jaccard / MinHash dedup.
 

@@ -9,3 +9,4 @@ from . import m5_streaming  # noqa: F401
 from . import m6_text  # noqa: F401
 from . import m6_dedup  # noqa: F401
 from . import m6_similarity  # noqa: F401
+from . import m7_analytics  # noqa: F401

@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale properties README.md promises.
+
+These parse ``explain(formatted)`` output — brittle across Spark majors
+by nature, but they pin the properties that matter at 100 TB: filters
+reach the parquet scan, scans are column-pruned, dims broadcast, and
+aggregates run map-side first.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from lawfirm_data_pipeline_spark.io import load_table
+from lawfirm_data_pipeline_spark.operators.relations import hydrate_one_to_one
+from lawfirm_data_pipeline_spark.operators.similarity import brute_force_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    orders = load_table(spark, SF, "orders")
+    df = orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_totalprice")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning_in_read_schema(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    # ReadSchema carries only the two projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    df = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_plans_partial_aggregation(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(df)
+    # partial + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_similarity_avoids_cartesian_product(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    df = brute_force_topk(emb, queries, k=5)
+    plan = plan_of(df)
+    # non-equi join against the broadcast query side: nested-loop over a
+    # broadcast (bounded) side is fine; an unbroadcast CartesianProduct
+    # would shuffle-materialize |corpus| x |queries|
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_hydration_join_prunes_unused_relation_columns(spark):
+    orders = load_table(spark, SF, "orders")
+    customer = load_table(spark, SF, "customer")
+    hydrated = hydrate_one_to_one(
+        orders, customer, parent_key="o_custkey", child_fk="c_custkey", struct_col="customer"
+    )
+    df = hydrated.select("o_orderkey", "customer.c_name")
+    plan = plan_of(df)
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    cust_schema = [ln for ln in read_schemas if "c_name" in ln]
+    assert cust_schema, "customer scan missing"
+    # unreferenced customer columns are pruned from the scan
+    assert all("c_acctbal" not in ln for ln in cust_schema)
