@@ -59,11 +59,16 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(F.col(id_col), _dvec(vec_col).alias("cv")).withColumn(
+        "cn", norm(F.col("cv"))
     )
-    c = corpus.select(F.col(id_col), _dvec(vec_col).alias("cv"))
+    # norms precomputed per side (map-side, once per vector) so the join
+    # evaluates only the dot product per candidate pair — same doubles,
+    # ~3x less lambda work than cosine() inside the join
     scored = (
         c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
-        .withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("score", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -115,19 +120,21 @@ def lsh_topk(
     all-pairs broadcast — at 1B vectors this is the difference between a
     scan and an n×q blow-up.  Recall grows with n_tables.
     """
+    c = corpus.select(F.col(id_col), _dvec(vec_col).alias("cv")).withColumn(
+        "cn", norm(F.col("cv"))
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _dvec(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
     pieces = []
     for t in range(n_tables):
         planes = deterministic_planes(dim, n_planes, seed=7 + 31 * t)
-        cb = corpus.select(
-            F.col(id_col), _dvec(vec_col).alias("cv")
-        ).withColumn("bucket", hyperplane_signs(F.col("cv"), planes))
-        qb = queries.select(
-            F.col(id_col).alias(query_id_col), _dvec(vec_col).alias("qv")
-        ).withColumn("bucket", hyperplane_signs(F.col("qv"), planes))
+        cb = c.withColumn("bucket", hyperplane_signs(F.col("cv"), planes))
+        qb = q.withColumn("bucket", hyperplane_signs(F.col("qv"), planes))
         pieces.append(
             cb.join(F.broadcast(qb), on="bucket")
             .filter(F.col(id_col) != F.col(query_id_col))
-            .select(query_id_col, id_col, "qv", "cv")
+            .select(query_id_col, id_col, "qv", "cv", "qn", "cn")
         )
     cands = pieces[0]
     for p in pieces[1:]:
@@ -135,7 +142,7 @@ def lsh_topk(
     cands = cands.dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
-        cands.withColumn("score", cosine(F.col("qv"), F.col("cv")))
+        cands.withColumn("score", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
@@ -151,11 +158,15 @@ def embedding_neardup_pairs(
     """Cosine near-duplicate pairs (a < b, score ≥ threshold) — the
     embedding-space variant of near-dedup.  Exact pairwise; gate with
     sign-LSH buckets (lsh_topk's bucketing) before running at scale."""
-    v = vectors.select(F.col(id_col).alias("vid"), _dvec(vec_col).alias("v"))
+    v = vectors.select(F.col(id_col).alias("vid"), _dvec(vec_col).alias("v")).withColumn(
+        "n", norm(F.col("v"))
+    )
     a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, F.col("a.vid") < F.col("b.vid"))
-        .withColumn("score", cosine(F.col("a.v"), F.col("b.v")))
+        # bounded-subset operator: broadcast the right side so the
+        # inequality join is BNLJ, never a shuffled CartesianProduct
+        a.join(F.broadcast(b), F.col("a.vid") < F.col("b.vid"))
+        .withColumn("score", dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")))
         .filter(F.col("score") >= threshold)
         .select(
             F.col("a.vid").alias("ida"),

@@ -170,6 +170,33 @@ def tfidf_topk(docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def chunk_tokens(text: Column | str, size: int = 64, overlap: int = 16) -> Column:
+    """Split a document into overlapping token-window chunks — the
+    training-data chunking primitive (context-window packing).
+
+    Returns ``array<struct<chunk_idx int, chunk string>>``; stride =
+    size - overlap.  A pure expression: explode downstream to get one
+    row per chunk (1 doc → N chunks, map-side, no shuffle).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    toks = tokens(_c(text))
+    # chunk starts: 1, 1+stride, ... while start <= len (last partial kept)
+    n_chunks = F.when(
+        F.size(toks) > 0, F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)).cast("int")
+    ).otherwise(F.lit(0))
+    n_chunks = F.greatest(n_chunks, F.when(F.size(toks) > 0, F.lit(1)).otherwise(F.lit(0)))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.when(F.size(toks) > 0, F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * stride + 1, size), " ").alias("chunk"),
+        ),
+    )).otherwise(F.array().cast("array<struct<chunk_idx:int,chunk:string>>"))
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles: substrate for Jaccard / MinHash dedup.
 

@@ -1,0 +1,169 @@
+"""M8 — temporal joins + training-data curation ops.
+
+As-of and bounded-range joins over ``events`` (the scalable union-marker
+and bucketized-equi-join implementations in operators/temporal.py),
+document chunking, and the end-to-end curation composite a pretraining
+pipeline runs: quality-filter → language-gate → dedup → chunk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import text as TX
+from ..operators.dedup import exact_dedup
+from ..operators.temporal import asof_join, range_join
+from ..queries import query
+
+
+def _events(spark, sf_dir, etype: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == etype)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+# -- q51: as-of join — most recent click before each purchase, per user
+@query(
+    "q51_asof_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           c.ts AS asof_ts, c.event_id AS click_id, c.value AS click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``ASOF LEFT JOIN`` semantics from one shuffle + one running
+    window — no inequality-join expansion (operators/temporal.py)."""
+    purchases = _events(spark, sf_dir, "purchase").drop("value")
+    clicks = _events(spark, sf_dir, "click").withColumnsRenamed(
+        {"event_id": "click_id", "value": "click_value"}
+    )
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts")
+    return joined.select("event_id", "user_id", "asof_ts", "click_id", "click_value")
+
+
+# -- q52: bounded range join — clicks within 10 min before each error
+@query(
+    "q52_range_join",
+    """
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, count(*) AS n_recent_clicks
+    FROM e JOIN c
+      ON e.user_id = c.user_id
+     AND c.ts <= e.ts
+     AND epoch_us(c.ts) > epoch_us(e.ts) - 600000000
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q52_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality predicate turned into an equi-join on (user, time
+    bucket) with a residual filter — the exchange hash-partitions instead
+    of replicating either side."""
+    errors = _events(spark, sf_dir, "error").drop("value")
+    clicks = _events(spark, sf_dir, "click").select("user_id", "ts")
+    pairs = range_join(errors, clicks, key="user_id", window_ms=600_000)
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_recent_clicks")
+    )
+
+
+# -- q53: document chunking (context-window packing)
+_LTOKS_RAW = "list_filter(str_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "q53_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_LTOKS_RAW} AS toks FROM documents WHERE doc_id < 300),
+         n AS (SELECT doc_id, toks,
+                      greatest(CAST(ceil((len(toks) - 16) / 48.0) AS INT),
+                               CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END) AS n_chunks
+               FROM t)
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+    WHERE n_chunks > 0
+    """,
+)
+def q53_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 doc → N overlapping 64-token chunks (stride 48): pure map-side
+    explode, the shape that feeds tokenizer/packing stages."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        docs.select("doc_id", F.explode(TX.chunk_tokens("text", size=64, overlap=16)).alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    )
+
+
+# -- q54: the curation composite — filter → lang-gate → dedup → stats
+@query(
+    "q54_curation_pipeline",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, source,
+               list_filter(str_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS ltoks,
+               {_LTOKS_RAW} AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source, ltoks,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS wl,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END AS pr,
+               CASE WHEN len(ltoks) > 0
+                    THEN CAST(len(list_filter(ltoks, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x))) AS DOUBLE) / len(ltoks)
+                    ELSE 0.0 END AS sr
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id, source, ltoks, n_tok,
+               ((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+              + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+              + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.2 END)
+              + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.4 END)) / 4.0 AS quality
+        FROM feats
+    ),
+    qualified AS (SELECT * FROM scored WHERE quality >= 0.75 AND n_tok >= 10),
+    fp AS (SELECT doc_id, source, n_tok,
+                  md5(array_to_string(list_sort(list_distinct(ltoks)), ' ')) AS fp
+           FROM qualified),
+    canon AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    kept AS (SELECT f.doc_id, f.source, f.n_tok FROM fp f JOIN canon c ON f.doc_id = c.doc_id)
+    SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-curation flow: quality gate → exact
+    dedup (canonical keep) → per-source corpus stats.  Each stage is the
+    already-oracle-checked operator; the composite proves they compose
+    into one Catalyst plan (scan once, no intermediate materialization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        TX.token_count("text").alias("n_tok"),
+        TX.quality_score("text").alias("quality"),
+    )
+    qualified = scored.filter((F.col("quality") >= 0.75) & (F.col("n_tok") >= 10))
+    groups = exact_dedup(qualified, text_col="text", id_col="doc_id")
+    kept = qualified.join(
+        groups.select(F.col("canonical_id").alias("doc_id")), on="doc_id", how="left_semi"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
