@@ -79,7 +79,12 @@ def brute_force_topk(
 
 
 def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
-    """b-bit sign-LSH bucket key: '10110…' from dot-product signs."""
+    """b-bit sign-LSH bucket key: '10110…' from dot-product signs.
+
+    (Unrolling the ±1 dots into flat ``element_at`` sums was tried and is
+    ~4x SLOWER: 36 planes × 64 dims yields expression trees large enough
+    to blow past codegen method limits and fall back to interpretation.)
+    """
     bits = []
     for plane in planes:
         p = F.array(*[F.lit(v) for v in plane])
@@ -126,24 +131,31 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), _dvec(vec_col).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
-    pieces = []
-    for t in range(n_tables):
-        planes = deterministic_planes(dim, n_planes, seed=7 + 31 * t)
-        cb = c.withColumn("bucket", hyperplane_signs(F.col("cv"), planes))
-        qb = q.withColumn("bucket", hyperplane_signs(F.col("qv"), planes))
-        pieces.append(
-            cb.join(F.broadcast(qb), on="bucket")
-            .filter(F.col(id_col) != F.col(query_id_col))
-            .select(query_id_col, id_col, "qv", "cv", "qn", "cn")
-        )
-    cands = pieces[0]
-    for p in pieces[1:]:
-        cands = cands.unionByName(p)
-    cands = cands.dropDuplicates([query_id_col, id_col])
+
+    def table_keys(vec: Column) -> Column:
+        """(table_id || bucket) keys for all tables in ONE projection —
+        the corpus is scanned once, not once per table."""
+        keys = []
+        for t in range(n_tables):
+            planes = deterministic_planes(dim, n_planes, seed=7 + 31 * t)
+            keys.append(F.concat(F.lit(f"{t}:"), hyperplane_signs(vec, planes)))
+        return F.array(*keys)
+
+    cb = c.withColumn("bucket", F.explode(table_keys(F.col("cv"))))
+    qb = q.withColumn("bucket", F.explode(table_keys(F.col("qv"))))
+    # score BEFORE dedup: a multi-table duplicate pair recomputes a cheap
+    # dot, but the dedup + rank shuffles move (id, id, score) scalars
+    # instead of two 64-double vectors per candidate
+    cands = (
+        cb.join(F.broadcast(qb), on="bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("score", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .select(query_id_col, id_col, "score")
+        .dropDuplicates([query_id_col, id_col])
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
-        cands.withColumn("score", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
-        .withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
     )
