@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators import text as TX
 from ..operators.dedup import exact_dedup
+from ..operators.sampling import hash_split, stratified_hash_sample
 from ..operators.temporal import asof_join, range_join
 from ..queries import query
 
@@ -167,3 +168,49 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+# -- q56: deterministic train/val/test hash split
+_BUCKET_SQL = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"
+
+
+@query(
+    "q56_hash_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < 9000 THEN 'train'
+                WHEN {_BUCKET_SQL} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q56_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split membership = pure function of the key (md5-bucket ranges):
+    stable across runs/partitionings/engines, unlike seeded sample()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+# -- q57: stratified deterministic sampling (per-language quotas)
+@query(
+    "q57_stratified_sample",
+    f"""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE (lang = 'en' AND {_BUCKET_SQL} < 2000)
+       OR (lang = 'de' AND {_BUCKET_SQL} < 5000)
+       OR (lang = 'zh' AND {_BUCKET_SQL} < 10000)
+    GROUP BY lang
+    """,
+)
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampleBy without the RNG: per-stratum hash-threshold keep —
+    downsample dominant languages, keep the tail whole (the standard
+    corpus-rebalancing move)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "de": 0.5, "zh": 1.0}
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
