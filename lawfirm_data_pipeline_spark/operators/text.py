@@ -197,6 +197,39 @@ def chunk_tokens(text: Column | str, size: int = 64, overlap: int = 16) -> Colum
     )).otherwise(F.array().cast("array<struct<chunk_idx:int,chunk:string>>"))
 
 
+def unigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap perplexity proxy real curation pipelines
+    (CCNet-style) filter on: gibberish scores far below fluent text.
+
+    Numeric discipline: per-term logs are snapped to nano-fixed-point
+    BIGINTs, so the per-doc accumulation is an exact integer sum —
+    order-independent, hence identical under any partitioning and
+    reproducible by the DuckDB oracle.  Plan: one explode + two
+    aggregations; corpus vocab joins back broadcast-sized.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local alias clarity)
+
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+    tc = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    corpus = tc.groupBy("w").agg(F.sum("cnt").alias("cw"))
+    total = corpus.agg(F.sum("cw").alias("n"))
+    lp = corpus.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.round(F.log(F.col("cw").cast("double") / F.col("n")) * 1e9)
+        .cast("long")
+        .alias("lp_fp"),
+    )
+    doc = tc.join(F.broadcast(lp), "w").groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.col("lp_fp")).alias("s"),
+        F.sum("cnt").alias("ntok"),
+    )
+    return doc.select(
+        id_col,
+        F.round((F.col("s").cast("double") / 1e9) / F.col("ntok"), 6).alias("avg_logp"),
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles: substrate for Jaccard / MinHash dedup.
 

@@ -214,3 +214,31 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang", {"en": 0.2, "de": 0.5, "zh": 1.0}
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# -- q58: unigram log-prob quality proxy (perplexity-style filtering)
+@query(
+    "q58_unigram_logprob",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(str_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS ltoks
+               FROM documents),
+         tok AS (SELECT doc_id, unnest(ltoks) AS w FROM t),
+         tc AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         corpus AS (SELECT w, sum(cnt) AS cw FROM tc GROUP BY w),
+         tot AS (SELECT sum(cw) AS n FROM corpus),
+         lp AS (SELECT w, CAST(round(ln(CAST(cw AS DOUBLE) / n) * 1e9) AS BIGINT) AS lp_fp
+                FROM corpus, tot),
+         doc AS (SELECT tc.doc_id, sum(tc.cnt * lp.lp_fp) AS s, sum(tc.cnt) AS ntok
+                 FROM tc JOIN lp USING (w) GROUP BY 1)
+    SELECT doc_id, round((CAST(s AS DOUBLE) / 1e9) / ntok, 6) AS avg_logp
+    FROM doc
+    """,
+)
+def q58_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-prob per doc under the corpus unigram model
+    (CCNet-style perplexity filter), with order-independent fixed-point
+    accumulation so the hash gate holds at any parallelism."""
+    from ..operators.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
