@@ -1,0 +1,75 @@
+"""Versioned-table commits: readers never see partial state, multi-table
+staging, vacuum retention, compaction file counts."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawfirm_data_pipeline_spark.io import load_table
+from lawfirm_data_pipeline_spark.operators.mutations import upsert
+from lawfirm_data_pipeline_spark.sources import lake
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_write_then_publish_is_visible_and_staged_is_not(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = os.path.join(d, "t")
+        v0 = lake.write_version(spark.range(5), t)
+        with pytest.raises(FileNotFoundError):
+            lake.read_latest(spark, t)  # staged but never committed
+        lake.publish(t, v0)
+        assert lake.read_latest(spark, t).count() == 5
+        # stage v1; readers still see v0 until publish
+        v1 = lake.write_version(spark.range(9), t)
+        assert lake.read_latest(spark, t).count() == 5
+        lake.publish(t, v1)
+        assert lake.read_latest(spark, t).count() == 9
+
+
+def test_transactional_upsert_cycle(spark):
+    """The $transaction shape: read latest -> mutate -> stage -> commit."""
+    with tempfile.TemporaryDirectory() as d:
+        t = os.path.join(d, "companies")
+        base = spark.createDataFrame(
+            [("c1", "Acme", None), ("c2", "Beta", "x@b.io")],
+            "id string, name string, email string",
+        )
+        lake.publish(t, lake.write_version(base, t))
+        incoming = spark.createDataFrame(
+            [("c2", "Beta", "new@b.io"), ("c3", "Gamma", None)],
+            "id string, name string, email string",
+        )
+        cur = lake.read_latest(spark, t)
+        staged = lake.write_version(upsert(cur, incoming, keys="id"), t)
+        lake.commit_many({t: staged})
+        final = {r.id: r.email for r in lake.read_latest(spark, t).collect()}
+        assert final == {"c1": None, "c2": "new@b.io", "c3": None}
+
+
+def test_vacuum_keeps_committed_version(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = os.path.join(d, "t")
+        versions = [lake.write_version(spark.range(i + 1), t) for i in range(4)]
+        lake.publish(t, versions[1])  # commit an OLD version
+        removed = lake.vacuum(t, keep=1)
+        # newest is kept, committed v1 is kept even though old
+        assert lake.read_latest(spark, t).count() == 2
+        assert all(f"v={versions[1]}" not in p for p in removed)
+
+
+def test_compact_reduces_file_count(spark):
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "frag")
+        load_table(spark, SF, "orders").repartition(40).write.parquet(p)
+        n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+        assert n_before >= 40
+        before = spark.read.parquet(p).agg(F.sum("o_orderkey")).first()[0]
+        lake.compact(spark, p, target_file_bytes=1 << 30)
+        n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+        assert n_after < 5
+        assert spark.read.parquet(p).agg(F.sum("o_orderkey")).first()[0] == before
