@@ -1,0 +1,42 @@
+"""Table profiling: the engine's ANALYZE / data-quality summary.
+
+One aggregation pass computes every column's stats (count/null-rate/
+distinct/min/max), then unpivots to long form — profiling a 100 TB
+table costs one scan + one tiny shuffle, not one scan per column.
+Exact distinct counts shuffle per-column hashes; at extreme widths
+switch the same shape to approx_count_distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-format profile: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) with min/max rendered as strings so mixed
+    column types share one schema."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_null"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -12,3 +12,4 @@ from . import m6_similarity  # noqa: F401
 from . import m7_analytics  # noqa: F401
 from . import m8_training_ops  # noqa: F401
 from . import m9_raw_sql  # noqa: F401
+from . import m10_profiling  # noqa: F401

@@ -49,6 +49,17 @@ def test_approx_count_distinct_within_rsd(spark):
         assert rel_err < 0.1, f"{prio}: {approx[prio]} vs {n}"
 
 
+def test_profile_counts_nulls_and_distincts(spark):
+    from lawfirm_data_pipeline_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b"), (5, None)], "id int, v string"
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["v"].n_null == 2 and prof["v"].n_distinct == 2
+    assert prof["id"].n_rows == 5 and prof["id"].min_value == "1" and prof["id"].max_value == "5"
+
+
 def test_tfidf_rare_terms_outrank_common(spark):
     out = q46_tfidf_topk(spark, SF)
     # every ranked term has positive tfidf (appears in < all docs)
