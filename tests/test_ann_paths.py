@@ -6,7 +6,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lawfirm_data_pipeline_spark.io import load_table
-from lawfirm_data_pipeline_spark.operators.similarity import lsh_topk
+from lawfirm_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 
 SF = "/root/testdata/sf0.01"
 
@@ -27,3 +31,44 @@ def test_arrow_and_jvm_buckets_agree(spark):
     # data; require (near-)identical candidate outcomes
     overlap = len(jvm & arrow) / max(len(jvm | arrow), 1)
     assert overlap >= 0.95, (len(jvm), len(arrow), overlap)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF recall on random synthetic vectors (the adversarial case for
+    clustering — real embeddings cluster far better): nprobe=8/16 lists
+    must recover most of the exact top-10, and exhaustive probing
+    (nprobe = n_centroids) must reproduce brute force exactly.
+    Measured curve at sf0.01: nprobe 4→0.44, 8→0.79, 12→0.93, 16→1.0."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / max(len(exact), 1)
+    assert recall >= 0.7, recall
+    exhaustive = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16).collect()
+    }
+    assert exhaustive == exact
+
+
+def test_ivf_deterministic(spark):
+    """Seeding + Lloyd step are engine-order independent: two runs give
+    identical (query, id, rank) triples."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).collect()
+    )
+    assert a == b and len(a) > 0
