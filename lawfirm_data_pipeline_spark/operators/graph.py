@@ -1,0 +1,88 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pair generators (`ngram_jaccard_pairs`, `lsh_candidate_pairs`,
+`embedding_neardup_pairs`) emit edges; a dedup pipeline then needs the
+transitive closure — "these 5 docs are all one document" — and a
+canonical representative per group.  That is connected components, run
+here as distributed min-label propagation:
+
+* every node starts labeled with itself;
+* each round, every node takes the min of its own label and its
+  neighbors' labels (one equi-join + one groupBy-min);
+* converged when the global label sum stops decreasing (labels only
+  ever decrease, so an unchanged sum is a fixpoint — one cheap agg per
+  round instead of a join-and-compare).
+
+Scale shape: each round is one shuffle of the edge list plus one of the
+label table; rounds needed = graph diameter.  Near-dup graphs are
+near-cliques (diameter 2-3), so this settles in a handful of rounds at
+any corpus size.  Lineage is truncated with ``localCheckpoint`` each
+round — without it the plan doubles per iteration and the driver dies
+long before 100 TB does.  (For adversarially long path graphs the
+alternating small-star/large-star variant halves diameter per round;
+not needed for dedup workloads.)
+
+Reference parity: the reference has no graph operator — this is a
+charter addition (SURVEY.md §2.C) completing its dedup story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "ida",
+    id_b: str = "idb",
+    node_col: str = "node",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Label every node with the min node id reachable from it.
+
+    ``pairs`` is an undirected edge list (one row per pair, either
+    orientation).  ``nodes`` optionally supplies the full node universe
+    (so isolated nodes appear as singleton clusters); defaults to the
+    pair endpoints.  Returns (node, cluster_id) — deterministic, so it
+    hash-checks against a recursive-CTE oracle.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+
+    if nodes is None:
+        universe = edges.select(F.col("src").alias(node_col)).distinct()
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias(node_col)).distinct()
+
+    labels = universe.withColumn("label", F.col(node_col))
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["src"] == labels[node_col]
+        ).select(F.col("dst").alias(node_col), "label")
+        labels = (
+            labels.unionByName(prop)
+            .groupBy(node_col)
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col(node_col), F.col("label").alias("cluster_id"))
+
+
+def neardup_cluster_summary(
+    members: DataFrame, node_col: str = "node", cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Collapse a (node, cluster_id) assignment to per-cluster stats:
+    canonical id (the min id, == cluster_id by construction), member
+    count.  Map-side-combinable groupBy — trivial at any scale."""
+    return members.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(node_col).alias("canonical_id"),
+    )

@@ -1,0 +1,74 @@
+"""Time-series resample + gap-fill over the events table.
+
+The hypertable-rollup shape (charter: "operations a large-scale
+training-data pipeline would need"): bucket irregular events to a fixed
+grid, materialize the missing buckets, and carry the last observation
+forward so every (key, bucket) cell has a value.
+
+Scale shape, stage by stage:
+
+1. **bucket aggregate** — `groupBy(key, date_trunc(...))` with integer
+   (micros) sums: partial aggregation collapses each map partition to
+   ~|keys × buckets| rows before the shuffle, so the shuffle is sized by
+   the grid, not the raw event count.
+2. **grid generation** — `sequence(min, max, interval)` + `explode` per
+   key: pure map-side on the (small) per-key span table, no shuffle, no
+   driver loop; grid cardinality is explicit (span/step) so a runaway
+   key range fails fast rather than OOMing an executor.
+3. **gap-fill** — `last(value, ignorenulls=True)` over a ROWS window
+   per key: one shuffle on the key, the same partitioning the join in
+   stage 2's output already wants (AQE reuses it).
+
+Values are aggregated as integer micros so the forward-filled column is
+exact — float sums would make the hash gate order-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    unit: str = "hour",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample ``value`` to per-``unit`` buckets per key and
+    forward-fill empty buckets.
+
+    Returns (key, bucket, n, sum_micros, filled_micros, is_gap): ``n``
+    and ``sum_micros`` are the observed per-bucket count / integer-micro
+    sum (sum NULL in gap buckets), ``filled_micros`` carries the last
+    observed sum forward, ``is_gap`` flags synthesized buckets.
+    """
+    micros = F.round(F.col(value_col) * 1e6).cast("long")
+    b = events.groupBy(
+        F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    ).agg(
+        F.sum(micros).alias("sum_micros"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = b.groupBy(key_col).agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = span.select(
+        key_col, F.explode(F.expr(f"sequence(mn, mx, interval {step})")).alias("bucket")
+    )
+    j = grid.join(b, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        key_col,
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "sum_micros",
+        F.last("sum_micros", ignorenulls=True).over(w).alias("filled_micros"),
+        F.col("n").isNull().alias("is_gap"),
+    )

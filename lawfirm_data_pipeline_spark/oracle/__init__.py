@@ -14,3 +14,4 @@ from . import m8_training_ops  # noqa: F401
 from . import m9_raw_sql  # noqa: F401
 from . import m10_profiling  # noqa: F401
 from . import m11_sql_kit  # noqa: F401
+from . import m12_graph_timeseries  # noqa: F401
