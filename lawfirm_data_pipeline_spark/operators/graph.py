@@ -48,9 +48,23 @@ def connected_components(
     pair endpoints.  Returns (node, cluster_id) — deterministic, so it
     hash-checks against a recursive-CTE oracle.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # materialize the edge list ONCE — pair generation is often the
+    # expensive part (quadratic jaccard, LSH bucketing) and every
+    # propagation round re-joins against it.  Both orientations come
+    # from a single explode over one evaluation of the pair plan (a
+    # self-union would run that plan twice).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
+    )
 
     if nodes is None:
         universe = edges.select(F.col("src").alias(node_col)).distinct()
