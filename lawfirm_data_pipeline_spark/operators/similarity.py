@@ -325,6 +325,44 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving
+    compression step of an embedding pipeline): scale = max|v|/127, each
+    component maps to ``floor(v/scale + 0.5)`` ∈ [-127, 127].
+
+    Rounding is spelled ``floor(x + 0.5)`` (round-half-toward-+inf) so
+    both engines agree bit-for-bit at .5 boundaries; ``F.round`` /
+    DuckDB ``round`` differ in half-value handling.
+
+    Pure map stage — JVM-side array expressions, no shuffle, no Python.
+    Returns per-vector audit columns (scale, quantized sum/min/max,
+    max reconstruction error) — the quantized array itself stays an
+    intermediate so the output is hash-stable scalar columns.
+    """
+    e = _dvec(vec_col)
+    amax = F.array_max(F.transform(e, F.abs))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / 127.0)
+    qv = F.transform(e, lambda x: F.floor(x / scale + 0.5).cast("int"))
+    err = F.array_max(F.zip_with(e, qv, lambda x, q: F.abs(x - q * scale)))
+    return vectors.select(
+        F.col(id_col),
+        scale.alias("__scale"),
+        qv.alias("__qv"),
+        err.alias("__err"),
+    ).select(
+        id_col,
+        F.round("__scale", 6).alias("scale6"),
+        F.aggregate("__qv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("qsum"),
+        F.array_min("__qv").alias("qmin"),
+        F.array_max("__qv").alias("qmax"),
+        F.round("__err", 6).alias("max_err"),
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.dedup import ngram_jaccard_pairs
 from ..operators.graph import connected_components
+from ..operators.similarity import quantize_int8
 from ..operators.timeseries import resample_ffill
 from ..queries import query
 from .m6_dedup import _CORPUS_SQL, _LTOKS, _SHINGLES, _planted_corpus
@@ -93,3 +94,32 @@ def q71_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs.select("ida", "idb"), nodes=corpus.select("doc_id")
     ).select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# -- q72: symmetric int8 embedding quantization (scale + audit scalars)
+@query(
+    "q72_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+         s AS (SELECT vec_id, e,
+                      CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+                           ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+                      END AS scale
+               FROM v),
+         q AS (SELECT vec_id, scale, e,
+                      list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+               FROM s)
+    SELECT vec_id, round(scale, 6) AS scale6,
+           list_sum(qv) AS qsum,
+           list_min(qv) AS qmin, list_max(qv) AS qmax,
+           round(list_max(list_transform(generate_series(1, len(e)),
+                                         i -> abs(e[i] - qv[i] * scale))), 6) AS max_err
+    FROM q
+    """,
+)
+def q72_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit — see
+    operators/similarity.quantize_int8 for the rounding contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)

@@ -10,6 +10,7 @@ from lawfirm_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_topk,
+    quantize_int8,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -72,3 +73,14 @@ def test_ivf_deterministic(spark):
         for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_quantize_int8_bounds(spark):
+    """Quantized components stay in [-127, 127] and reconstruction error
+    is bounded by scale/2 (the half-step of the quantizer)."""
+    emb = load_table(spark, SF, "embeddings")
+    rows = quantize_int8(emb).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert -127 <= r.qmin <= r.qmax <= 127
+        assert r.max_err <= r.scale6 / 2 + 1e-6, (r.vec_id, r.max_err, r.scale6)
