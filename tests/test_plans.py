@@ -90,3 +90,63 @@ def test_hydration_join_prunes_unused_relation_columns(spark):
     assert cust_schema, "customer scan missing"
     # unreferenced customer columns are pruned from the scan
     assert all("c_acctbal" not in ln for ln in cust_schema)
+
+
+def _n_nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their detail header '(N) <name>' — the
+    tree section prints '<name> (N)', so this counts each node once."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+def test_sessionize_single_exchange(spark):
+    """q63's lag + cumulative session id + per-session agg all share the
+    user_id partitioning: exactly ONE hash exchange in the plan."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q63_sessionize"](spark, SF))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_window_frames_single_exchange_single_sort(spark):
+    """q64's three ROWS frames share one window spec — one exchange,
+    one sort, one Window node."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q64_window_frames"](spark, SF))
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert _n_nodes(plan, "Sort") == 1, plan
+    assert _n_nodes(plan, "Window") == 1, plan
+
+
+def test_conditional_agg_single_scan(spark):
+    """q62 computes four filtered aggregates in one scan of orders, with
+    map-side partial aggregation before its single exchange."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q62_conditional_agg"](spark, SF))
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "partial_" in plan, plan
+
+
+def test_correlated_agg_filter_is_window_not_selfjoin(spark):
+    """q67 must not self-join orders: one scan, one exchange, no join
+    operator anywhere in the plan."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q67_above_cust_avg"](spark, SF))
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_quantize_is_pure_map_stage(spark):
+    """q72: no exchange at all — quantization scales as the scan does."""
+    from lawfirm_data_pipeline_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plan_of(quantize_int8(emb))
+    assert "Exchange" not in plan, plan
