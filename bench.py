@@ -47,13 +47,30 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # The driver keeps only a ~2 KB tail of stdout: the full 70+-query
+    # timings map truncates past parseability (round-1 "parsed": null).
+    # Full map goes to a file + stderr; the final stdout line stays short
+    # (headline + the 5 slowest queries).
+    full = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+    }
+    with open(os.path.join(REPO, "bench_queries.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full), file=sys.stderr)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_file": "bench_queries.json",
                 "sf": infer_sf(SF_DIR),
             }
         )

@@ -73,20 +73,59 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, sim ≥ threshold).
 
     |A∩B| from the inverted-index self-join; |A|,|B| from per-doc distinct
     shingle counts; J = |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``df_cap`` is the scale gate: shingles appearing in more than
+    ``df_cap`` documents are excluded from CANDIDATE GENERATION (a
+    stop-shingle shared by 1M docs would otherwise make the self-join
+    quadratic — 10^12 candidate rows from one key).  Jaccard for the
+    surviving candidates is then recomputed over the FULL shingle sets
+    (two bounded equi-joins keyed by the candidate list), so emitted
+    values are exact; the only approximation is that a pair whose shared
+    shingles are ALL above the cap is never considered — which at any
+    real cap means the pair's similarity is carried entirely by
+    stop-shingles.  ``df_cap=None`` keeps the fully exact all-shingle
+    self-join for bounded subsets.
     """
     idx = _shingle_index(docs, text_col, id_col, n).cache()
     sizes = idx.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = idx.alias("a"), idx.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
-        .groupBy(F.col("a.did").alias("ida"), F.col("b.did").alias("idb"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if df_cap is None:
+        a, b = idx.alias("a"), idx.alias("b")
+        common = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+            .groupBy(F.col("a.did").alias("ida"), F.col("b.did").alias("idb"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        rare_sh = (
+            idx.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("sh")
+        )
+        rare = idx.join(rare_sh, on="sh", how="left_semi")
+        ra, rb = rare.alias("a"), rare.alias("b")
+        cands = (
+            ra.join(rb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+            .select(F.col("a.did").alias("ida"), F.col("b.did").alias("idb"))
+            .distinct()
+        )
+        # exact |A∩B| for candidates only: expand each candidate pair by
+        # a's shingles, then equi-join b's index on (idb, sh) — cost is
+        # |candidates| × shingles-per-doc, never all-pairs
+        ia = idx.select(F.col("did").alias("ida"), "sh")
+        ib = idx.select(F.col("did").alias("idb"), "sh")
+        common = (
+            cands.join(ia, "ida")
+            .join(ib, ["idb", "sh"])
+            .groupBy("ida", "idb")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.select(F.col("did").alias("ida"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("did").alias("idb"), F.col("sz").alias("szb"))
     out = (

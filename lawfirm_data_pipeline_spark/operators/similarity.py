@@ -122,8 +122,10 @@ def _bucket_keys_arrow(n_planes: int, n_tables: int, dim: int):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    # reshape keeps n_planes=0 well-formed (dim×0 → constant bucket key
+    # per table = exhaustive mode, used by the q38b correctness gate)
     mats = [
-        np.array(deterministic_planes(dim, n_planes, seed=7 + 31 * t)).T
+        np.array(deterministic_planes(dim, n_planes, seed=7 + 31 * t)).reshape(n_planes, dim).T
         for t in range(n_tables)
     ]
     planes = np.concatenate(mats, axis=1)  # dim x (tables*planes)
@@ -363,15 +365,59 @@ def quantize_int8(
     )
 
 
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucket gate → exact
+    cosine verify.  THE registered/default variant — no full-table
+    broadcast, no all-pairs.
+
+    Plan shape: one corpus scan computes all tables' bucket keys (one
+    Arrow matmul per batch), vectors explode to ``n_tables`` bucket rows,
+    candidate pairs come from a same-bucket shuffled equi-join (cost
+    tracks bucket occupancy, not n²), each candidate is verified with the
+    exact cosine, and duplicates across tables dedup AFTER scoring so
+    the dedup shuffle moves (ida, idb, score) scalars, not vectors.
+
+    High-threshold pairs are nearly parallel, so the per-table collision
+    probability (1 - θ/π)^n_planes is high and the miss probability
+    decays exponentially in ``n_tables`` — at the defaults (8×8) a
+    θ≈0.1 rad pair is missed with P≈1e-5.  The exact all-pairs variant
+    below remains for bounded subsets."""
+    v = vectors.select(F.col(id_col).alias("vid"), _dvec(vec_col).alias("v")).withColumn(
+        "n", norm(F.col("v"))
+    )
+    keys = _bucket_keys_arrow(n_planes, n_tables, dim)
+    vb = v.withColumn("bucket", F.explode(keys(F.col("v"))))
+    a, b = vb.alias("a"), vb.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
+        .withColumn("score", dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("a.vid").alias("ida"),
+            F.col("b.vid").alias("idb"),
+            F.round("score", 6).alias("score"),
+        )
+        .dropDuplicates(["ida", "idb"])
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Cosine near-duplicate pairs (a < b, score ≥ threshold) — the
-    embedding-space variant of near-dedup.  Exact pairwise; gate with
-    sign-LSH buckets (lsh_topk's bucketing) before running at scale."""
+    """Cosine near-duplicate pairs (a < b, score ≥ threshold) — exact
+    all-pairs BNLJ for BOUNDED SUBSETS ONLY (broadcasts the right side).
+    The scale/default path is ``lsh_neardup_pairs`` above."""
     v = vectors.select(F.col(id_col).alias("vid"), _dvec(vec_col).alias("v")).withColumn(
         "n", norm(F.col("v"))
     )

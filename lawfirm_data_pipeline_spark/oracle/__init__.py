@@ -1,5 +1,25 @@
-"""Oracle-checked query registrations, one module per milestone."""
+"""Oracle-checked query registrations, one module per milestone.
 
+Import order IS registration order, and the driver's correctness gate
+evaluates the first 50 entries of ``queries()`` dict order.  Round 1
+registered m0..m12 in build order, which left q48-q72 (m7 tail, m8-m12)
+outside the window.  Round 2 rotates: the previously unchecked modules
+register FIRST so every query accumulates at least one driver-verified
+CORRECTNESS row across rounds.
+"""
+
+# Previously unchecked under the driver (round 1), or changed in round 2
+# (m6_dedup's q32 gained the df-cap path): register first.
+from . import m8_training_ops  # noqa: F401
+from . import m9_raw_sql  # noqa: F401
+from . import m10_profiling  # noqa: F401
+from . import m11_sql_kit  # noqa: F401
+from . import m12_graph_timeseries  # noqa: F401
+from . import m7_analytics  # noqa: F401
+from . import m6_similarity  # noqa: F401
+from . import m6_dedup  # noqa: F401
+
+# Proven green in CORRECTNESS_r01 and unchanged: rotate to the back.
 from . import m0_flagship  # noqa: F401
 from . import m1_query_layer  # noqa: F401
 from . import m2_relations  # noqa: F401
@@ -7,11 +27,3 @@ from . import m3_mutations  # noqa: F401
 from . import m4_scalar  # noqa: F401
 from . import m5_streaming  # noqa: F401
 from . import m6_text  # noqa: F401
-from . import m6_dedup  # noqa: F401
-from . import m6_similarity  # noqa: F401
-from . import m7_analytics  # noqa: F401
-from . import m8_training_ops  # noqa: F401
-from . import m9_raw_sql  # noqa: F401
-from . import m10_profiling  # noqa: F401
-from . import m11_sql_kit  # noqa: F401
-from . import m12_graph_timeseries  # noqa: F401

@@ -14,7 +14,7 @@ _PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
 _PROFILE_SQL = " UNION ALL ".join(
     f"""
     SELECT '{c}' AS column, count(*) AS n_rows,
-           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT {c}) AS n_distinct,
            CAST(min({c}) AS VARCHAR) AS min_value,
            CAST(max({c}) AS VARCHAR) AS max_value

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.similarity import ivf_topk
 from ..queries import query
+from ._shared import BRUTE_FORCE_TOP10_SQL
 
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 
@@ -27,8 +28,8 @@ _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
     f"""
     SELECT o_orderpriority,
            count(*) AS n_total,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN {_CENTS} END), 0)
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN {_CENTS} END), 0) AS BIGINT)
                AS open_cents,
            round(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
                  * 1.0 / count(*), 6) AS high_value_ratio
@@ -65,8 +66,8 @@ _SESSION_SQL = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), tagged AS (
         SELECT user_id, ts, event_id,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+               CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM seq
     )
     SELECT user_id, session_idx,
@@ -106,13 +107,13 @@ def q63_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q64_window_frames",
     f"""
     SELECT o_custkey, o_orderkey,
-           sum({_CENTS}) OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate, o_orderkey
-                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-               AS moving4_cents,
-           sum({_CENTS}) OVER (PARTITION BY o_custkey
-                               ORDER BY o_orderdate, o_orderkey
-                               ROWS UNBOUNDED PRECEDING) AS cum_cents,
+           CAST(sum({_CENTS}) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS moving4_cents,
+           CAST(sum({_CENTS}) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
            round(avg({_CENTS}) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey
                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -248,7 +249,7 @@ def q67_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q68_histogram",
     f"""
     SELECT least({_CENTS} // 5000000, 9) AS bucket,
-           count(*) AS n, sum({_CENTS}) AS sum_cents
+           count(*) AS n, CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
     FROM orders GROUP BY 1
     """,
 )
@@ -269,13 +270,26 @@ def q68_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- q69: IVF ANN top-k (approximate → rows-only gate; recall tested
-#    against brute force in tests/test_ann_paths.py)
-@query("q69_ivf_ann_topk", None)
+# -- q69: IVF ANN top-k, exhaustive probe (nprobe = n_centroids) — every
+#    inverted list is probed, so the result is provably identical to
+#    brute force (tests/test_ann_paths.py asserts the equivalence) and
+#    the full training→assign→probe→re-rank machinery gets a value-level
+#    DuckDB gate.  q69b keeps the approximate nprobe path in the bench.
+@query("q69_ivf_ann_topk", BRUTE_FORCE_TOP10_SQL)
 def q69_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN (charter §2.C "IVF or LSH-bucketed
     variant"): deterministic md5-sampled seeds + one distributed Lloyd
-    step train the coarse quantizer; queries probe nprobe lists."""
+    step train the coarse quantizer; exhaustive probe ≡ brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16)
+
+
+@query("q69b_ivf_ann_nprobe", None)
+def q69b_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate IVF path (nprobe=8 of 16 lists — the plan that
+    runs at scale).  Rows-only by design; recall@10 ≥ 0.7 vs brute force
+    is asserted in tests/test_ann_paths.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8)

@@ -27,7 +27,7 @@ from .m6_dedup import _CORPUS_SQL, _LTOKS, _SHINGLES, _planted_corpus
     WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id % 11 = 0),
          b AS (
             SELECT user_id, date_trunc('hour', ts) AS bucket,
-                   sum(CAST(round(value * 1e6) AS BIGINT)) AS sum_micros,
+                   CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_micros,
                    count(*) AS n
             FROM e GROUP BY 1, 2
          ),
@@ -90,7 +90,7 @@ def q71_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label propagation assigns each doc the min doc_id reachable
     from it (singletons cluster with themselves)."""
     corpus = _planted_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3, df_cap=64)
     return connected_components(
         pairs.select("ida", "idb"), nodes=corpus.select("doc_id")
     ).select(F.col("node").alias("doc_id"), "cluster_id")
@@ -111,7 +111,7 @@ def q71_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_transform(e, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
                FROM s)
     SELECT vec_id, round(scale, 6) AS scale6,
-           list_sum(qv) AS qsum,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
            list_min(qv) AS qmin, list_max(qv) AS qmax,
            round(list_max(list_transform(generate_series(1, len(e)),
                                          i -> abs(e[i] - qv[i] * scale))), 6) AS max_err

@@ -98,7 +98,11 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_planted_corpus(spark, sf_dir), threshold=0.5, n=3)
+    """df_cap gates candidate generation off stop-shingles (the scale-safe
+    default — an ungated shingle self-join is quadratic on hot keys);
+    emitted Jaccard values are still exact over full shingle sets, so the
+    all-pairs oracle hash-matches."""
+    return ngram_jaccard_pairs(_planted_corpus(spark, sf_dir), threshold=0.5, n=3, df_cap=64)
 
 
 _K = 8  # minhash permutations in the oracle-checked signature

@@ -17,13 +17,9 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.multimodal import frame_sample_stub, image_features_stub, synth_media
-from ..operators.similarity import brute_force_topk, embedding_neardup_pairs, lsh_topk
+from ..operators.similarity import brute_force_topk, lsh_neardup_pairs, lsh_topk
 from ..queries import query
-
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
+from ._shared import _COS, BRUTE_FORCE_TOP10_SQL
 
 
 @query(
@@ -93,9 +89,13 @@ def _planted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: finds exactly the planted
-    perturbed copies (random noise pairs sit near 0)."""
-    return embedding_neardup_pairs(
+    """Embedding-cosine near-dup pairs via the scale path: sign-LSH
+    bucket gate → exact cosine verify (no full-table broadcast, no
+    all-pairs — the round-1 registration broadcast the whole table).
+    Finds exactly the planted perturbed copies (noise pairs sit near 0;
+    planted pairs are nearly parallel, so the 8×8 bucketing catches them
+    with miss probability ~1e-5 per pair)."""
+    return lsh_neardup_pairs(
         _planted_vectors(spark, sf_dir), threshold=0.9, id_col="vec_id", vec_col="v"
     )
 
@@ -104,10 +104,24 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (the scale path). No SQL oracle — the result
     is approximate by design; tests/test_llm_ops.py asserts recall@10 vs
-    the brute-force baseline instead."""
+    the brute-force baseline, and q38b value-gates the same pipeline in
+    exhaustive mode."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return lsh_topk(emb, queries, k=10, n_planes=6, n_tables=6)
+
+
+@query("q38b_lsh_ann_exhaustive", BRUTE_FORCE_TOP10_SQL)
+def q38b_lsh_ann_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q38 pipeline in exhaustive mode (n_planes=0 → one bucket):
+    explode → bucket equi-join → score → cross-table dedup → rank runs
+    end-to-end and must equal brute force exactly — a full value gate on
+    the ANN machinery that q38's approximate registration can't provide.
+    Single-bucket skew is inherent to exhaustive mode and irrelevant at
+    gate scale; the approximate q38 is the performance path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries, k=10, n_planes=0, n_tables=1)
 
 
 @query(
@@ -142,10 +156,42 @@ def q39_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx")
 
 
-@query("q40_multimodal_features", None)  # rows-only: mapInPandas boundary
+@query(
+    "q40_multimodal_features",
+    """
+    WITH m AS (
+        SELECT id AS media_id,
+               repeat(md5(CAST(id AS VARCHAR)), CAST(id % 7 AS INT) + 1) AS payload
+        FROM range(64) t(id)
+    ),
+    f AS (
+        SELECT media_id,
+               CAST(length(payload) AS BIGINT) AS n_bytes,
+               substring(md5(payload), 1, 16) AS phash
+        FROM m
+    )
+    SELECT media_id, n_bytes, phash,
+           CAST(('0x' || substring(phash, 1, 2))::BIGINT AS INT) AS f0_byte,
+           CAST(('0x' || substring(phash, 15, 2))::BIGINT AS INT) AS f7_byte
+    FROM f
+    """,
+)
 def q40_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over a binary media column
-    (mapInPandas).  Deterministic stub kernel; rows-only driver gate, with
-    exact value assertions in tests/test_llm_ops.py."""
+    (mapInPandas).  The stub kernel is md5-derived, so DuckDB reproduces
+    n_bytes/phash exactly and the feature bytes are recoverable from the
+    digest — a FULL value oracle across the Python boundary.  The
+    registered projection emits scalars only (array cells crash the
+    driver canonicalizer — round-1 q40); full-vector assertions live in
+    tests/test_llm_ops.py."""
     media = synth_media(spark, 64)
-    return image_features_stub(media)
+    feats = image_features_stub(media)
+    # feature i = digest byte i / 255; *255 + round recovers the exact
+    # integer byte, keeping the gate float-free across float32/float64.
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "phash",
+        F.round(F.element_at("features", 1) * 255).cast("int").alias("f0_byte"),
+        F.round(F.element_at("features", 8) * 255).cast("int").alias("f7_byte"),
+    )

@@ -39,7 +39,7 @@ _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
     SELECT coalesce(n_name, 'ALL') AS n_name,
            coalesce(o_year, -1) AS o_year,
            GROUPING(n_name, o_year) AS gid,
-           count(*) AS n_orders, sum(cents) AS sum_cents
+           count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM base
     GROUP BY ROLLUP (n_name, o_year)
     """,
@@ -107,7 +107,7 @@ def q42_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-           count(*) AS n_orders, sum({_CENTS}) AS sum_cents
+           count(*) AS n_orders, CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
     """,
@@ -234,9 +234,9 @@ def q46_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q47_pivot",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
     FROM orders
     GROUP BY o_orderpriority
     """,

@@ -142,7 +142,7 @@ def q53_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM qualified),
     canon AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
     kept AS (SELECT f.doc_id, f.source, f.n_tok FROM fp f JOIN canon c ON f.doc_id = c.doc_id)
-    SELECT source, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
     FROM kept GROUP BY source
     """,
 )

@@ -31,8 +31,8 @@ _RAW_SQL = """
     )
     SELECT cust.n_name,
            count(*) AS n_buyers,
-           sum(spend.n_orders) AS n_orders,
-           sum(spend.cents) AS total_cents
+           CAST(sum(spend.n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(spend.cents) AS BIGINT) AS total_cents
     FROM cust
     JOIN spend ON cust.c_custkey = spend.o_custkey
     GROUP BY cust.n_name

@@ -12,7 +12,7 @@ import pytest
 from lawfirm_data_pipeline_spark.queries import ORACLE_SQL, QUERIES
 
 from .conftest import SF_ORACLE
-from .oracle_compare import compare
+from .oracle_compare import canon_multiset, compare
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -20,7 +20,10 @@ def test_query_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF_ORACLE)
     sql = ORACLE_SQL.get(name)
     if sql is None:
-        # rows-only check, mirroring the driver's weaker gate
-        assert df.count() >= 0
+        # Rows-only check, mirroring the driver's weaker gate — which
+        # still canonicalizes the Spark output (round-1 q40 crashed
+        # there on an array column), so canonicalize here too.
+        rows = canon_multiset(df.toPandas())
+        assert len(rows) >= 0
     else:
         compare(df, duck, sql)

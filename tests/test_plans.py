@@ -150,3 +150,68 @@ def test_quantize_is_pure_map_stage(spark):
     emb = load_table(spark, SF, "embeddings")
     plan = plan_of(quantize_int8(emb))
     assert "Exchange" not in plan, plan
+
+
+def test_neardup_lsh_gate_no_full_table_broadcast(spark):
+    """q37's registered plan must not broadcast the embeddings table:
+    candidates come from a shuffled equi-join on the LSH bucket key.
+    (Round 1 registered broadcast-all-pairs — a scale-killer.)"""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q37_embedding_neardup"](spark, SF))
+    # round 1's forced broadcast-all-pairs showed up as a BNLJ on the
+    # vid<vid inequality; the gated plan is an EQUI join on the bucket
+    # key (Catalyst may still pick an un-forced BroadcastHashJoin at
+    # tiny scale — stats-driven, falls back to SMJ at size)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_ngram_jaccard_registered_path_is_df_capped(spark):
+    """q32's candidate self-join runs on the df-capped shingle index: the
+    plan carries the document-frequency aggregate + semi-join gate that
+    bounds hot-shingle blowup (and no broadcast/cartesian products)."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q32_ngram_jaccard"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # df-cap gate: a LeftSemi join feeds the candidate self-join
+    assert "LeftSemi" in plan, plan
+
+
+def test_df_cap_exactness_and_gating():
+    """With a tiny df_cap, a stop-shingle shared by every doc cannot
+    generate candidates by itself, but genuinely similar pairs are still
+    found and their Jaccard is computed over FULL shingle sets."""
+    from lawfirm_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from lawfirm_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="tests")
+    stop = "the quick brown"
+    docs = spark.createDataFrame(
+        [
+            # near-dup pair: shares rare shingles AND the stop shingle
+            (1, f"{stop} alpha beta gamma delta"),
+            (2, f"{stop} alpha beta gamma epsilon"),
+            # unrelated docs: share ONLY the stop shingle with everyone
+            (3, f"{stop} zeta eta theta iota"),
+            (4, f"{stop} kappa lambda mu nu"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["ida"], r["idb"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, n=3).collect()
+    }
+    capped = {
+        (r["ida"], r["idb"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, n=3, df_cap=2).collect()
+    }
+    # the similar pair survives the gate with its EXACT (full-set) jaccard
+    assert capped[(1, 2)] == exact[(1, 2)]
+    # pairs connected only through the >cap stop shingle are gated out
+    assert (3, 4) not in capped and (3, 4) in exact
