@@ -22,8 +22,12 @@ shuffle on the FK only.  Dimension sides that fit in memory take a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..predicates import compile_order_by, compile_where
 
 
 def _maybe_broadcast(df: DataFrame, hint: bool) -> DataFrame:
@@ -67,25 +71,60 @@ def hydrate_many_to_many(
     dim_value: str,
     array_col: str = "values",
     broadcast_dim: bool = True,
+    where: dict[str, Any] | None = None,
+    order_by: Any = None,
+    take: int | None = None,
 ) -> DataFrame:
-    """``include: {servicesOffered: true}`` — m:n hydration to an array.
+    """``include: {servicesOffered: {...}}`` — m:n hydration to an array,
+    honoring Prisma's nested include arguments.
 
-    fact ⟗ (bridge ⋈ dim) grouped back to one row per fact with a sorted
-    array of dim values.  Sorting makes the array deterministic (Prisma
-    returns storage order; a distributed engine has none to offer).
-    Facts with zero bridge rows keep an empty array, preserving the
-    reference's ``servicesOffered.length === 0`` skip branch
-    (src/runner/syncCrm.ts:107-125).
+    fact ⟗ (bridge ⋈ dim) grouped back to one row per fact with an array
+    of dim values.  Facts with zero (surviving) bridge rows keep an empty
+    array, preserving the reference's ``servicesOffered.length === 0``
+    skip branch (src/runner/syncCrm.ts:107-125).
+
+    Nested args (CompanyInclude per-relation where/orderBy/take,
+    reference src/db/client/models/Company.ts:764,1243):
+
+    * ``where`` — Prisma filter dict over the joined bridge+dim columns,
+      applied BEFORE grouping (so excluded children never shuffle).
+    * ``order_by`` / ``take`` — children are ranked per fact by the
+      compiled order (tie-broken by ``dim_key`` for determinism) with one
+      window over the same ``bridge_fact_fk`` partitioning the final
+      groupBy uses — the rank and the aggregation share one shuffle.
+      ``take`` keeps the first N children per fact; the output array
+      preserves the requested child order (rank-sorted structs), where
+      the unordered variant value-sorts for engine determinism.
     """
-    pairs = bridge.join(
+    joined = bridge.join(
         _maybe_broadcast(dim, broadcast_dim),
         bridge[bridge_dim_fk] == dim[dim_key],
-    ).select(F.col(bridge_fact_fk).alias("__fk"), F.col(dim_value).alias("__v"))
-    agg = pairs.groupBy("__fk").agg(F.array_sort(F.collect_list("__v")).alias(array_col))
+    )
+    if where is not None:
+        joined = joined.filter(compile_where(where))
+    if order_by is not None or take is not None:
+        order_cols = compile_order_by(order_by) + [F.col(dim_key)]
+        w = Window.partitionBy(F.col(bridge_fact_fk)).orderBy(*order_cols)
+        ranked = joined.withColumn("__rk", F.row_number().over(w))
+        if take is not None:
+            ranked = ranked.filter(F.col("__rk") <= take)
+        pairs = ranked.select(
+            F.col(bridge_fact_fk).alias("__fk"),
+            F.struct(F.col("__rk").alias("rk"), F.col(dim_value).alias("v")).alias("__sv"),
+        )
+        agg = pairs.groupBy("__fk").agg(
+            F.transform(F.array_sort(F.collect_list("__sv")), lambda s: s["v"]).alias(array_col)
+        )
+    else:
+        pairs = joined.select(
+            F.col(bridge_fact_fk).alias("__fk"), F.col(dim_value).alias("__v")
+        )
+        agg = pairs.groupBy("__fk").agg(F.array_sort(F.collect_list("__v")).alias(array_col))
+    elem_type = dict(agg.dtypes)[array_col]
     out = fact.join(agg, fact[fact_key] == agg["__fk"], "left").drop("__fk")
     return out.withColumn(
         array_col,
-        F.coalesce(F.col(array_col), F.array().cast(f"array<string>")),
+        F.coalesce(F.col(array_col), F.array().cast(elem_type)),
     )
 
 
@@ -130,3 +169,40 @@ def relation_every(
     """
     violating = child.filter(~predicate)
     return relation_none(parent, violating, parent_key, child_fk)
+
+
+def order_by_relation_count(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    direction: str = "asc",
+    tie_break: str | None = None,
+    count_col: str = "_relation_count",
+    child_predicate: Column | None = None,
+) -> DataFrame:
+    """``orderBy: {relation: {_count: dir}}`` — Prisma's order-by-relation-
+    aggregate (FirmServiceOrderByRelationAggregateInput, reference
+    src/db/client/models/Company.ts:240).
+
+    Compiled as: child groupBy-count on the FK (map-side partial combine —
+    the shuffle carries one (fk, count) pair per parent with children),
+    left join back to the parent (childless parents count 0), sort by the
+    count.  ``tie_break`` (typically the parent PK) makes take/limit
+    boundaries deterministic — Prisma inherits storage order; a
+    distributed engine must pick one.  The count column stays in the
+    output under ``count_col`` so callers (and oracles) can see it.
+    """
+    c = child.filter(child_predicate) if child_predicate is not None else child
+    counts = c.groupBy(F.col(child_fk).alias("__fk")).agg(
+        F.count(F.lit(1)).alias(count_col)
+    )
+    out = (
+        parent.join(counts, parent[parent_key] == F.col("__fk"), "left")
+        .drop("__fk")
+        .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
+    )
+    sort = [F.col(count_col).desc() if direction == "desc" else F.col(count_col).asc()]
+    if tie_break is not None:
+        sort.append(F.col(tie_break))
+    return out.orderBy(*sort)

@@ -10,6 +10,7 @@ CORRECTNESS row across rounds.
 
 # Previously unchecked under the driver (round 1), or changed in round 2
 # (m6_dedup's q32 gained the df-cap path): register first.
+from . import m13_query_surface  # noqa: F401
 from . import m8_training_ops  # noqa: F401
 from . import m9_raw_sql  # noqa: F401
 from . import m10_profiling  # noqa: F401

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from .predicates import compile_order_by, compile_where
 
+class RecordNotFoundError(LookupError):
+    """Raised by the *_or_throw finders when no record matches — the
+    engine's analogue of Prisma's NotFoundError (effect.ts:439,455)."""
+
+
 _AGG_FNS = {
     "_count": F.count,
     "_min": F.min,
@@ -114,6 +119,27 @@ class Model:
 
     def find_unique(self, where: dict, select: list[str] | None = None) -> DataFrame:
         return self.find_first(where, select=select)
+
+    def find_first_or_throw(
+        self, where: dict | None = None, order_by=None, select: list[str] | None = None
+    ) -> DataFrame:
+        """findFirstOrThrow (reference src/db/client/effect.ts:455):
+        raises ``RecordNotFoundError`` when no row matches.
+
+        The existence probe executes the (take-1-limited) plan eagerly —
+        the throw-on-miss contract requires an action; the returned
+        DataFrame is the same one-row plan for composition.
+        """
+        out = self.find_first(where, order_by, select)
+        if not out.head(1):
+            raise RecordNotFoundError(
+                f"{self.name}: no record found for where={where!r}"
+            )
+        return out
+
+    def find_unique_or_throw(self, where: dict, select: list[str] | None = None) -> DataFrame:
+        """findUniqueOrThrow (reference src/db/client/effect.ts:439)."""
+        return self.find_first_or_throw(where, select=select)
 
     # -- aggregates --------------------------------------------------------
 
