@@ -95,17 +95,24 @@ def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def deterministic_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
-    """Pseudo-random ±1 hyperplanes from a hash recurrence (no RNG state;
-    reproducible across engines/runs)."""
-    planes = []
-    x = seed
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            x = (x * 1103515245 + 12345) % (2**31)
-            row.append(1.0 if x & 1 else -1.0)
-        planes.append(row)
-    return planes
+    """iid Rademacher (±1) hyperplanes from md5 bits (no RNG state;
+    reproducible across runs/machines).
+
+    TRAP (round-2 fix): the first version drew signs from the low bit of
+    a power-of-two-modulus LCG — but that bit strictly alternates
+    (period 2), so every plane was the SAME alternating ±1 vector up to
+    global sign.  All tables collapsed into 2 buckets and the bucket
+    join silently degenerated to all-pairs (measured: 718k candidate
+    pairs from 600 vectors where honest planes give ~5k)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{seed}|{p}|{d}".encode()).digest()[0] & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def _bucket_keys_arrow(n_planes: int, n_tables: int, dim: int):
@@ -145,6 +152,34 @@ def _bucket_keys_arrow(n_planes: int, n_tables: int, dim: int):
         return pd.Series(out)
 
     return keys
+
+
+def _with_centered(
+    df: DataFrame, vec_col: str, mean_df: DataFrame, out_col: str = "__vc"
+) -> DataFrame:
+    """Attach ``out_col`` = vec - mean (mean_df is a 1-row broadcast)."""
+    return df.crossJoin(F.broadcast(mean_df)).withColumn(
+        out_col, F.zip_with(F.col(vec_col), F.col("__mean"), lambda x, m: x - m)
+    ).drop("__mean")
+
+
+def _mean_vector(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-dimension mean as a 1-row (array) DataFrame.
+
+    Sign-LSH buckets on RAW vectors assume data spread around the origin;
+    real embedding corpora often live in a narrow cone (e.g. all-positive
+    features), where every sign bit agrees and the whole corpus lands in
+    a handful of buckets — the bucket join then degenerates toward
+    all-pairs.  Centering costs one tiny aggregate + a 1-row broadcast
+    and restores ~uniform occupancy on cone-shaped corpora (the driver's
+    synthetic embeddings happen to be zero-mean already — the guard is
+    for real feature distributions); similarity SCORES are still
+    computed on the raw vectors — only the bucketing geometry shifts."""
+    return df.agg(
+        F.array(*[F.avg(F.element_at(F.col(vec_col), i + 1)) for i in range(dim)]).alias(
+            "__mean"
+        )
+    )
 
 
 def lsh_topk(
@@ -194,8 +229,18 @@ def lsh_topk(
                 keys.append(F.concat(F.lit(f"{t}:"), hyperplane_signs(vec, planes)))
             return F.array(*keys)
 
-    cb = c.withColumn("bucket", F.explode(table_keys(F.col("cv"))))
-    qb = q.withColumn("bucket", F.explode(table_keys(F.col("qv"))))
+    # center BOTH sides with the CORPUS mean (bucket geometry must match)
+    mean = _mean_vector(c, "cv", dim)
+    cb = (
+        _with_centered(c, "cv", mean)
+        .withColumn("bucket", F.explode(table_keys(F.col("__vc"))))
+        .drop("__vc")
+    )
+    qb = (
+        _with_centered(q, "qv", mean)
+        .withColumn("bucket", F.explode(table_keys(F.col("__vc"))))
+        .drop("__vc")
+    )
     # score BEFORE dedup: a multi-table duplicate pair recomputes a cheap
     # dot, but the dedup + rank shuffles move (id, id, score) scalars
     # instead of two 64-double vectors per candidate
@@ -340,28 +385,45 @@ def quantize_int8(
     both engines agree bit-for-bit at .5 boundaries; ``F.round`` /
     DuckDB ``round`` differ in half-value handling.
 
-    Pure map stage — JVM-side array expressions, no shuffle, no Python.
+    Pure map stage — one Arrow-vectorized kernel per batch, no shuffle.
+    The earlier all-JVM expression form was 10× slower: Catalyst's
+    project-collapsing re-inlines the ``scale`` subexpression into every
+    array-lambda element (≈ dim² ops/row for the error term, no CSE
+    across higher-order functions); the numpy kernel computes the whole
+    batch in five vectorized passes.  IEEE float64 arithmetic is
+    identical either way, and the half-up rounding to 6dp happens
+    JVM-side (``F.round``), so the DuckDB oracle still hash-matches.
     Returns per-vector audit columns (scale, quantized sum/min/max,
     max reconstruction error) — the quantized array itself stays an
     intermediate so the output is hash-stable scalar columns.
     """
-    e = _dvec(vec_col)
-    amax = F.array_max(F.transform(e, F.abs))
-    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / 127.0)
-    qv = F.transform(e, lambda x: F.floor(x / scale + 0.5).cast("int"))
-    err = F.array_max(F.zip_with(e, qv, lambda x, q: F.abs(x - q * scale)))
-    return vectors.select(
-        F.col(id_col),
-        scale.alias("__scale"),
-        qv.alias("__qv"),
-        err.alias("__err"),
-    ).select(
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<scale:double,qsum:bigint,qmin:int,qmax:int,err:double>")
+    def audit(vecs: pd.Series) -> pd.DataFrame:
+        m = np.asarray(list(vecs), dtype=np.float64)  # rows x dim
+        amax = np.abs(m).max(axis=1)
+        scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+        q = np.floor(m / scale[:, None] + 0.5)
+        err = np.abs(m - q * scale[:, None]).max(axis=1)
+        return pd.DataFrame(
+            {
+                "scale": scale,
+                "qsum": q.sum(axis=1).astype("int64"),
+                "qmin": q.min(axis=1).astype("int32"),
+                "qmax": q.max(axis=1).astype("int32"),
+                "err": err,
+            }
+        )
+
+    return vectors.select(F.col(id_col), audit(_dvec(vec_col)).alias("__a")).select(
         id_col,
-        F.round("__scale", 6).alias("scale6"),
-        F.aggregate("__qv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("qsum"),
-        F.array_min("__qv").alias("qmin"),
-        F.array_max("__qv").alias("qmax"),
-        F.round("__err", 6).alias("max_err"),
+        F.round("__a.scale", 6).alias("scale6"),
+        F.col("__a.qsum").alias("qsum"),
+        F.col("__a.qmin").alias("qmin"),
+        F.col("__a.qmax").alias("qmax"),
+        F.round("__a.err", 6).alias("max_err"),
     )
 
 
@@ -394,7 +456,11 @@ def lsh_neardup_pairs(
         "n", norm(F.col("v"))
     )
     keys = _bucket_keys_arrow(n_planes, n_tables, dim)
-    vb = v.withColumn("bucket", F.explode(keys(F.col("v"))))
+    vb = (
+        _with_centered(v, "v", _mean_vector(v, "v", dim))
+        .withColumn("bucket", F.explode(keys(F.col("__vc"))))
+        .drop("__vc")
+    )
     a, b = vb.alias("a"), vb.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))

@@ -108,7 +108,10 @@ def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive mode."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, k=10, n_planes=6, n_tables=6)
+    # 4 planes × 8 tables: on UNSTRUCTURED (no near-dup) corpora the
+    # neighbor/non-neighbor angle gap is small, so recall needs fewer
+    # bits per table and more tables — measured recall@10 ≈ 0.7-0.8 here
+    return lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8)
 
 
 @query("q38b_lsh_ann_exhaustive", BRUTE_FORCE_TOP10_SQL)

@@ -21,11 +21,11 @@ def test_arrow_and_jvm_buckets_agree(spark):
     queries = emb.filter(F.col("vec_id") < 8)
     jvm = {
         (r.query_id, r.vec_id)
-        for r in lsh_topk(emb, queries, k=10, n_planes=6, n_tables=6, arrow=False).collect()
+        for r in lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8, arrow=False).collect()
     }
     arrow = {
         (r.query_id, r.vec_id)
-        for r in lsh_topk(emb, queries, k=10, n_planes=6, n_tables=6, arrow=True).collect()
+        for r in lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8, arrow=True).collect()
     }
     # buckets can differ only where a plane dot lands exactly on 0.0
     # under different accumulation orders — effectively never on real

@@ -67,7 +67,7 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     exact = brute_force_topk(emb, queries, k=10)
-    approx = lsh_topk(emb, queries, k=10, n_planes=6, n_tables=6)
+    approx = lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8)
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(e & a) / len(e)

@@ -159,11 +159,13 @@ def test_neardup_lsh_gate_no_full_table_broadcast(spark):
     from lawfirm_data_pipeline_spark.queries import QUERIES
 
     plan = plan_of(QUERIES["q37_embedding_neardup"](spark, SF))
-    # round 1's forced broadcast-all-pairs showed up as a BNLJ on the
-    # vid<vid inequality; the gated plan is an EQUI join on the bucket
-    # key (Catalyst may still pick an un-forced BroadcastHashJoin at
-    # tiny scale — stats-driven, falls back to SMJ at size)
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # round 1's forced broadcast-all-pairs showed up as an Inner BNLJ on
+    # the vid<vid inequality; the gated plan's only nested-loop joins are
+    # the benign 1-row mean-vector Cross broadcasts (centering), and the
+    # candidate join is an EQUI join on the bucket key (Catalyst may pick
+    # an un-forced BroadcastHashJoin at tiny scale — stats-driven, falls
+    # back to SMJ at size)
+    assert "BroadcastNestedLoopJoin Inner" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert (
         "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
