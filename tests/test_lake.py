@@ -73,3 +73,56 @@ def test_compact_reduces_file_count(spark):
         n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
         assert n_after < 5
         assert spark.read.parquet(p).agg(F.sum("o_orderkey")).first()[0] == before
+
+
+def test_schema_migration_chain(spark, tmp_path):
+    """Copy-on-write schema evolution: add/backfill, rename, widen,
+    relax-nullable, drop — committed as new versions; old snapshots stay
+    readable and conform to the new schema."""
+    from pyspark.sql import functions as F
+
+    from lawfirm_data_pipeline_spark.sources import lake
+    from lawfirm_data_pipeline_spark.sources.migrations import (
+        apply_migration,
+        conform,
+        migrate_table,
+    )
+
+    d = str(tmp_path / "t")
+    df0 = spark.range(5).select(
+        F.col("id").cast("int").alias("id"), F.concat(F.lit("n"), "id").alias("name")
+    )
+    lake.publish(d, lake.write_version(df0, d))
+
+    v = migrate_table(
+        spark,
+        d,
+        [
+            {"add": {"name": "status", "type": "string", "default": "new"}},
+            {"rename": {"from": "name", "to": "title"}},
+            {"widen": {"name": "id", "type": "bigint"}},
+            {"relax_nullable": "title"},
+        ],
+    )
+    cur = lake.read_latest(spark, d)
+    assert v == 1 and lake.current_version(d) == 1
+    assert dict(cur.dtypes) == {"id": "bigint", "title": "string", "status": "string"}
+    assert cur.schema["title"].nullable
+    assert cur.filter(F.col("status") == "new").count() == 5
+
+    # lossy widen refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lossy"):
+        apply_migration(cur, [{"widen": {"name": "id", "type": "int"}}])
+
+    # old snapshot (v=0) conforms to the new schema: missing col -> NULL
+    import os
+
+    old = spark.read.parquet(os.path.join(d, "v=0"))
+    conformed = conform(old, cur.schema)
+    assert conformed.columns == ["id", "title", "status"]
+    assert conformed.filter(F.col("status").isNull()).count() == 5
+    # drop completes the DDL surface
+    v2 = migrate_table(spark, d, [{"drop": "status"}])
+    assert lake.read_latest(spark, d).columns == ["id", "title"] and v2 == 2
