@@ -1,0 +1,163 @@
+"""Corpus-curation operators a pretraining-data pipeline runs at scale:
+repetition-based quality signals, benchmark decontamination, PII
+redaction, vocabulary building, and importance-weighted sampling.
+
+All are charter additions (SURVEY §2.C) over the ``documents`` table.
+Scale posture, per operator:
+
+* ``repetition_stats`` — two explodes (unigram, bigram) each followed by
+  a two-level aggregation with map-side partial combine; shuffle keys are
+  (doc_id, gram) so skew follows document length, which is bounded.
+* ``ngram_contamination`` — the benchmark side (an eval set: thousands of
+  docs, not billions) collapses to a distinct shingle-hash set that is
+  broadcast; the corpus side is one explode + broadcast semi-join, so the
+  100 TB scan never shuffles.  Shingles are md5'd to fixed 32-byte keys
+  before the join so the exchange/broadcast carries hashes, not raw
+  n-gram text.
+* ``pii_redact`` / ``pii_stats`` — pure scan-side regexp projections
+  (JVM codegen, no Python).
+* ``vocab_topk`` — explode + count with map-side combine; the final
+  global top-k sorts only the aggregated vocabulary (≪ corpus size).
+* ``weighted_hash_keep`` — deterministic per-row Bernoulli keep with
+  probability proportional to a weight column, derived from an md5
+  bucket like operators/sampling.py: membership is a pure function of
+  the key, stable across runs/partitionings/engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text as TX
+from .sampling import hash_bucket
+
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB), so the oracle twin is exact: no lookaround, no \b.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-common-word fraction, most-common-bigram fraction.
+
+    High values mark boilerplate/spam (nav bars, keyword stuffing) that
+    perplexity filters miss.  Returns
+    ``(id, n_tok, dup_word_frac, top_word_frac, top_bigram_frac)``;
+    documents with no tokens are dropped (no signal).
+    """
+    uni = (
+        docs.select(_c(id_col).alias(id_col), F.explode(TX.tokens(F.lower(_c(text_col)))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni_doc = uni.groupBy(id_col).agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_w"),
+    )
+    big = (
+        docs.select(_c(id_col).alias(id_col), F.explode(TX.shingles(_c(text_col), 2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big_doc = big.groupBy(id_col).agg(
+        F.sum("c").alias("n_big"), F.max("c").alias("top_big")
+    )
+    return uni_doc.join(big_doc, id_col, "left").select(
+        id_col,
+        "n_tok",
+        F.round(1 - F.col("n_distinct") / F.col("n_tok"), 6).alias("dup_word_frac"),
+        F.round(F.col("top_w") / F.col("n_tok"), 6).alias("top_word_frac"),
+        F.round(
+            F.coalesce(F.col("top_big") / F.col("n_big"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids of training documents sharing any word ``n``-gram with a
+    benchmark/eval corpus — the standard decontamination check run
+    before pretraining (n=8..13 word overlap).
+
+    The benchmark's distinct shingle hashes are broadcast (eval sets are
+    small by construction); the corpus side is a single explode feeding a
+    broadcast LEFT SEMI join, so at 100 TB nothing wide shuffles and the
+    scan stays one pass.  Shingles are md5-hashed on both sides so the
+    broadcast carries fixed-width keys.
+    """
+    d = docs.select(
+        _c(id_col).alias(id_col),
+        F.explode(TX.shingles(_c(text_col), n)).alias("g"),
+    ).select(id_col, F.md5("g").alias("h"))
+    b = (
+        benchmark.select(F.explode(TX.shingles(_c(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("h"))
+        .distinct()
+    )
+    return d.join(F.broadcast(b), "h", "left_semi").select(id_col).distinct()
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Replace emails, phone numbers, and IPv4 addresses with typed
+    placeholder tags.  Application order is fixed (email → phone → ip)
+    so overlapping matches resolve deterministically."""
+    c = F.regexp_replace(_c(text), EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(c, IPV4_RE, "<IP>")
+
+
+def pii_stats(text: Column | str) -> dict[str, Column]:
+    """Per-document PII match counts (email/phone/ipv4) — the audit
+    projection logged before redaction."""
+    c = _c(text)
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+        "n_ips": F.regexp_count(c, F.lit(IPV4_RE)),
+    }
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Global top-k vocabulary by corpus frequency — the tokenizer-
+    training precursor.  Ties broken by term so the cut is deterministic.
+
+    One explode + one groupBy (map-side combine collapses each partition
+    to its local vocabulary before the exchange); the orderBy/limit runs
+    on the aggregated vocab, which is orders of magnitude smaller than
+    the corpus.
+    """
+    return (
+        docs.select(F.explode(TX.tokens(F.lower(_c(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(k)
+    )
+
+
+def weighted_hash_keep(
+    df: DataFrame, key: str, weight: Column, salt: str = "w"
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability
+    ``clamp(weight, 0, 1)``, decided by the row's md5 bucket — stable
+    across runs/partitionings and reproducible in ANSI SQL, unlike
+    seeded ``sample()``.  Zero shuffle (scan-side filter)."""
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    return df.filter(hash_bucket(key, 10_000, salt) < p * 10_000)

@@ -20,6 +20,10 @@ from . import m7_analytics  # noqa: F401
 from . import m6_similarity  # noqa: F401
 from . import m6_dedup  # noqa: F401
 
+# New in round 2: curation ops.  Importing here puts the first three
+# (q76-q78) inside the round-2 window; q79/q80 rotate in next round.
+from . import m14_curation  # noqa: F401
+
 # Proven green in CORRECTNESS_r01 and unchanged: rotate to the back.
 from . import m0_flagship  # noqa: F401
 from . import m1_query_layer  # noqa: F401
