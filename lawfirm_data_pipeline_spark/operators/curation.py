@@ -43,6 +43,14 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _mode_count(arr: Column, dist: Column) -> Column:
+    """Occurrence count of the most frequent element: one pass per
+    distinct element over the materialized array."""
+    return F.array_max(
+        F.transform(dist, lambda d: F.size(F.filter(arr, lambda t: t == d)))
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -53,33 +61,41 @@ def repetition_stats(
     perplexity filters miss.  Returns
     ``(id, n_tok, dup_word_frac, top_word_frac, top_bigram_frac)``;
     documents with no tokens are dropped (no signal).
+
+    Entirely scan-side: per-document signals need no corpus context, so
+    there is NO explode/groupBy — token and bigram arrays materialize
+    once per row (two chained projections; CollapseProject keeps the
+    multiply-referenced arrays) and the mode counts are in-row passes.
+    The in-row mode scan is O(n_distinct · n) per document — fine for
+    web-document lengths; for pathological multi-megabyte docs, chunk
+    first (text.chunk_tokens).  At 100 TB this runs at scan throughput
+    with zero shuffle, vs two full-corpus explode+groupBy shuffles for
+    the naive formulation.
     """
-    uni = (
-        docs.select(_c(id_col).alias(id_col), F.explode(TX.tokens(F.lower(_c(text_col)))).alias("w"))
-        .groupBy(id_col, "w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    toksed = docs.select(
+        _c(id_col).alias(id_col), TX.tokens(F.lower(_c(text_col))).alias("toks")
     )
-    uni_doc = uni.groupBy(id_col).agg(
-        F.sum("c").alias("n_tok"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_w"),
-    )
-    big = (
-        docs.select(_c(id_col).alias(id_col), F.explode(TX.shingles(_c(text_col), 2)).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    big_doc = big.groupBy(id_col).agg(
-        F.sum("c").alias("n_big"), F.max("c").alias("top_big")
-    )
-    return uni_doc.join(big_doc, id_col, "left").select(
+    arred = toksed.select(
         id_col,
-        "n_tok",
-        F.round(1 - F.col("n_distinct") / F.col("n_tok"), 6).alias("dup_word_frac"),
-        F.round(F.col("top_w") / F.col("n_tok"), 6).alias("top_word_frac"),
-        F.round(
-            F.coalesce(F.col("top_big") / F.col("n_big"), F.lit(0.0)), 6
-        ).alias("top_bigram_frac"),
+        "toks",
+        F.array_distinct("toks").alias("dist"),
+        TX.shingles_of(F.col("toks"), 2).alias("bigs"),
+    ).withColumn("dist_bigs", F.array_distinct("bigs"))
+    n_tok = F.size("toks")
+    n_big = F.size("bigs")
+    return arred.filter(n_tok > 0).select(
+        id_col,
+        n_tok.cast("long").alias("n_tok"),
+        F.round(1 - F.size("dist") / n_tok, 6).alias("dup_word_frac"),
+        F.round(_mode_count(F.col("toks"), F.col("dist")) / n_tok, 6).alias(
+            "top_word_frac"
+        ),
+        F.when(
+            n_big > 0,
+            F.round(_mode_count(F.col("bigs"), F.col("dist_bigs")) / n_big, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
     )
 
 
@@ -100,12 +116,14 @@ def ngram_contamination(
     scan stays one pass.  Shingles are md5-hashed on both sides so the
     broadcast carries fixed-width keys.
     """
-    d = docs.select(
-        _c(id_col).alias(id_col),
-        F.explode(TX.shingles(_c(text_col), n)).alias("g"),
-    ).select(id_col, F.md5("g").alias("h"))
+    d = (
+        TX.tokenized(docs, text_col, id_col)
+        .select(id_col, F.explode(TX.shingles_of(F.col("toks"), n)).alias("g"))
+        .select(id_col, F.md5("g").alias("h"))
+    )
     b = (
-        benchmark.select(F.explode(TX.shingles(_c(text_col), n)).alias("g"))
+        benchmark.select(TX.tokens(F.lower(_c(text_col))).alias("toks"))
+        .select(F.explode(TX.shingles_of(F.col("toks"), n)).alias("g"))
         .select(F.md5("g").alias("h"))
         .distinct()
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, shingles
+from .text import fingerprint, shingles_of, tokenized
 
 
 def exact_dedup(
@@ -60,9 +60,15 @@ def dedup_keep_canonical(docs: DataFrame, text_col: str = "text", id_col: str = 
 
 
 def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Inverted index: (shingle, doc_id), distinct."""
+    """Inverted index: (shingle, doc_id), distinct.  Tokenizes into a
+    materialized column first so the split runs once per row, not once
+    per shingle reference (see text.tokens PERF note)."""
+    toksed = tokenized(docs, text_col, id_col)
     return (
-        docs.select(F.col(id_col).alias("did"), F.explode(shingles(text_col, n)).alias("sh"))
+        toksed.select(
+            F.col(id_col).alias("did"),
+            F.explode(shingles_of(F.col("toks"), n)).alias("sh"),
+        )
         .distinct()
     )
 
@@ -155,7 +161,8 @@ def minhash_signatures(
     min() aggregates, no per-permutation passes.  Empty-shingle docs get
     NULL signature elements.
     """
-    idx = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
+    toksed = tokenized(docs, text_col, id_col)
+    idx = toksed.select(F.col(id_col), F.explode(shingles_of(F.col("toks"), n)).alias("sh"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("sh")))).alias(f"mh{i}")
         for i in range(k)

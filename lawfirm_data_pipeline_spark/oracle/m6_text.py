@@ -36,13 +36,19 @@ _SW = "['the','a','of','to','and','in','is','it','that','for']"
 )
 def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    t = docs.select(
         "doc_id",
-        TX.token_count("text").alias("n_tokens"),
+        "text",
+        TX.tokens("text").alias("toks"),
+        TX.tokens(F.lower("text")).alias("ltoks"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
-        TX.mean_word_len("text").alias("mean_word_len"),
+        TX.mean_word_len_of(F.col("toks")).alias("mean_word_len"),
         TX.punct_ratio("text").alias("punct_ratio"),
-        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.stopword_ratio_of(F.col("ltoks")).alias("stopword_ratio"),
     )
 
 
@@ -93,7 +99,8 @@ def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmax of per-language marker evidence; tie → lexicographically
     larger lang (array_max struct ordering), zero evidence → 'und'."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.lang_id("text").alias("guessed_lang"))
+    t = docs.select("doc_id", TX.tokens(F.lower("text")).alias("ltoks"))
+    return t.select("doc_id", TX.lang_id_of(F.col("ltoks")).alias("guessed_lang"))
 
 
 @query(
@@ -107,10 +114,11 @@ def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    t = docs.select("doc_id", TX.tokens(F.lower("text")).alias("ltoks"))
+    return t.select(
         "doc_id",
-        TX.fingerprint("text").alias("fp"),
-        TX.prefix_fingerprint("text", 5).alias("prefix_fp"),
+        TX.fingerprint_of(F.col("ltoks")).alias("fp"),
+        TX.prefix_fingerprint_of(F.col("ltoks"), 5).alias("prefix_fp"),
     )
 
 
@@ -142,4 +150,13 @@ def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    t = docs.select(
+        "doc_id",
+        "text",
+        TX.tokens("text").alias("toks"),
+        TX.tokens(F.lower("text")).alias("ltoks"),
+    )
+    return t.select(
+        "doc_id",
+        TX.quality_score_of(F.col("text"), F.col("toks"), F.col("ltoks")).alias("quality"),
+    )

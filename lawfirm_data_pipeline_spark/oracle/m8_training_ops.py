@@ -152,12 +152,19 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-oracle-checked operator; the composite proves they compose
     into one Catalyst plan (scan once, no intermediate materialization)."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
+    t = docs.select(
         "doc_id",
         "source",
         "text",
-        TX.token_count("text").alias("n_tok"),
-        TX.quality_score("text").alias("quality"),
+        TX.tokens("text").alias("toks"),
+        TX.tokens(F.lower("text")).alias("ltoks"),
+    )
+    scored = t.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").cast("int").alias("n_tok"),
+        TX.quality_score_of(F.col("text"), F.col("toks"), F.col("ltoks")).alias("quality"),
     )
     qualified = scored.filter((F.col("quality") >= 0.75) & (F.col("n_tok") >= 10))
     groups = exact_dedup(qualified, text_col="text", id_col="doc_id")
