@@ -285,3 +285,104 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def passage_dedup_stats(
+    docs: DataFrame,
+    passage_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup: split every document into fixed
+    non-overlapping token passages, find passages repeated ANYWHERE in
+    the corpus, and report per-document duplication.
+
+    Whole-document dedup misses boilerplate (headers, licenses, quoted
+    reposts) pasted into otherwise-unique documents; passage-granularity
+    catches it.  "First occurrence" — the globally smallest
+    ``(doc_id, passage_idx)`` holding the passage — is the canonical
+    copy; every other occurrence counts as duplicated.
+
+    Returns ``(id, n_passages, n_dup_passages, dup_frac)``.
+
+    Scale: one explode (corpus tokens / passage_tokens rows), one
+    groupBy on the 16-byte passage md5 carrying a min-struct +count
+    (map-side combined), one equi-join back on the hash, one groupBy on
+    doc id.  No windows over skewed keys, no driver collect; a
+    megapopular passage (empty-ish boilerplate) is ONE agg row, not a
+    join explosion.
+    """
+    from .text import chunk_tokens
+
+    p = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(
+            chunk_tokens(F.col(text_col), size=passage_tokens, overlap=0)
+        ).alias("c"),
+    ).select("did", F.col("c.chunk_idx").alias("pidx"), F.md5("c.chunk").alias("h"))
+    firsts = p.groupBy("h").agg(
+        F.min(F.struct("did", "pidx")).alias("first_occ"),
+    )
+    j = p.join(firsts, "h")
+    is_dup = (F.col("first_occ.did") != F.col("did")) | (
+        F.col("first_occ.pidx") != F.col("pidx")
+    )
+    return (
+        j.groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(is_dup.cast("long")).alias("n_dup_passages"),
+        )
+        .select(
+            F.col("did").alias(id_col),
+            "n_passages",
+            "n_dup_passages",
+            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def drop_duplicate_passages(
+    docs: DataFrame,
+    passage_tokens: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document keeping only passages whose canonical
+    (first) occurrence it owns — the repair counterpart of
+    ``passage_dedup_stats``.  Documents losing every passage drop out.
+
+    Reassembly preserves passage order via sort_array over
+    ``struct(pidx, chunk)`` (collect_list order is not guaranteed).
+    """
+    from .text import chunk_tokens
+
+    p = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(
+            chunk_tokens(F.col(text_col), size=passage_tokens, overlap=0)
+        ).alias("c"),
+    ).select("did", F.col("c.chunk_idx").alias("pidx"), F.col("c.chunk").alias("chunk"))
+    firsts = (
+        p.select("did", "pidx", F.md5("chunk").alias("h"))
+        .groupBy("h")
+        .agg(F.min(F.struct("did", "pidx")).alias("first_occ"))
+    )
+    kept = p.join(firsts, F.md5("chunk") == F.col("h")).filter(
+        (F.col("first_occ.did") == F.col("did"))
+        & (F.col("first_occ.pidx") == F.col("pidx"))
+    )
+    return (
+        kept.groupBy("did")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+            F.count(F.lit(1)).alias("n_kept_passages"),
+        )
+        .withColumnRenamed("did", id_col)
+    )

@@ -69,3 +69,61 @@ def stratified_hash_sample(
         cond = (F.col(stratum) == value) & (bucket < int(round(frac * 10_000)))
         keep = cond if keep is None else keep | cond
     return df.filter(keep if keep is not None else F.lit(False))
+
+
+def mixture_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    size_col: Column | str,
+    budget_frac: float,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance a corpus toward a target mixture under a token budget.
+
+    Training-data mixing: given per-stratum target weights (``None`` =
+    uniform over observed strata) and a total budget of
+    ``budget_frac * total_size``, compute each stratum's keep fraction
+    ``min(1, budget_share_s / size_s)`` and keep rows by deterministic
+    hash threshold.  Over-represented strata are downsampled toward
+    their target share; strata already below target keep everything
+    (fraction clamps at 1 — this operator never upsamples; epoch-repeat
+    for that).
+
+    Fully in-plan — no driver round-trip: the per-stratum size table is
+    one map-side-combined agg (rows = #strata), the corpus total is a
+    1-row agg, and both join back as broadcasts.  The keep decision is
+    the same md5-bucket threshold as ``stratified_hash_sample``, so
+    membership is stable across runs, partitionings, and engines.
+    """
+    size_c = F.col(size_col) if isinstance(size_col, str) else size_col
+    t = df.withColumn("_sz", size_c.cast("double"))
+    per = t.groupBy(stratum).agg(F.sum("_sz").alias("_stratum_sz"))
+    if weights is None:
+        per = per.withColumn("_w", F.lit(1.0))
+    else:
+        w = None
+        for value, wt in weights.items():
+            w = (F.when(F.col(stratum) == value, float(wt)) if w is None
+                 else w.when(F.col(stratum) == value, float(wt)))
+        per = per.withColumn("_w", w.otherwise(F.lit(0.0)))
+    tot = per.agg(
+        F.sum("_stratum_sz").alias("_total_sz"), F.sum("_w").alias("_total_w")
+    )
+    frac = per.crossJoin(F.broadcast(tot)).select(
+        stratum,
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac)
+            * F.col("_total_sz")
+            * (F.col("_w") / F.col("_total_w"))
+            / F.col("_stratum_sz"),
+        ).alias("_keep_frac"),
+    )
+    bucket = hash_bucket(key, 10_000, salt)
+    return (
+        t.join(F.broadcast(frac), stratum)
+        .filter(bucket < F.col("_keep_frac") * 10_000)
+        .drop("_sz", "_keep_frac")
+    )

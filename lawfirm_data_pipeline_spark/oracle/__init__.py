@@ -20,9 +20,11 @@ from . import m7_analytics  # noqa: F401
 from . import m6_similarity  # noqa: F401
 from . import m6_dedup  # noqa: F401
 
-# New in round 2: curation ops.  Importing here puts the first three
-# (q76-q78) inside the round-2 window; q79/q80 rotate in next round.
+# New in round 2: curation + corpus-scale ops.  Importing here puts the
+# first three (q76-q78) inside the round-2 window; q79/q80 and m15's
+# q81-q84 rotate in next round.
 from . import m14_curation  # noqa: F401
+from . import m15_scale_ops  # noqa: F401
 
 # Proven green in CORRECTNESS_r01 and unchanged: rotate to the back.
 from . import m0_flagship  # noqa: F401
