@@ -76,12 +76,12 @@ def exclusive_prefix_sum(
         Window.orderBy("_pb").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        "_pb", F.coalesce(F.sum("_bt").over(w_bucket), F.lit(0)).alias("_boff")
+        "_pb", F.coalesce(F.sum("_bt").over(w_bucket), F.lit(0)).alias("_eps_off")
     )
     return (
         local.join(F.broadcast(offsets), "_pb")
-        .withColumn(out_col, (F.col("_boff") + F.col("_cum_incl") - F.col(value_col)).cast("long"))
-        .drop("_pb", "_cum_incl", "_boff")
+        .withColumn(out_col, (F.col("_eps_off") + F.col("_cum_incl") - F.col(value_col)).cast("long"))
+        .drop("_pb", "_cum_incl", "_eps_off")
     )
 
 
@@ -136,4 +136,41 @@ def packing_summary(packed: DataFrame, ctx_len: int) -> DataFrame:
         F.ceil(F.sum("n_tok") / ctx_len).alias("n_sequences"),
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("n_seqs") > 1, 1).otherwise(0)).alias("n_boundary_docs"),
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    size_col: Column | str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Assign rows to ``n_shards`` output shards of ~equal total bytes.
+
+    Naive ``repartition(n)`` balances ROW counts; with skewed document
+    lengths the byte sizes of the resulting files diverge badly (one
+    fat shard stalls every downstream reader).  This balances BYTES:
+    rows ordered by their md5 key get a running byte offset (the same
+    two-phase scan as packing) and shard ``floor(offset / ceil(total /
+    n))`` — contiguous byte ranges, so every shard is within one row's
+    size of the ideal.  The writer repartitions on ``shard`` and writes;
+    assignment is a pure function of the corpus (rerun-stable).
+    """
+    sz = F.col(size_col) if isinstance(size_col, str) else size_col
+    t = df.withColumn("_sz", sz.cast("long")).withColumn(
+        "_ok", order_key(key_col, salt)
+    )
+    summed = exclusive_prefix_sum(t, "_sz", "_ok", out_col="_run_off")
+    total = summed.agg(F.sum("_sz").alias("_tot"))
+    return (
+        summed.crossJoin(F.broadcast(total))
+        .withColumn(
+            "shard",
+            F.least(
+                F.floor(F.col("_run_off") / F.ceil(F.col("_tot") / n_shards)),
+                F.lit(n_shards - 1),
+            ).cast("int"),
+        )
+        .drop("_sz", "_ok", "_run_off", "_tot")
     )

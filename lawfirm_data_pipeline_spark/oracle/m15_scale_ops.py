@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.dedup import passage_dedup_stats
-from ..operators.packing import pack_sequences, packing_summary
+from ..operators.cdc import table_diff
+from ..operators.packing import pack_sequences, packing_summary, shard_assignments
 from ..operators.sampling import mixture_sample
 from ..queries import query
 
@@ -143,3 +144,80 @@ def q84_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (attention-contamination proxy)."""
     docs = load_table(spark, sf_dir, "documents")
     return packing_summary(pack_sequences(docs, ctx_len=512), ctx_len=512)
+
+
+# -- q85: equal-byte shard assignment (8 shards)
+@query(
+    "q85_shard_assignments",
+    """
+    WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS sz,
+                      md5(CAST(doc_id AS VARCHAR)) AS ok
+               FROM documents),
+         o AS (SELECT doc_id, sz,
+                      CAST(coalesce(sum(sz) OVER (ORDER BY ok
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS boff
+               FROM s),
+         tot AS (SELECT sum(sz) AS t FROM s)
+    SELECT CAST(least(floor(boff / ceil(t / 8.0)), 7) AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(sz) AS BIGINT) AS total_bytes
+    FROM o, tot
+    GROUP BY 1
+    """,
+)
+def q85_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-BYTE output shards (naive repartition balances row counts
+    and lets one fat shard stall every downstream reader): running byte
+    offsets via the two-phase scan, shard = contiguous byte range
+    (operators/packing.shard_assignments)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shard_assignments(docs, n_shards=8, size_col="n_chars", key_col="doc_id")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_bytes"),
+    )
+
+
+# -- q86: snapshot diff → CDC feed
+_H_OLD = (
+    "md5(concat_ws(chr(1), coalesce(CAST(o_custkey AS VARCHAR), chr(0)), "
+    "coalesce(o_orderstatus, chr(0)), coalesce(o_orderpriority, chr(0))))"
+)
+_H_NEW = (
+    "md5(concat_ws(chr(1), coalesce(CAST(o_custkey AS VARCHAR), chr(0)), "
+    "coalesce(o_orderstatus, chr(0)), coalesce(CASE WHEN o_orderkey % 11 = 0 "
+    "THEN '9-CHANGED' ELSE o_orderpriority END, chr(0))))"
+)
+
+
+@query(
+    "q86_snapshot_diff",
+    f"""
+    WITH o AS (SELECT o_orderkey, {_H_OLD} AS h FROM orders WHERE o_orderkey % 7 != 0),
+         n AS (SELECT o_orderkey, {_H_NEW} AS h FROM orders WHERE o_orderkey % 5 != 0),
+         j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                      CASE WHEN o.h IS NULL THEN 'insert'
+                           WHEN n.h IS NULL THEN 'delete'
+                           WHEN o.h != n.h THEN 'update' END AS change
+               FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+    """,
+)
+def q86_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two table snapshots: both sides reduce to
+    (key, row-md5) BEFORE the full-outer equi-join, so the shuffle is
+    fixed-width however wide the table, and unchanged keys never
+    materialize (operators/cdc.table_diff)."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("9-CHANGED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return table_diff(
+        old, new, keys=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus", "o_orderpriority"],
+    )

@@ -16,6 +16,7 @@ from lawfirm_data_pipeline_spark.operators.packing import (
     exclusive_prefix_sum,
     order_key,
     pack_sequences,
+    shard_assignments,
 )
 from lawfirm_data_pipeline_spark.operators.sampling import mixture_sample
 
@@ -121,3 +122,52 @@ def test_passage_dedup_no_cartesian_no_bnlj(spark):
     plan = plan_of(passage_dedup_stats(docs, passage_tokens=32))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_assignments_balance_bytes(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sharded = shard_assignments(docs, n_shards=4, size_col="n_chars", key_col="doc_id")
+    per = sorted(
+        (r["shard"], r["b"])
+        for r in sharded.groupBy("shard").agg(F.sum("n_chars").alias("b")).collect()
+    )
+    assert [s for s, _ in per] == [0, 1, 2, 3]
+    sizes = [b for _, b in per]
+    # contiguous byte-range sharding: within one max-row-size of ideal
+    max_row = docs.agg(F.max("n_chars")).collect()[0][0]
+    ideal = sum(sizes) / 4
+    assert all(abs(b - ideal) <= max_row + ideal / 4 for b in sizes)
+    # assignment is deterministic across recomputation
+    again = {
+        (r["doc_id"], r["shard"])
+        for r in shard_assignments(
+            docs, n_shards=4, size_col="n_chars", key_col="doc_id"
+        ).select("doc_id", "shard").collect()
+    }
+    assert {(r["doc_id"], r["shard"]) for r in sharded.select("doc_id", "shard").collect()} == again
+
+
+def test_table_diff_classifies_and_drops_unchanged(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "source", "n_chars")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 4 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    from lawfirm_data_pipeline_spark.operators.cdc import table_diff
+
+    got = {r["doc_id"]: r["change"] for r in table_diff(old, new, ["doc_id"]).collect()}
+    n = docs.count()
+    for i in range(n):
+        in_old = i % 3 != 0
+        in_new = i % 4 != 0
+        if in_old and not in_new:
+            assert got[i] == "delete"
+        elif in_new and not in_old:
+            assert got[i] == "insert"
+        elif in_old and in_new and i % 5 == 0:
+            assert got[i] == "update"
+        else:
+            assert i not in got
