@@ -28,22 +28,52 @@ def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def rebalance_scan(df: DataFrame) -> DataFrame:
+    """Fan a poorly-split scan out to every core before a CPU-bound
+    stage.
+
+    Spark parallelizes parquet scans by byte-range splits, but a split
+    only does work if a row group starts inside it — and the driver's
+    synthetic tables are single-row-group files, so every scan collapses
+    to ONE task no matter what ``maxPartitionBytes`` says.  A round-robin
+    repartition of the (sub-MB here) raw rows is cheap insurance that
+    tokenize/shingle/matmul stages use the whole machine.  At production
+    scale inputs arrive as many files/row groups and the probe makes
+    this a no-op rather than an extra full shuffle.
+
+    ONLY safe upstream of exact arithmetic (counts, md5, integer-valued
+    sums, per-row projections): repartitioning reorders float
+    aggregation, which breaks bit-exact oracle parity for
+    order-sensitive double sums.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     """Load one driver table.
 
     The explicit schema keeps the scan's ReadSchema minimal once a
     downstream select prunes columns, and avoids footer-based inference
-    differences across scale factors.
+    differences across scale factors.  ``rebalance=True`` applies
+    ``rebalance_scan`` for CPU-bound consumers.
     """
     reader = spark.read
     if name == "events":
-        return _events_ts_to_timestamp(
+        df = _events_ts_to_timestamp(
             reader.schema(schemas.EVENTS_RAW).parquet(table_path(sf_dir, name))
         )
+        return rebalance_scan(df) if rebalance else df
     schema = schemas.DRIVER_TABLES.get(name)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(table_path(sf_dir, name))
+    df = reader.parquet(table_path(sf_dir, name))
+    return rebalance_scan(df) if rebalance else df
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,11 +43,28 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _mode_count(arr: Column, dist: Column) -> Column:
-    """Occurrence count of the most frequent element: one pass per
-    distinct element over the materialized array."""
-    return F.array_max(
-        F.transform(dist, lambda d: F.size(F.filter(arr, lambda t: t == d)))
+def _mode_count(sorted_arr: Column) -> Column:
+    """Occurrence count of the most frequent element, given a SORTED
+    array: the longest equal-run, one O(n) fold (the sort is
+    O(n log n)).  Replaces the count-per-distinct scan, which is
+    O(n_distinct * n) per document — quadratic on natural text where
+    n_distinct ~ n."""
+    run = lambda acc, t: (
+        F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+    )
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            run(acc, t).alias("run"),
+            F.greatest(acc["best"], run(acc, t)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
 
 
@@ -78,21 +95,22 @@ def repetition_stats(
     arred = toksed.select(
         id_col,
         "toks",
+        F.array_sort("toks").alias("sorted_toks"),
         F.array_distinct("toks").alias("dist"),
         TX.shingles_of(F.col("toks"), 2).alias("bigs"),
-    ).withColumn("dist_bigs", F.array_distinct("bigs"))
+    ).withColumn("sorted_bigs", F.array_sort("bigs"))
     n_tok = F.size("toks")
     n_big = F.size("bigs")
     return arred.filter(n_tok > 0).select(
         id_col,
         n_tok.cast("long").alias("n_tok"),
         F.round(1 - F.size("dist") / n_tok, 6).alias("dup_word_frac"),
-        F.round(_mode_count(F.col("toks"), F.col("dist")) / n_tok, 6).alias(
+        F.round(_mode_count(F.col("sorted_toks")) / n_tok, 6).alias(
             "top_word_frac"
         ),
         F.when(
             n_big > 0,
-            F.round(_mode_count(F.col("bigs"), F.col("dist_bigs")) / n_big, 6),
+            F.round(_mode_count(F.col("sorted_bigs")) / n_big, 6),
         )
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),

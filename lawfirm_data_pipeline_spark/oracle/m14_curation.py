@@ -47,7 +47,7 @@ def q76_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources are guaranteed hits).  The eval side collapses to a
     broadcast set of shingle hashes — the 100 TB scan never shuffles
     (operators/curation.py:ngram_contamination)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     excerpt = F.array_join(
         F.slice(TX.tokens(F.lower(F.col("text"))), 1, 20), " "
     ).alias("text")
@@ -84,7 +84,7 @@ def q77_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-word / top-word / top-bigram fractions per document —
     the repetition filters (Gopher §A1.2) that catch boilerplate which
     perplexity scoring misses."""
-    return repetition_stats(load_table(spark, sf_dir, "documents"))
+    return repetition_stats(load_table(spark, sf_dir, "documents", rebalance=True))
 
 
 # -- q78: PII detection + redaction audit
@@ -121,7 +121,7 @@ def q78_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the check covers match counts AND the full redacted text via md5.
     Patterns are written in the Java-regex ∩ RE2 dialect so the twin is
     exact (operators/curation.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     synth = F.concat_ws(
         " ",
         F.col("text"),

@@ -120,7 +120,7 @@ def q83_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, idx).  min-struct groupBy on the passage md5 — a megapopular
     passage is one agg row, never a join explosion
     (operators/dedup.passage_dedup_stats)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return passage_dedup_stats(docs, passage_tokens=32)
 
 

@@ -35,7 +35,7 @@ _SW = "['the','a','of','to','and','in','is','it','that','for']"
     """,
 )
 def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     t = docs.select(
         "doc_id",
         "text",
@@ -62,7 +62,7 @@ def q26_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return docs.select(
         "doc_id",
         TX.token_count("text").alias("ws_tokens"),
@@ -98,7 +98,7 @@ _MARKER_SQL = " UNION ALL ".join(
 def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmax of per-language marker evidence; tie → lexicographically
     larger lang (array_max struct ordering), zero evidence → 'und'."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     t = docs.select("doc_id", TX.tokens(F.lower("text")).alias("ltoks"))
     return t.select("doc_id", TX.lang_id_of(F.col("ltoks")).alias("guessed_lang"))
 
@@ -113,7 +113,7 @@ def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     t = docs.select("doc_id", TX.tokens(F.lower("text")).alias("ltoks"))
     return t.select(
         "doc_id",
@@ -149,7 +149,7 @@ def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q30_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     t = docs.select(
         "doc_id",
         "text",

@@ -151,7 +151,7 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (canonical keep) → per-source corpus stats.  Each stage is the
     already-oracle-checked operator; the composite proves they compose
     into one Catalyst plan (scan once, no intermediate materialization)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     t = docs.select(
         "doc_id",
         "source",

@@ -217,3 +217,16 @@ def test_df_cap_exactness_and_gating():
     assert capped[(1, 2)] == exact[(1, 2)]
     # pairs connected only through the >cap stop shingle are gated out
     assert (3, 4) not in capped and (3, 4) in exact
+
+
+def test_rebalance_scan_fans_out_single_split_files(spark):
+    """Driver parquet is single-row-group → scans collapse to one task;
+    rebalance_scan repartitions to core count so CPU-bound text stages
+    use the machine.  (Opt-in: only safe upstream of exact arithmetic.)"""
+    from lawfirm_data_pipeline_spark.io import load_table, rebalance_scan
+
+    docs = load_table(spark, SF, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    fanned = rebalance_scan(docs)
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert fanned.count() == docs.count()
