@@ -25,6 +25,7 @@ from . import m6_dedup  # noqa: F401
 # q81-q84 rotate in next round.
 from . import m14_curation  # noqa: F401
 from . import m15_scale_ops  # noqa: F401
+from . import m16_weburl  # noqa: F401
 
 # Proven green in CORRECTNESS_r01 and unchanged: rotate to the back.
 from . import m0_flagship  # noqa: F401
