@@ -20,12 +20,88 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _events_ts_to_timestamp(df: DataFrame) -> DataFrame:
-    """ns-long → µs timestamp with exact integer division (`div`), the
-    same truncation DuckDB applies reading TIMESTAMP(NANOS)."""
+# path → (parquet ts unit, tz-aware?) — footer metadata is immutable for the
+# driver's read-only testdata, so one sniff per path per process.
+_EVENTS_TS_CACHE: dict[str, tuple[str, bool]] = {}
+# paths whose loaded ts range already passed the year sanity probe
+_EVENTS_TS_CHECKED: set[str] = set()
+
+
+def _sniff_events_ts(path: str) -> tuple[str, bool]:
+    """Read the parquet footer and return ``(unit, tz_aware)`` for ``ts``.
+
+    The driver regenerates testdata between rounds and has already flipped
+    the physical unit once (NANOS → MICROS), which silently compressed the
+    engine's event timeline 1000× when the conversion was hard-coded.  The
+    footer is the source of truth; trusting it instead of a pinned unit
+    makes any future flip a visible branch change, not a data corruption.
+    """
+    cached = _EVENTS_TS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        inner = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not inner:
+            raise ValueError(f"no parquet files under {path}")
+        probe = os.path.join(path, inner[0])
+    t = pq.ParquetFile(probe).schema_arrow.field("ts").type
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        result = (t.unit, t.tz is not None)
+    elif pa.types.is_integer(t):
+        # plain int64, no logical type: the round-1 layout stored raw nanos
+        result = ("ns", False)
+    else:
+        raise ValueError(f"unsupported events.ts parquet type: {t}")
+    _EVENTS_TS_CACHE[path] = result
+    return result
+
+
+def _read_events(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+    """Read the events table with ``ts`` normalized to session-TZ TIMESTAMP.
+
+    * MICROS/MILLIS (current driver layout, NTZ): scan as TimestampNTZ and
+      cast — identity under the UTC session zone, matching DuckDB's naive
+      timestamps.
+    * NANOS / raw long (round-1 layout): Spark has no nanos timestamp, so
+      scan as long (``spark.sql.legacy.parquet.nanosAsLong``) and apply
+      exact integer ns→µs division, the same truncation DuckDB uses.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    unit, tz_aware = _sniff_events_ts(path.rstrip("*"))
+    reader = spark.readStream if streaming else spark.read
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = reader.schema(schemas.EVENTS_RAW).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = T.TimestampType() if tz_aware else T.TimestampNTZType()
+    df = reader.schema(schemas.events_scan_schema(ts_type)).parquet(path)
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _assert_events_ts_sane(df: DataFrame, path: str) -> None:
+    """One-row probe: a mis-scaled epoch lands decades off; fail fast.
+
+    Cached per path — a single-row limit job, run once per process, so the
+    guard costs nothing at scale but catches a unit regression in seconds
+    instead of as cryptic driver hash mismatches.
+    """
+    if path in _EVENTS_TS_CHECKED:
+        return
     from pyspark.sql import functions as F
 
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    row = df.select(F.year("ts").alias("y")).limit(1).collect()
+    if row and row[0]["y"] is not None and not (2000 <= row[0]["y"] <= 2100):
+        raise ValueError(
+            f"events.ts decoded to year {row[0]['y']} — parquet unit mismatch at {path}"
+        )
+    _EVENTS_TS_CHECKED.add(path)
 
 
 def rebalance_scan(df: DataFrame) -> DataFrame:
@@ -65,9 +141,9 @@ def load_table(
     """
     reader = spark.read
     if name == "events":
-        df = _events_ts_to_timestamp(
-            reader.schema(schemas.EVENTS_RAW).parquet(table_path(sf_dir, name))
-        )
+        path = table_path(sf_dir, name)
+        df = _read_events(spark, path)
+        _assert_events_ts_sane(df, path)
         return rebalance_scan(df) if rebalance else df
     schema = schemas.DRIVER_TABLES.get(name)
     if schema is not None:
@@ -82,9 +158,7 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     File streaming sources need a directory or glob (not a bare file);
     the trailing ``*`` makes the single-parquet layout streamable.
     """
-    return _events_ts_to_timestamp(
-        spark.readStream.schema(schemas.EVENTS_RAW).parquet(table_path(sf_dir, "events") + "*")
-    )
+    return _read_events(spark, table_path(sf_dir, "events") + "*", streaming=True)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -73,7 +73,8 @@ def connected_components(
 
     labels = universe.withColumn("label", F.col(node_col))
     prev_sum = None
-    for _ in range(max_iters):
+    superseded: list[DataFrame] = []
+    for i in range(max_iters):
         prop = edges.join(
             labels, edges["src"] == labels[node_col]
         ).select(F.col("dst").alias(node_col), "label")
@@ -81,9 +82,24 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy(node_col)
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # ONE job per round: persist + let the convergence agg be the
+        # materializing action (an eager localCheckpoint every round ran
+        # a materialize job AND an agg job — the q71 r2 bench drift was
+        # that doubled fixed cost).  Lineage grows across persisted
+        # rounds, so truncate with a real checkpoint every 4th round —
+        # near-dup graphs converge in 2-4 rounds and never hit it; only
+        # adversarial long-path graphs pay.
+        checkpointed = (i + 1) % 4 == 0
+        labels = labels.localCheckpoint(eager=True) if checkpointed else labels.persist()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # previous round's cache can go now; on eviction Spark walks
+        # lineage back to the last checkpoint — correct, just slower.
+        # NEVER unpersist a checkpointed round: localCheckpoint blocks
+        # ARE its data (lineage is truncated — loss is unrecoverable).
+        for df in superseded:
+            df.unpersist()
+        superseded = [] if checkpointed else [labels]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

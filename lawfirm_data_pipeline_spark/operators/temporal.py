@@ -30,6 +30,7 @@ def asof_join(
     ts: str = "ts",
     right_payload: list[str] | None = None,
     tolerance_ms: int | None = None,
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` on the same key (DuckDB/pandas ``ASOF JOIN``
@@ -37,15 +38,23 @@ def asof_join(
 
     ``right_payload`` — right columns to carry (default: all but key/ts).
     ``tolerance_ms`` — optional max staleness; older matches become NULL.
+    ``tie_break`` — right column deciding which row wins when several
+    right rows share the SAME (key, ts): the max ``tie_break`` row.
+    Without it the winner is partition-order-dependent (``last`` over a
+    window ordered only by (ts, side) is not total under duplicate
+    timestamps), which flaps hash gates; pass a unique right id whenever
+    the right side can carry duplicate timestamps per key.
     Returns left columns + ``asof_ts`` + payload columns (NULL when no
     prior right row exists).
     """
     right_payload = right_payload or [c for c in right.columns if c not in (key, ts)]
     l_tag = left.withColumn("__side", F.lit(1))
+    tie_col = F.col(tie_break) if tie_break else F.lit(0)
     r_tag = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("__side"),
+        tie_col.alias("__tie"),
         F.col(ts).alias("__r_ts"),
         F.struct(*[F.col(c) for c in right_payload]).alias("__payload"),
     )
@@ -53,6 +62,7 @@ def asof_join(
     unioned = l_tag.select(
         *l_cols,
         F.col("__side"),
+        F.lit(None).cast(r_tag.schema["__tie"].dataType).alias("__tie"),
         F.lit(None).cast("timestamp").alias("__r_ts"),
         F.lit(None).cast(r_tag.schema["__payload"].dataType).alias("__payload"),
     ).unionByName(
@@ -62,14 +72,17 @@ def asof_join(
                 for c in l_cols
             ],
             "__side",
+            "__tie",
             "__r_ts",
             "__payload",
         )
     )
-    # right rows sort before left rows at equal ts → inclusive semantics
+    # right rows sort before left rows at equal ts → inclusive semantics;
+    # among same-(key, ts) right rows the max __tie sorts last, so
+    # last(..) carries it — a total order when tie_break is a unique id
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts), F.col("__side"))
+        .orderBy(F.col(ts), F.col("__side"), F.asc_nulls_first("__tie"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__asof_ts", F.last("__r_ts", ignorenulls=True).over(w)).withColumn(

@@ -1,4 +1,52 @@
-"""Shared oracle-SQL fragments (no registrations — import-order neutral)."""
+"""Shared oracle-SQL fragments (no registrations — import-order neutral).
+
+Cross-module helpers live here, NOT in a registering module: importing a
+sibling m*-module for a helper would transitively register its queries
+ahead of their intended rotation slot (the r2→r3 window audit caught
+m12→m6_dedup doing exactly that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_PLANTED_DOCS = 150  # bounded subset: pairwise stages stay cheap at any sf
+
+# planted-corpus derivation (shared Spark/DuckDB): originals + first-token-
+# dropped copies of every 10th doc, + exact copies of every 25th doc
+PLANTED_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents WHERE doc_id < {N_PLANTED_DOCS}
+    UNION ALL
+    SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')
+    FROM documents WHERE doc_id < {N_PLANTED_DOCS} AND doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, text
+    FROM documents WHERE doc_id < {N_PLANTED_DOCS} AND doc_id % 25 = 0
+"""
+
+LTOKS_SQL = "list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
+SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+    " i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+
+def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < N_PLANTED_DOCS)
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+        )
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(near).unionByName(exact)
 
 _COS = (
     "list_dot_product({a}, {b}) / "

@@ -17,7 +17,12 @@ from ..operators.graph import connected_components
 from ..operators.similarity import quantize_int8
 from ..operators.timeseries import resample_ffill
 from ..queries import query
-from .m6_dedup import _CORPUS_SQL, _LTOKS, _SHINGLES, _planted_corpus
+from ._shared import (
+    LTOKS_SQL as _LTOKS,
+    PLANTED_CORPUS_SQL as _CORPUS_SQL,
+    SHINGLES_SQL as _SHINGLES,
+    planted_corpus as _planted_corpus,
+)
 
 
 # -- q70: resample + forward-fill gap-fill on events

@@ -21,41 +21,12 @@ from ..operators.dedup import (
     simhash_bits,
 )
 from ..queries import query
-
-_N_DOCS = 150  # bounded subset: pairwise stages stay cheap at any sf
-
-# planted-corpus derivation (shared Spark/DuckDB): originals + first-token-
-# dropped copies of every 10th doc, + exact copies of every 25th doc
-_CORPUS_SQL = f"""
-    SELECT doc_id, text FROM documents WHERE doc_id < {_N_DOCS}
-    UNION ALL
-    SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s+', '')
-    FROM documents WHERE doc_id < {_N_DOCS} AND doc_id % 10 = 0
-    UNION ALL
-    SELECT doc_id + 200000, text
-    FROM documents WHERE doc_id < {_N_DOCS} AND doc_id % 25 = 0
-"""
-
-_LTOKS = "list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
-_SHINGLES = (
-    "list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
-    " i -> array_to_string(toks[i:i+2], ' '))"
+from ._shared import (
+    LTOKS_SQL as _LTOKS,
+    PLANTED_CORPUS_SQL as _CORPUS_SQL,
+    SHINGLES_SQL as _SHINGLES,
+    planted_corpus as _planted_corpus,
 )
-
-
-def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < _N_DOCS)
-    near = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
-            F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
-        )
-    )
-    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
-    )
-    return docs.select("doc_id", "text").unionByName(near).unionByName(exact)
 
 
 @query(

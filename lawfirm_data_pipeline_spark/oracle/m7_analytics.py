@@ -315,15 +315,36 @@ def q49_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- q50: approximate distinct-count (sketch — rows-only driver gate;
-#         tests assert relative error vs the exact count)
-@query("q50_approx_distinct", None)
+# -- q50: approximate distinct-count with a value-level oracle gate
+@query(
+    "q50_approx_distinct",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_custs,
+           true AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q50_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate count-distinct per order priority.  No SQL
-    oracle: sketch implementations differ across engines by design; the
-    driver records rows-only and tests/test_analytics.py bounds the
-    relative error against the exact count."""
+    """HLL++ approximate count-distinct per order priority.
+
+    Sketch values differ across engines by design, so the sketch itself
+    can't be hash-compared; instead the query emits the EXACT distinct
+    count (hash-comparable) plus a Spark-side tolerance verdict
+    ``within_tol = |approx-exact|/exact <= 5%`` that the oracle pins to
+    ``true`` — a value-level gate on the sketch's accuracy, not just a
+    row count (r2 VERDICT item #7)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custs",
+        (
+            F.abs(F.col("approx_custs") - F.col("exact_custs"))
+            / F.col("exact_custs")
+            <= 0.05
+        ).alias("within_tol"),
     )

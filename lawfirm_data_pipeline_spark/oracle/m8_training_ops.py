@@ -32,7 +32,10 @@ def _events(spark, sf_dir, etype: str) -> DataFrame:
     "q51_asof_join",
     """
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+         c AS (SELECT user_id, ts, max(event_id) AS event_id,
+                      arg_max(value, event_id) AS value
+               FROM events WHERE event_type = 'click'
+               GROUP BY user_id, ts)
     SELECT p.event_id, p.user_id,
            c.ts AS asof_ts, c.event_id AS click_id, c.value AS click_value
     FROM p ASOF LEFT JOIN c
@@ -41,12 +44,17 @@ def _events(spark, sf_dir, etype: str) -> DataFrame:
 )
 def q51_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DuckDB ``ASOF LEFT JOIN`` semantics from one shuffle + one running
-    window — no inequality-join expansion (operators/temporal.py)."""
+    window — no inequality-join expansion (operators/temporal.py).
+
+    ``tie_break='click_id'`` makes the pick among equal-(user, ts) clicks
+    deterministic (max id wins); the oracle pre-reduces to the same row
+    via ``max/arg_max`` because DuckDB's ASOF pick under duplicate right
+    timestamps is equally arbitrary."""
     purchases = _events(spark, sf_dir, "purchase").drop("value")
     clicks = _events(spark, sf_dir, "click").withColumnsRenamed(
         {"event_id": "click_id", "value": "click_value"}
     )
-    joined = asof_join(purchases, clicks, key="user_id", ts="ts")
+    joined = asof_join(purchases, clicks, key="user_id", ts="ts", tie_break="click_id")
     return joined.select("event_id", "user_id", "asof_ts", "click_id", "click_value")
 
 

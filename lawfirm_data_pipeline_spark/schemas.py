@@ -109,21 +109,32 @@ EVENTS = T.StructType(
     ]
 )
 
-# Physical scan schema for the driver's events parquet: ts is
-# TIMESTAMP(NANOS), which Spark reads only as a raw long
-# (spark.sql.legacy.parquet.nanosAsLong).  io.load_table converts to the
-# logical EVENTS schema via integer ns→µs division (matching DuckDB's
-# truncation).
-EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("event_type", T.StringType(), False),
-        T.StructField("value", T.DoubleType(), False),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def events_scan_schema(ts_type: T.DataType) -> T.StructType:
+    """Physical scan schema for the driver's events parquet, parameterized
+    on the footer's actual ``ts`` type.
+
+    The driver has shipped this column as TIMESTAMP(NANOS) (round 1) and
+    TIMESTAMP(MICROS, NTZ) (round 2+); io._events_ts_strategy sniffs the
+    parquet footer and picks the matching scan type, so a future unit flip
+    fails loudly (schema mismatch / canary test) instead of silently
+    rescaling the timeline.
+    """
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", ts_type, False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+
+
+# Scan schema when ts is TIMESTAMP(NANOS): Spark reads nanos only as a raw
+# long (spark.sql.legacy.parquet.nanosAsLong); io converts via integer
+# ns→µs division (matching DuckDB's truncation).
+EVENTS_RAW = events_scan_schema(T.LongType())
 
 DOCUMENTS = T.StructType(
     [

@@ -33,10 +33,7 @@ def test_cube_has_all_four_grouping_levels(spark):
 
 
 def test_approx_count_distinct_within_rsd(spark):
-    approx = {
-        r.o_orderpriority: r.approx_custs
-        for r in q50_approx_distinct(spark, SF).collect()
-    }
+    out = q50_approx_distinct(spark, SF).collect()
     orders = load_table(spark, SF, "orders")
     exact = {
         r.o_orderpriority: r.n
@@ -44,9 +41,10 @@ def test_approx_count_distinct_within_rsd(spark):
         .agg(F.count_distinct("o_custkey").alias("n"))
         .collect()
     }
-    for prio, n in exact.items():
-        rel_err = abs(approx[prio] - n) / n
-        assert rel_err < 0.1, f"{prio}: {approx[prio]} vs {n}"
+    assert {r.o_orderpriority for r in out} == set(exact)
+    for r in out:
+        assert r.exact_custs == exact[r.o_orderpriority]
+        assert r.within_tol, f"{r.o_orderpriority}: sketch outside 5% of {r.exact_custs}"
 
 
 def test_profile_counts_nulls_and_distincts(spark):

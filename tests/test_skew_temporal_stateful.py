@@ -73,6 +73,35 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     assert staleness.filter(F.col("lag_us") > 60_000_000).count() == 0
 
 
+def test_asof_join_tie_break_is_deterministic(spark):
+    """Several right rows sharing the exact (key, ts): tie_break must pick
+    the max-id row regardless of partitioning/order (the hash-gate flap
+    VERDICT r2 flagged)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (2, "2024-01-01 00:10:00")],
+        "user_id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:05:00", 101, 1.0),
+            (1, "2024-01-01 00:05:00", 103, 3.0),  # same ts, higher id wins
+            (1, "2024-01-01 00:05:00", 102, 2.0),
+            (2, "2024-01-01 00:01:00", 201, 9.0),
+        ],
+        "user_id int, ts string, click_id int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for n_part in (1, 5):
+        out = asof_join(
+            left.repartition(n_part),
+            right.repartition(n_part),
+            key="user_id",
+            ts="ts",
+            tie_break="click_id",
+        )
+        got = {(r.user_id, r.click_id, r.v) for r in out.collect()}
+        assert got == {(1, 103, 3.0), (2, 201, 9.0)}
+
+
 def test_range_join_equals_naive_inequality_join(spark):
     ev = load_table(spark, SF, "events").filter(F.col("user_id") < 30)
     errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")

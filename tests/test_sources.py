@@ -19,6 +19,21 @@ def rows(df):
     return sorted(repr(tuple(r)) for r in df.collect())
 
 
+def test_events_ts_unit_canary(spark):
+    """The driver regenerated events.ts with a different parquet unit
+    once already (r1 NANOS → r2 MICROS), which silently rescaled every
+    timestamp 1000×.  Pin the decoded range to the generator's documented
+    window (Jan 2024) so a future flip fails here in seconds instead of
+    as four cryptic driver hash mismatches."""
+    import datetime
+
+    for sf in ("/root/testdata/sf0.001", SF):
+        lo, hi = load_table(spark, sf, "events").select(F.min("ts"), F.max("ts")).first()
+        assert datetime.datetime(2024, 1, 1) <= lo <= hi < datetime.datetime(2024, 2, 1), (
+            f"{sf}: events.ts decoded to [{lo}, {hi}] — parquet unit mismatch?"
+        )
+
+
 def test_csv_round_trip_preserves_values(spark):
     nation = load_table(spark, SF, "nation")
     with tempfile.TemporaryDirectory() as d:
