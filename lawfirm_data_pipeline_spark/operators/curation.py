@@ -188,6 +188,39 @@ def vocab_topk(
     )
 
 
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary table.
+
+    The tokenizer-coverage audit: after training a vocab (``vocab_topk``)
+    you measure what fraction of each document's tokens fall outside it —
+    high-OOV docs are the ones a fixed tokenizer will shred.  ``vocab``
+    is a 1-column (``w``) table, broadcast (vocabularies are small by
+    construction); the plan is explode -> broadcast left join -> one
+    per-doc agg.  Exact integer counts; the rate divides once at the end.
+
+    Returns (id, n_tok, n_oov, oov_rate rounded to 6).
+    """
+    tok = docs.select(F.col(id_col), F.explode(TX.tokens(F.lower(_c(text_col)))).alias("w"))
+    marked = tok.join(
+        F.broadcast(vocab.select(F.col("w"), F.lit(1).alias("_in"))), on="w", how="left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return agg.select(
+        id_col,
+        "n_tok",
+        "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_tok"), 6).alias("oov_rate"),
+    )
+
+
 def weighted_hash_keep(
     df: DataFrame, key: str, weight: Column, salt: str = "w"
 ) -> DataFrame:

@@ -59,6 +59,75 @@ def dedup_keep_canonical(docs: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def keep_best_in_group(
+    docs: DataFrame,
+    quality: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp: Column | None = None,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each content-duplicate
+    group keep the row with the highest ``quality`` (ties -> min id), not
+    blindly the min id.  Real curation keeps the best-scoring copy of a
+    duplicated document (longest, cleanest, best-source), so the survivor
+    choice is a first-class knob.
+
+    One shuffle on the fingerprint; the winner per group comes from a
+    single ``min(struct(-quality, id))`` aggregate — map-side combinable,
+    no window, no second pass.  Returns
+    (fp, best_id, best_quality, group_size).
+    """
+    fp = fp if fp is not None else fingerprint(text_col)
+    ranked = docs.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        quality.alias("q"),
+    )
+    # min(struct(neg_q, id)) == (max quality, then min id): one exact
+    # aggregate instead of a row_number window over the same shuffle
+    best = ranked.groupBy("fp").agg(
+        F.min(F.struct((-F.col("q")).alias("nq"), F.col(id_col).alias("bid"))).alias("w"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return best.select(
+        "fp",
+        F.col("w.bid").alias("best_id"),
+        (-F.col("w.nq")).alias("best_quality"),
+        "group_size",
+    )
+
+
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    historical: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp: Column | None = None,
+) -> DataFrame:
+    """Dedup an incoming batch against an already-ingested corpus: drop
+    new docs whose content fingerprint exists historically, then keep one
+    (min-id) copy per fingerprint within the batch itself.
+
+    This is the production shape of dedup — the corpus is never re-deduped
+    from scratch; each ingest round anti-joins its (fp) set against the
+    historical fingerprint index.  Both sides reduce to fingerprint rows
+    BEFORE the anti-join, so the exchange carries |batch| + |history|
+    hashes, not documents; at 100 TB the historical side is a pre-built
+    fingerprint table read instead of a recompute.
+
+    ``fp`` defaults to the raw-byte md5 — "exact" here means the bytes,
+    not the token-set ``text.fingerprint`` (which would also swallow
+    near-duplicate re-orderings; callers wanting that pass it in).
+    Returns the surviving new rows (original columns).
+    """
+    fp = fp if fp is not None else F.md5(F.col(text_col).cast("binary"))
+    hist_fp = historical.select(fp.alias("fp")).distinct()
+    batch_fp = new_batch.select(F.col(id_col), fp.alias("fp"))
+    fresh = batch_fp.join(hist_fp, on="fp", how="left_anti")
+    keep_ids = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return new_batch.join(keep_ids, on=id_col, how="left_semi")
+
+
 def _shingle_index(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Inverted index: (shingle, doc_id), distinct.  Tokenizes into a
     materialized column first so the split runs once per row, not once

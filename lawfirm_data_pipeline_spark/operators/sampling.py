@@ -71,6 +71,57 @@ def stratified_hash_sample(
     return df.filter(keep if keep is not None else F.lit(False))
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    stratum: str,
+    size_col: Column | str,
+    alpha: float = 0.3,
+    budget_tokens: int | None = None,
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights: stratum share ∝ size^alpha.
+
+    The standard multilingual/multi-source rebalance (alpha-sampling):
+    ``alpha=1`` keeps natural proportions, ``alpha=0`` is uniform, and
+    values in between (0.3 is the common pick) lift the tail without
+    drowning the head.  Returns per-stratum
+    (stratum, size, weight, expected_tokens?) where ``weight`` is the
+    normalized sampling probability, rounded to 6 decimals for
+    cross-engine hash parity.
+
+    All in-plan: one map-side-combined agg to per-stratum exact integer
+    sizes (rows = #strata), one 1-row agg for the normalizer, one
+    broadcast join back.  Nothing scales with |corpus| after the first
+    agg.
+    """
+    size_c = F.col(size_col) if isinstance(size_col, str) else size_col
+    aggs = [F.sum(size_c.cast("long")).alias("size")]
+    if count_alias:
+        # ride the same shuffle — composites otherwise re-aggregate the
+        # (possibly expensive) upstream a second time just for a count
+        aggs.append(F.count(F.lit(1)).alias(count_alias))
+    per = df.groupBy(stratum).agg(*aggs)
+    # snap size^alpha to nano fixed point BEFORE normalizing: the
+    # normalizer is then an exact integer sum (order-independent, and a
+    # last-ULP pow() difference between engines is absorbed by the snap)
+    scaled = per.withColumn(
+        "_pa_fp",
+        F.round(F.pow(F.col("size").cast("double"), F.lit(alpha)) * 1e9).cast("long"),
+    )
+    norm = scaled.agg(F.sum("_pa_fp").alias("_z_fp"))
+    keep = [stratum] + ([count_alias] if count_alias else []) + ["size"]
+    out = scaled.crossJoin(F.broadcast(norm)).select(
+        *keep,
+        F.round(F.col("_pa_fp").cast("double") / F.col("_z_fp"), 6).alias("weight"),
+    )
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "expected_tokens",
+            F.round(F.col("weight") * F.lit(float(budget_tokens))).cast("long"),
+        )
+    return out
+
+
 def mixture_sample(
     df: DataFrame,
     key: str,

@@ -288,6 +288,24 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return shingles_of(tokens(F.lower(_c(text))), n)
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text normalization for ingest: strip markup tags,
+    collapse runs of whitespace to single spaces, trim, lowercase.
+
+    Deliberately regex-only (``<[^>]*>``, ``\\s+``) so the exact same
+    patterns run under Java regex (Spark) and RE2 (DuckDB/ANSI twins) —
+    a whole-stage-codegen projection with zero Python in the path.
+    Unicode NFKC folding needs an ICU pass this container lacks; at
+    production it slots here as one more JVM projection
+    (``org.apache.spark.sql.catalyst.expressions`` has no NFKC builtin —
+    a scala UDF or sql `translate` table would carry it).
+    """
+    c = _c(text)
+    no_tags = F.regexp_replace(c, r"<[^>]*>", " ")
+    collapsed = F.regexp_replace(no_tags, r"\s+", " ")
+    return F.lower(F.trim(collapsed))
+
+
 def tokenized(docs, text_col: str = "text", id_col: str = "doc_id", lower: bool = True):
     """``(id, toks)`` projection with the token array materialized once
     per row — the entry point every corpus-level consumer (shingling,

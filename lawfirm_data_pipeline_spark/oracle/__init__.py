@@ -20,16 +20,27 @@ from . import m16_weburl  # noqa: F401  q87-q89 all unchecked
 from . import m8_training_ops  # noqa: F401  q51 (tie-break change), q52
 from . import m11_sql_kit  # noqa: F401  q63
 from . import m12_graph_timeseries  # noqa: F401  q70
-from . import m5_streaming  # noqa: F401  q22-q25 (green r1, events-dependent)
+
+# New in round 3: retrieval + corpus-quality ops (q90-q96) — in-window
+# from day one so they don't repeat round 2's unverified-query gap.
+from . import m17_retrieval_quality  # noqa: F401
 
 # Changed this round: q50 promoted from rows-only to a value gate.
+# m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# Fill to the 50-query window edge with the longest-unchecked r1 greens.
-from . import m0_flagship  # noqa: F401  q01
-from . import m4_scalar  # noqa: F401  q20, q21 — window closes here (50)
+# New in round 3 but past the window edge: q97 corpus composite —
+# registers FIRST in round 4 (see m18's module docstring); until then
+# the local oracle suite runs the identical comparison.
+from . import m18_corpus_pipeline  # noqa: F401
 
-# Proven green (r1 or r2) and unchanged: rotate to the back.
+# Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
+# events queries (q22-q25, green r1) are re-proven locally post-fix by
+# pytest + the oracle suite; the window slots went to the never-checked
+# q90-q96 instead.
+from . import m5_streaming  # noqa: F401
+from . import m0_flagship  # noqa: F401
+from . import m4_scalar  # noqa: F401
 from . import m1_query_layer  # noqa: F401
 from . import m2_relations  # noqa: F401
 from . import m3_mutations  # noqa: F401

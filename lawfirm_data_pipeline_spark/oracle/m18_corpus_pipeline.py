@@ -1,0 +1,131 @@
+"""M18 — the end-to-end corpus snapshot composite (round 3).
+
+q97 chains the round-3 operators the way a real pretraining ingest does:
+normalize → tokenize once → quality gate → quality-aware duplicate
+survivor selection → temperature-scaled mixture allocation, all composed
+into ONE Catalyst plan (single scan of ``documents``; every intermediate
+is a projection or a hash aggregate, no materialization between stages).
+
+Registered after m7 — outside round 3's 50-query driver window (it was
+full: 11 never-checked round-2 queries + repaired events queries + the 7
+new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
+FIRST in round 4 so q97 gets its driver CORRECTNESS row then; until
+that, tests/test_oracle_queries.py runs the identical comparison
+locally at sf0.01 (and the round's sf0.1 sweep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators import text as TX
+from ..operators.dedup import keep_best_in_group
+from ..operators.sampling import temperature_mixture_weights
+from ..operators.text import normalize_text
+from ..queries import query
+
+# Shared quality fragments (identical derivation to q54's oracle —
+# lowercase-token stats; see oracle/m8_training_ops.py).
+_LTOKS_RAW = "list_filter(str_split_regex(trim(text), '\\s+'), t -> t != '')"
+
+
+@query(
+    "q97_corpus_pipeline",
+    f"""
+    WITH norm AS (
+        SELECT doc_id, source,
+               lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                                         '\\s+', ' ', 'g'))) AS text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, source, text,
+               list_filter(str_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS ltoks,
+               {_LTOKS_RAW} AS toks
+        FROM norm
+    ),
+    feats AS (
+        SELECT doc_id, source, text,
+               len(toks) AS n_tok,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS wl,
+               CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE 0.0 END AS pr,
+               CASE WHEN len(ltoks) > 0
+                    THEN CAST(len(list_filter(ltoks, x -> list_contains(['the','a','of','to','and','in','is','it','that','for'], x))) AS DOUBLE) / len(ltoks)
+                    ELSE 0.0 END AS sr
+        FROM t
+    ),
+    scored AS (
+        SELECT doc_id, source, text, n_tok,
+               ((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+              + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+              + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.2 END)
+              + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.4 END)) / 4.0 AS quality
+        FROM feats
+    ),
+    qualified AS (SELECT * FROM scored WHERE quality >= 0.75 AND n_tok >= 10),
+    ranked AS (
+        SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY n_tok DESC, doc_id) AS rn
+        FROM qualified
+    ),
+    kept AS (SELECT doc_id, source, n_tok FROM ranked WHERE rn = 1),
+    per AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS size
+            FROM kept GROUP BY source),
+    s AS (SELECT source, n_docs, size,
+                 CAST(round(power(CAST(size AS DOUBLE), 0.3) * 1e9) AS BIGINT) AS pa
+          FROM per),
+    z AS (SELECT sum(pa) AS z FROM s)
+    SELECT source, n_docs, size,
+           round(CAST(pa AS DOUBLE) / z, 6) AS weight,
+           CAST(round(round(CAST(pa AS DOUBLE) / z, 6) * 1000000.0) AS BIGINT)
+               AS expected_tokens
+    FROM s CROSS JOIN z
+    """,
+)
+def q97_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize → quality-gate → keep-best dedup → α-mixture budget, as
+    one plan: the scan feeds projections and hash aggregates only, so
+    Catalyst pipelines the whole chain without materializing a stage
+    (mirrors a 100 TB ingest where each materialization would be a
+    corpus-sized write)."""
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    norm = docs.select("doc_id", "source", normalize_text("text").alias("text"))
+    t = norm.select(
+        "doc_id",
+        "source",
+        "text",
+        TX.tokens("text").alias("toks"),
+        TX.tokens(F.lower("text")).alias("ltoks"),
+    )
+    scored = t.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size("toks").cast("int").alias("n_tok"),
+        TX.quality_score_of(F.col("text"), F.col("toks"), F.col("ltoks")).alias("quality"),
+    )
+    qualified = scored.filter((F.col("quality") >= 0.75) & (F.col("n_tok") >= 10))
+    best = keep_best_in_group(
+        qualified,
+        quality=F.col("n_tok"),
+        fp=F.md5(F.col("text").cast("binary")),
+    )
+    kept = qualified.join(
+        best.select(F.col("best_id").alias("doc_id")), on="doc_id", how="left_semi"
+    )
+    return temperature_mixture_weights(
+        kept,
+        stratum="source",
+        size_col="n_tok",
+        alpha=0.3,
+        budget_tokens=1_000_000,
+        count_alias="n_docs",
+    ).select("source", "n_docs", "size", "weight", "expected_tokens")
