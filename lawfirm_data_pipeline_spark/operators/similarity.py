@@ -500,3 +500,39 @@ def embedding_neardup_pairs(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, emitted LONG-form —
+    one (label, pos, n, centroid) row per dimension.
+
+    Long form keeps cells scalar (array-valued outputs crash the driver
+    canonicalizer) and is the shape downstream k-means / class-prototype
+    consumers join on anyway.  Elements snap to nano fixed point before
+    the sum, so the aggregation is exact-integer and the centroid is
+    bit-identical at any parallelism — `avg(double)` would drift with
+    partitioning.  Plan: one posexplode + one map-side-combinable
+    groupBy on (label, pos); |labels| x dim result rows.
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "x"),
+    )
+    fixed = ex.select(
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * 1e9).cast("long").alias("x_fp"),
+    )
+    agg = fixed.groupBy("label", "pos").agg(
+        F.sum("x_fp").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return agg.select(
+        "label",
+        "pos",
+        "n",
+        F.round(F.col("s").cast("double") / 1e9 / F.col("n"), 6).alias("centroid"),
+    )

@@ -1,15 +1,20 @@
-"""M18 — the end-to-end corpus snapshot composite (round 3).
+"""M18 — corpus composite + streaming enrichment + embedding prototypes
+(round 3).
 
 q97 chains the round-3 operators the way a real pretraining ingest does:
 normalize → tokenize once → quality gate → quality-aware duplicate
 survivor selection → temperature-scaled mixture allocation, all composed
 into ONE Catalyst plan (single scan of ``documents``; every intermediate
 is a projection or a hash aggregate, no materialization between stages).
+q98 runs a REAL stream-static enrichment join (readStream events ⋈
+broadcast customer dim → tumbling aggregate, memory sink) checked
+against batch SQL; q99 computes per-label embedding centroids with
+exact fixed-point accumulation.
 
 Registered after m7 — outside round 3's 50-query driver window (it was
 full: 11 never-checked round-2 queries + repaired events queries + the 7
 new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
-FIRST in round 4 so q97 gets its driver CORRECTNESS row then; until
+FIRST in round 4 so q97-q99 get driver CORRECTNESS rows then; until
 that, tests/test_oracle_queries.py runs the identical comparison
 locally at sf0.01 (and the round's sf0.1 sweep).
 """
@@ -129,3 +134,63 @@ def q97_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=1_000_000,
         count_alias="n_docs",
     ).select("source", "n_docs", "size", "weight", "expected_tokens")
+
+
+# -- q98: stream-static enrichment join + tumbling aggregate
+@query(
+    "q98_stream_enriched_window",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', e.ts) AS wstart,
+           time_bucket(INTERVAL '6 hours', e.ts) + INTERVAL '6 hours' AS wend,
+           c.c_nationkey,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q98_stream_enriched_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed events join the static customer dimension (broadcast — a
+    stream-static join never shuffles the stream) before a tumbling
+    count/sum per nation; memory-sink drain compared against batch SQL
+    proves the unified-API path (streaming/windows.py)."""
+    from ..io import load_events_stream
+    from ..streaming.windows import enriched_tumbling_counts, run_stream_to_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    stream = load_events_stream(spark, sf_dir)
+    out = run_stream_to_table(
+        spark,
+        stream,
+        lambda df: enriched_tumbling_counts(
+            df, cust, on_left="user_id", on_right="c_custkey", group_col="c_nationkey"
+        ),
+        "q98_enriched",
+        output_mode="complete",
+    )
+    return out.withColumn("sum_value", F.round("sum_value", 2))
+
+
+# -- q99: per-label embedding centroids (class prototypes)
+@query(
+    "q99_label_centroids",
+    """
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         u AS (SELECT label, i - 1 AS pos,
+                      CAST(round(v[i] * 1e9) AS BIGINT) AS x_fp
+               FROM e, unnest(generate_series(1, 64)) AS t(i)),
+         agg AS (SELECT label, pos, sum(x_fp) AS s, count(*) AS n
+                 FROM u GROUP BY 1, 2)
+    SELECT label, pos, n,
+           round(CAST(s AS DOUBLE) / 1e9 / n, 6) AS centroid
+    FROM agg
+    """,
+)
+def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-prototype centroids per label, long-form (scalar cells) with
+    nano-fixed-point exact sums — bit-identical under any partitioning
+    (operators/similarity.label_centroids)."""
+    from ..operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)

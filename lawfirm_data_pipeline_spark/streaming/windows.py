@@ -76,6 +76,42 @@ def session_windows(
     )
 
 
+def enriched_tumbling_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str,
+    on_right: str,
+    group_col: str,
+    width: str = "6 hours",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static enrichment join + tumbling aggregate.
+
+    The canonical streaming topology: an unbounded fact stream joins a
+    slowly-changing dimension (user → account, device → fleet) BEFORE
+    windowed aggregation.  The static side is explicitly broadcast — a
+    stream-static join never shuffles the stream, and the dimension
+    snapshot is re-read per micro-batch (picking up dim updates without
+    restarting the query).  Works identically on batch frames (unified
+    API), which is how the oracle checks it.
+    """
+    enriched = events.withWatermark(ts_col, watermark).join(
+        F.broadcast(dim), events[on_left] == dim[on_right]
+    )
+    return (
+        enriched.groupBy(F.window(ts_col, width).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            F.col("w.end").alias("wend"),
+            group_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_table(
     spark,
     source_df_stream,

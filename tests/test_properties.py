@@ -78,6 +78,87 @@ def test_some_none_partition_parent(spark, parents, children):
 
 
 @SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["spark", "scan", "join", "filler", "row"]),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=8,
+    )
+)
+def test_bm25_matches_reference_implementation(spark, docs):
+    """Spark BM25 == a direct textbook Python implementation on the same
+    corpus (fixed-point rounding applied identically)."""
+    import math
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from lawfirm_data_pipeline_spark.operators.retrieval import bm25_scores
+
+    got = {r.doc_id: r.score for r in bm25_scores(df, ["spark", "join"]).collect()}
+
+    k1, b = 1.2, 0.75
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs) / n
+    want = {}
+    for term in ("spark", "join"):
+        dfreq = sum(1 for ws in docs if term in ws)
+        if dfreq == 0:
+            continue
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        for i, ws in enumerate(docs):
+            tf = ws.count(term)
+            if tf == 0:
+                continue
+            s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+            want[i] = want.get(i, 0) + int(round(s * 1e9))
+    want = {i: round(v / 1e9, 6) for i, v in want.items()}
+    assert got == want
+
+
+@SLOW
+@given(rows=st.lists(st.tuples(KEYS, st.sampled_from(["t1", "t2"]), st.integers(0, 9)),
+                     min_size=1, max_size=12))
+def test_keep_best_winner_dominates_group(spark, rows):
+    uniq = {r[0]: r for r in rows}.values()
+    df = spark.createDataFrame(list(uniq), "doc_id int, text string, q int")
+    from lawfirm_data_pipeline_spark.operators.dedup import keep_best_in_group
+
+    best = keep_best_in_group(df, quality=F.col("q")).collect()
+    by_text: dict[str, list] = {}
+    for d, t, q in uniq:
+        by_text.setdefault(t, []).append((q, d))
+    assert len(best) == len(by_text)
+    # winner = max quality, ties -> min id
+    want = {t: (max(g)[0], min(d for q, d in g if q == max(g)[0]))
+            for t, g in by_text.items()}
+    got = {(r.best_quality, r.best_id) for r in best}
+    assert got == {(q, d) for q, d in want.values()}
+
+
+@SLOW
+@given(hist=st.lists(st.sampled_from(["a", "b", "c"]), max_size=6),
+       batch=st.lists(st.tuples(st.integers(0, 20), st.sampled_from(["a", "b", "c", "d"])),
+                      min_size=0, max_size=10))
+def test_incremental_dedup_invariants(spark, hist, batch):
+    batch = list({r[0]: r for r in batch}.values())
+    h = spark.createDataFrame([(i, t) for i, t in enumerate(hist)] or [], "doc_id int, text string")
+    nb = spark.createDataFrame(batch or [], "doc_id int, text string")
+    from lawfirm_data_pipeline_spark.operators.dedup import incremental_exact_dedup
+
+    kept = incremental_exact_dedup(nb, h).collect()
+    kept_ids = {r.doc_id for r in kept}
+    kept_txt = [r.text for r in kept]
+    assert kept_ids <= {i for i, _ in batch}  # subset of the batch
+    assert not (set(kept_txt) & set(hist))  # nothing already in history
+    assert len(kept_txt) == len(set(kept_txt))  # batch-internal dedup
+    # completeness: every novel text survives exactly once via its min id
+    novel = {t for _, t in batch} - set(hist)
+    assert set(kept_txt) == novel
+    for t in novel:
+        assert min(i for i, bt in batch if bt == t) in kept_ids
+
+
+@SLOW
 @given(tags=st.lists(st.tuples(KEYS, st.sampled_from(["x", "y", "z"])), max_size=10))
 def test_connect_or_create_idempotent(spark, tags):
     by_fact: dict[int, list[str]] = {}
