@@ -39,14 +39,38 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     fp: Column | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Group documents by content fingerprint; keep the min-id row as
-    canonical.  Returns (fingerprint, canonical_id, group_size)."""
+    canonical.  Returns (fingerprint, canonical_id, group_size, *carry).
+
+    ``carry`` columns come back as the CANONICAL row's values (they ride
+    a ``min(struct(id, ...))`` behind the unique id, so they never affect
+    which row wins).  Composites that need canonical-row attributes read
+    them here instead of semi-joining back onto the input, which would
+    re-evaluate the whole upstream a second time.
+    """
     fp = fp if fp is not None else fingerprint(text_col)
-    return (
-        docs.select(F.col(id_col), fp.alias("fp"))
+    carry = carry or []
+    if not carry:
+        return (
+            docs.select(F.col(id_col), fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        )
+    grouped = (
+        docs.select(F.col(id_col), fp.alias("fp"), *[F.col(c) for c in carry])
         .groupBy("fp")
-        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size"))
+        .agg(
+            F.min(F.struct(F.col(id_col).alias("cid"), *[F.col(c) for c in carry])).alias("w"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+    return grouped.select(
+        "fp",
+        F.col("w.cid").alias("canonical_id"),
+        "group_size",
+        *[F.col(f"w.{c}").alias(c) for c in carry],
     )
 
 
@@ -65,6 +89,7 @@ def keep_best_in_group(
     text_col: str = "text",
     id_col: str = "doc_id",
     fp: Column | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Quality-aware canonical selection: within each content-duplicate
     group keep the row with the highest ``quality`` (ties -> min id), not
@@ -74,19 +99,32 @@ def keep_best_in_group(
 
     One shuffle on the fingerprint; the winner per group comes from a
     single ``min(struct(-quality, id))`` aggregate — map-side combinable,
-    no window, no second pass.  Returns
-    (fp, best_id, best_quality, group_size).
+    no window, no second pass.  ``carry`` columns ride the struct as
+    payload (after the unique id, so they never influence the ordering)
+    and come back as the WINNER's values — composites that need winner
+    attributes (source, lengths) read them here instead of semi-joining
+    back, which would re-evaluate the whole upstream a second time.
+    Returns (fp, best_id, best_quality, group_size, *carry).
     """
     fp = fp if fp is not None else fingerprint(text_col)
+    carry = carry or []
     ranked = docs.select(
         F.col(id_col),
         fp.alias("fp"),
         quality.alias("q"),
+        *[F.col(c) for c in carry],
     )
-    # min(struct(neg_q, id)) == (max quality, then min id): one exact
-    # aggregate instead of a row_number window over the same shuffle
+    # min(struct(neg_q, id, payload...)) == (max quality, then min id):
+    # one exact aggregate instead of a row_number window over the same
+    # shuffle; id is unique so payload never affects the comparison
     best = ranked.groupBy("fp").agg(
-        F.min(F.struct((-F.col("q")).alias("nq"), F.col(id_col).alias("bid"))).alias("w"),
+        F.min(
+            F.struct(
+                (-F.col("q")).alias("nq"),
+                F.col(id_col).alias("bid"),
+                *[F.col(c).alias(c) for c in carry],
+            )
+        ).alias("w"),
         F.count(F.lit(1)).alias("group_size"),
     )
     return best.select(
@@ -94,6 +132,7 @@ def keep_best_in_group(
         F.col("w.bid").alias("best_id"),
         (-F.col("w.nq")).alias("best_quality"),
         "group_size",
+        *[F.col(f"w.{c}").alias(c) for c in carry],
     )
 
 

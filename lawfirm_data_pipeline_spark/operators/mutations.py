@@ -166,6 +166,7 @@ def connect_or_create(
     bridge_fact_fk: str = "A",
     bridge_dim_fk: str = "B",
     dim_id_prefix: str = "fs_",
+    materialize_dim: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """``connectOrCreate`` for the m:n tag relation (A9).
 
@@ -183,6 +184,14 @@ def connect_or_create(
 
     Ordering contract (SURVEY.md §4): dim merge runs before bridge append
     so bridge rows always resolve.
+
+    ``materialize_dim=True`` checkpoints the merged dimension before the
+    bridge derives from it.  The merged dim appears TWICE downstream (the
+    bridge resolve joins it, and the caller writes it), so the lazy plan
+    carries two copies of the distinct+anti-join subtree — Catalyst
+    planning time, not execution, dominates this operator's benchmark
+    cost.  In production the dim merge is WRITTEN before bridge append
+    (the ordering contract above), which is exactly this materialization.
     """
     tags = (
         facts_with_tags.select(F.explode(F.array_distinct(F.col(tags_col))).alias("__tag"), F.col(fact_key).alias("__fid"))
@@ -201,6 +210,8 @@ def connect_or_create(
         missing.select(*[c for c in dim.columns if c in missing.columns]),
         allowMissingColumns=True,
     )
+    if materialize_dim:
+        new_dim = new_dim.localCheckpoint(eager=True)
     # 2. bridge append (connect), dedup'd against existing pairs
     resolved = tags.join(
         new_dim.select(F.col(dim_name).alias("__tag"), F.col(dim_key).alias("__did")),

@@ -118,14 +118,16 @@ def q97_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score_of(F.col("text"), F.col("toks"), F.col("ltoks")).alias("quality"),
     )
     qualified = scored.filter((F.col("quality") >= 0.75) & (F.col("n_tok") >= 10))
+    # carry the winner's source/n_tok through the keep-best struct: a
+    # semi-join back onto `qualified` would re-run the whole
+    # normalize+tokenize+score upstream a second time
     best = keep_best_in_group(
         qualified,
         quality=F.col("n_tok"),
         fp=F.md5(F.col("text").cast("binary")),
+        carry=["source"],
     )
-    kept = qualified.join(
-        best.select(F.col("best_id").alias("doc_id")), on="doc_id", how="left_semi"
-    )
+    kept = best.select("source", F.col("best_quality").alias("n_tok"))
     return temperature_mixture_weights(
         kept,
         stratum="source",

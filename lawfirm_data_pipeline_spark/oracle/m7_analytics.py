@@ -335,9 +335,13 @@ def q50_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``true`` — a value-level gate on the sketch's accuracy, not just a
     row count (r2 VERDICT item #7)."""
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_orderpriority").agg(
+    # pre-distinct once, then both aggregates are plain counts over the
+    # distinct pairs — mixing countDistinct with a non-distinct agg in
+    # one groupBy makes Catalyst Expand-duplicate every input row
+    pairs = orders.select("o_orderpriority", "o_custkey").distinct()
+    agg = pairs.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.count(F.lit(1)).alias("exact_custs"),
     )
     return agg.select(
         "o_orderpriority",

@@ -175,11 +175,11 @@ def q54_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score_of(F.col("text"), F.col("toks"), F.col("ltoks")).alias("quality"),
     )
     qualified = scored.filter((F.col("quality") >= 0.75) & (F.col("n_tok") >= 10))
-    groups = exact_dedup(qualified, text_col="text", id_col="doc_id")
-    kept = qualified.join(
-        groups.select(F.col("canonical_id").alias("doc_id")), on="doc_id", how="left_semi"
-    )
-    return kept.groupBy("source").agg(
+    # canonical rows carry (source, n_tok) out of the dedup aggregate —
+    # the old semi-join back onto `qualified` re-ran the tokenize+score
+    # upstream twice (the single most expensive part of the plan)
+    groups = exact_dedup(qualified, text_col="text", id_col="doc_id", carry=["source", "n_tok"])
+    return groups.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
