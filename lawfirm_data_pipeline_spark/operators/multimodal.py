@@ -109,6 +109,76 @@ def image_features_stub(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+def resize_image_stub(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize boundary (``mapInPandas``, binary in → binary out).
+
+    STUB kernel: a real resize decodes pixels and interpolates
+    (PIL/opencv — not in this container); the fake produces a payload of
+    EXACTLY ``target_w*target_h`` bytes by cycling the source bytes, so
+    the output-size contract, the Arrow binary round-trip, and the
+    metadata rewrite are all real and the result is reproducible from
+    the input bytes (the oracle recomputes it in SQL).
+    """
+
+    n_out = target_w * target_h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    out.append(bytes(n_out))
+                    continue
+                b = bytes(payload)
+                out.append((b * (n_out // len(b) + 1))[:n_out])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, payload binary, width int, height int"
+    )
+
+
+def audio_window_features_stub(media: DataFrame, window_ms: int = 250) -> DataFrame:
+    """Audio windowing + per-window feature extraction.
+
+    The explode (1 clip → N fixed-width windows from duration metadata)
+    is plain Catalyst; the per-window feature crosses a REAL Arrow
+    ``pandas_udf`` boundary.  STUB kernel: a real implementation computes
+    RMS energy / MFCCs from decoded samples (soundfile/librosa — not in
+    this container); the fake derives a deterministic energy integer from
+    md5(media_id:window), which the oracle reproduces in SQL.
+    """
+    import hashlib
+
+    @F.pandas_udf("long")
+    def energy(mid: pd.Series, widx: pd.Series) -> pd.Series:
+        keys = mid.astype("int64").astype(str) + ":" + widx.astype("int64").astype(str)
+        return keys.map(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:4], 16))
+
+    wins = media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.col("meta.duration_ms") / window_ms).cast("long") - 1,
+                    F.lit(0),
+                ),
+            )
+        ).alias("widx"),
+    ).withColumn("win_start_ms", F.col("widx") * window_ms)
+    return wins.withColumn("energy", energy(F.col("media_id"), F.col("widx")))
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Real pixel decode — requires an image codec library.
 

@@ -9,12 +9,14 @@ is a projection or a hash aggregate, no materialization between stages).
 q98 runs a REAL stream-static enrichment join (readStream events ⋈
 broadcast customer dim → tumbling aggregate, memory sink) checked
 against batch SQL; q99 computes per-label embedding centroids with
-exact fixed-point accumulation.
+exact fixed-point accumulation; q100/q101 complete the multimodal
+charter (resize boundary, audio windowing + Arrow feature kernel) with
+md5-reproducible full-value oracles across the Python boundary.
 
 Registered after m7 — outside round 3's 50-query driver window (it was
 full: 11 never-checked round-2 queries + repaired events queries + the 7
 new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
-FIRST in round 4 so q97-q99 get driver CORRECTNESS rows then; until
+FIRST in round 4 so q97-q101 get driver CORRECTNESS rows then; until
 that, tests/test_oracle_queries.py runs the identical comparison
 locally at sf0.01 (and the round's sf0.1 sweep).
 """
@@ -196,3 +198,84 @@ def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return label_centroids(emb)
+
+
+# -- q100: multimodal resize boundary (binary -> binary, audited)
+@query(
+    "q100_resize_audit",
+    """
+    WITH m AS (
+        SELECT id AS media_id,
+               repeat(md5(CAST(id AS VARCHAR)), CAST(id % 7 AS INT) + 1) AS payload
+        FROM range(64) t(id)
+    ),
+    r AS (
+        SELECT media_id,
+               substring(repeat(payload, CAST(1024 / length(payload) AS INT) + 1),
+                         1, 1024) AS out
+        FROM m
+    )
+    SELECT media_id, CAST(length(out) AS BIGINT) AS out_bytes, md5(out) AS out_md5
+    FROM r
+    """,
+)
+def q100_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing through a real Arrow mapInPandas boundary
+    (binary in -> exactly-W*H-byte binary out).  The stub kernel cycles
+    source bytes, so DuckDB reproduces the output digest from the same
+    synthetic payloads — a full value oracle across the Python boundary
+    (operators/multimodal.resize_image_stub)."""
+    from ..operators.multimodal import resize_image_stub
+
+    media = spark.range(64).selectExpr(
+        "id AS media_id",
+        "CAST(repeat(md5(CAST(id AS STRING)), CAST(id % 7 AS INT) + 1) AS BINARY) AS payload",
+    )
+    out = resize_image_stub(media, target_w=32, target_h=32)
+    return out.select(
+        "media_id",
+        F.length("payload").cast("long").alias("out_bytes"),
+        F.md5("payload").alias("out_md5"),
+    )
+
+
+# -- q101: audio windowing + per-window Arrow feature kernel
+@query(
+    "q101_audio_windows",
+    """
+    WITH m AS (
+        SELECT p_partkey AS media_id, 500 + p_partkey * 13 AS duration_ms
+        FROM part WHERE p_partkey < 300 AND p_partkey % 3 = 1
+    ),
+    w AS (
+        SELECT media_id,
+               unnest(generate_series(0,
+                   greatest(CAST(ceil(CAST(duration_ms AS DOUBLE) / 250) AS BIGINT) - 1, 0)))
+                   AS widx
+        FROM m
+    )
+    SELECT media_id, widx, widx * 250 AS win_start_ms,
+           ('0x' || substring(md5(CAST(media_id AS VARCHAR) || ':' || CAST(widx AS VARCHAR)), 1, 4))::BIGINT AS energy
+    FROM w
+    """,
+)
+def q101_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio clip -> fixed-width windows (Catalyst explode from duration
+    metadata) -> per-window feature over a REAL Arrow pandas_udf; the
+    md5-derived stub energy makes the Python kernel's output fully
+    value-checkable in SQL (operators/multimodal.audio_window_features_stub)."""
+    from ..operators.multimodal import audio_window_features_stub
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") < 300) & (F.col("p_partkey") % 3 == 1)
+    )
+    media = part.selectExpr(
+        "p_partkey AS media_id",
+        "CAST(NULL AS BINARY) AS payload",
+        """named_struct(
+             'media_type', 'audio', 'mime', 'audio/wav',
+             'width', CAST(NULL AS INT), 'height', CAST(NULL AS INT),
+             'duration_ms', 500 + p_partkey * 13,
+             'sample_rate', 16000) AS meta""",
+    )
+    return audio_window_features_stub(media, window_ms=250)

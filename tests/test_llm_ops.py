@@ -91,3 +91,45 @@ def test_multimodal_feature_kernel_matches_reference_hash(spark):
 def test_decode_image_is_explicitly_stubbed(spark):
     with pytest.raises(NotImplementedError):
         decode_image(synth_media(spark, 1))
+
+
+def test_resize_stub_output_size_and_cycle(spark):
+    from lawfirm_data_pipeline_spark.operators.multimodal import resize_image_stub
+
+    media = synth_media(spark, 8)
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    out = {r.media_id: r for r in resize_image_stub(media, 4, 4).collect()}
+    assert set(out) == set(src)
+    for mid, row in out.items():
+        b = bytes(row.payload)
+        assert len(b) == 16 and (row.width, row.height) == (4, 4)
+        # cycled from source bytes
+        expect = (src[mid] * (16 // len(src[mid]) + 1))[:16]
+        assert b == expect
+
+
+def test_audio_windows_cover_duration_and_energy_is_deterministic(spark):
+    from lawfirm_data_pipeline_spark.operators.multimodal import (
+        audio_window_features_stub,
+    )
+
+    media = spark.range(3).selectExpr(
+        "id AS media_id",
+        "CAST(NULL AS BINARY) AS payload",
+        """named_struct('media_type','audio','mime','audio/wav',
+            'width',CAST(NULL AS INT),'height',CAST(NULL AS INT),
+            'duration_ms', 100 + CAST(id AS INT) * 300,
+            'sample_rate', 16000) AS meta""",
+    )
+    out = audio_window_features_stub(media, window_ms=250).collect()
+    import math
+
+    per = {}
+    for r in out:
+        per.setdefault(r.media_id, []).append(r)
+    for mid, rows in per.items():
+        dur = 100 + mid * 300
+        assert len(rows) == max(math.ceil(dur / 250), 1)
+        for r in rows:
+            want = int(hashlib.md5(f"{mid}:{r.widx}".encode()).hexdigest()[:4], 16)
+            assert r.energy == want and r.win_start_ms == r.widx * 250
