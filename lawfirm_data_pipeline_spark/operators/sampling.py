@@ -108,9 +108,16 @@ def temperature_mixture_weights(
         "_pa_fp",
         F.round(F.pow(F.col("size").cast("double"), F.lit(alpha)) * 1e9).cast("long"),
     )
-    norm = scaled.agg(F.sum("_pa_fp").alias("_z_fp"))
+    # normalizer via a global window over the per-stratum AGGREGATE (a
+    # |strata|-row frame — the single-partition exchange is trivially
+    # small).  A separate .agg() + crossJoin would put the whole upstream
+    # into the plan twice; inside composites (q97) that upstream is the
+    # full tokenize+score+dedup chain, and the double-scan doubled the
+    # query's cost.
+    from pyspark.sql import Window
+
     keep = [stratum] + ([count_alias] if count_alias else []) + ["size"]
-    out = scaled.crossJoin(F.broadcast(norm)).select(
+    out = scaled.withColumn("_z_fp", F.sum("_pa_fp").over(Window.partitionBy())).select(
         *keep,
         F.round(F.col("_pa_fp").cast("double") / F.col("_z_fp"), 6).alias("weight"),
     )

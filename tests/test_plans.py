@@ -230,3 +230,54 @@ def test_rebalance_scan_fans_out_single_split_files(spark):
     fanned = rebalance_scan(docs)
     assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert fanned.count() == docs.count()
+
+
+def test_bm25_idf_broadcast_and_no_cartesian(spark):
+    """q90: the IDF table and corpus constants broadcast; the only
+    corpus-sized exchange keys on doc id.  No cartesian/BNLJ-inner
+    blowups (the 1-row constants ride benign Cross broadcasts)."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q90_bm25_topk"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin Inner" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # top-k is sort-limit (per-partition heads), not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_oov_vocab_joins_broadcast(spark):
+    """q94: the vocabulary side of the coverage join must broadcast —
+    the exploded corpus stream never shuffles for the join."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q94_oov_rate"](spark, SF))
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_dedup_anti_join_on_fingerprints(spark):
+    """q92: the history check is a LeftAnti join keyed on the md5
+    fingerprint — the exchange carries hashes, never documents."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q92_incremental_dedup"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_composite_scans_documents_once(spark):
+    """q97: the carry-struct rewrite must keep the plan single-scan —
+    the semi-join-back version scanned (and tokenized) documents twice."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q97_corpus_pipeline"](spark, SF))
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_q54_curation_scans_documents_once(spark):
+    """q54: same single-scan pin after the exact_dedup carry rewrite."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q54_curation_pipeline"](spark, SF))
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
