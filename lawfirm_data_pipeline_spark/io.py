@@ -104,7 +104,13 @@ def _assert_events_ts_sane(df: DataFrame, path: str) -> None:
     _EVENTS_TS_CHECKED.add(path)
 
 
-def rebalance_scan(df: DataFrame) -> DataFrame:
+# path → scan partition count: the probe converts the plan to an RDD
+# (a full physical-planning pass), so repeated loads of the same static
+# file shouldn't pay it twice
+_SCAN_PARTS_CACHE: dict[str, int] = {}
+
+
+def rebalance_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Fan a poorly-split scan out to every core before a CPU-bound
     stage.
 
@@ -124,7 +130,12 @@ def rebalance_scan(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = _SCAN_PARTS_CACHE.get(cache_key) if cache_key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if cache_key:
+            _SCAN_PARTS_CACHE[cache_key] = n
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -140,16 +151,16 @@ def load_table(
     ``rebalance_scan`` for CPU-bound consumers.
     """
     reader = spark.read
+    path = table_path(sf_dir, name)
     if name == "events":
-        path = table_path(sf_dir, name)
         df = _read_events(spark, path)
         _assert_events_ts_sane(df, path)
-        return rebalance_scan(df) if rebalance else df
+        return rebalance_scan(df, cache_key=path) if rebalance else df
     schema = schemas.DRIVER_TABLES.get(name)
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.parquet(table_path(sf_dir, name))
-    return rebalance_scan(df) if rebalance else df
+    df = reader.parquet(path)
+    return rebalance_scan(df, cache_key=path) if rebalance else df
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,12 +11,14 @@ broadcast customer dim → tumbling aggregate, memory sink) checked
 against batch SQL; q99 computes per-label embedding centroids with
 exact fixed-point accumulation; q100/q101 complete the multimodal
 charter (resize boundary, audio windowing + Arrow feature kernel) with
-md5-reproducible full-value oracles across the Python boundary.
+md5-reproducible full-value oracles across the Python boundary; q102 is
+the sketch-form quantile profile (approx_percentile + exact-twin
+tolerance gate, the q50 pattern).
 
 Registered after m7 — outside round 3's 50-query driver window (it was
 full: 11 never-checked round-2 queries + repaired events queries + the 7
 new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
-FIRST in round 4 so q97-q101 get driver CORRECTNESS rows then; until
+FIRST in round 4 so q97-q102 get driver CORRECTNESS rows then; until
 that, tests/test_oracle_queries.py runs the identical comparison
 locally at sf0.01 (and the round's sf0.1 sweep).
 """
@@ -279,3 +281,35 @@ def q101_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              'sample_rate', 16000) AS meta""",
     )
     return audio_window_features_stub(media, window_ms=250)
+
+
+# -- q102: approximate quantiles with a value-level tolerance gate
+@query(
+    "q102_approx_quantiles",
+    """
+    SELECT source,
+           round(quantile_cont(n_chars, 0.50), 4) AS exact_q50,
+           true AS within_tol
+    FROM documents GROUP BY source
+    """,
+)
+def q102_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q96: `approx_percentile` (single-pass sketch,
+    no per-group value shuffle) gated value-level against the exact
+    interpolated quantile — the same exact-twin + Spark-side tolerance
+    verdict pattern as q50, so the sketch's accuracy is hash-checked,
+    not just its row count.  Relative-error bound 5% at accuracy=1000."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(1000)).alias("approx_q50"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("exact_q50"),
+    )
+    return agg.select(
+        "source",
+        "exact_q50",
+        (
+            F.abs(F.col("approx_q50") - F.col("exact_q50"))
+            / F.greatest(F.col("exact_q50"), F.lit(1.0))
+            <= 0.05
+        ).alias("within_tol"),
+    )
