@@ -108,6 +108,7 @@ def domain_cap(
     domain_col: str = "domain",
     order_by: list[Column] | None = None,
     id_col: str = "doc_id",
+    two_phase: bool = True,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per domain, best-first.
 
@@ -116,17 +117,36 @@ def domain_cap(
     keep the highest-quality pages.  The ordering MUST be total (include
     a unique tiebreaker) or the kept set is nondeterministic under
     repartitioning — the default appends ``id_col`` for that reason.
+    Adds a ``domain_rank`` column (1-based) to the survivors.
 
-    One window shuffle on the domain; adds a ``domain_rank`` column
-    (1-based) to the survivors.
+    ``two_phase=True`` (default) is the skew-safe shape: a web corpus
+    always has mega-domains (a domain holding 1% of 100 TB would pin a
+    single window partition).  Phase 1 ranks within (domain, input
+    split) — the mega-domain's rows stay spread across splits — and
+    keeps each split's local top-``cap``; phase 2 ranks the surviving
+    ≤ cap x n_splits rows per domain.  Both phases pick identical
+    survivors to the single-window form because any row in the global
+    top-cap of its domain is necessarily in the top-cap of its split.
     """
     from pyspark.sql import Window
 
     order = list(order_by) if order_by else []
     order.append(F.col(id_col).asc())
     w = Window.partitionBy(domain_col).orderBy(*order)
+    if not two_phase:
+        return (
+            docs.withColumn("domain_rank", F.row_number().over(w))
+            .filter(F.col("domain_rank") <= cap)
+        )
+    w_local = Window.partitionBy(domain_col, "__split").orderBy(*order)
+    local = (
+        docs.withColumn("__split", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= cap)
+        .drop("__split", "__lr")
+    )
     return (
-        docs.withColumn("domain_rank", F.row_number().over(w))
+        local.withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= cap)
     )
 

@@ -112,3 +112,30 @@ def test_blocklist_literal_and_dataframe(spark):
 def test_blocklist_empty_noop(spark):
     docs = spark.createDataFrame([Row(doc_id=1, domain="a.com")])
     assert blocklist_filter(docs, []).count() == 1
+
+
+def test_domain_cap_two_phase_equals_single_window_under_skew(spark):
+    """The skew-safe two-phase plan must pick the EXACT same survivors
+    and ranks as the single-window form, regardless of input
+    partitioning, on a corpus with a mega-domain (80% of rows)."""
+    from pyspark.sql import functions as F
+
+    from lawfirm_data_pipeline_spark.operators.weburl import domain_cap
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "mega.com")
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 37).cast("string")))
+        .alias("domain"),
+    )
+    a = sorted(tuple(r) for r in domain_cap(docs, 5, two_phase=True).collect())
+    b = sorted(
+        tuple(r) for r in domain_cap(docs.repartition(13), 5, two_phase=True).collect()
+    )
+    c = sorted(tuple(r) for r in domain_cap(docs, 5, two_phase=False).collect())
+    assert a == b == c
+    # every domain capped at 5
+    per = {}
+    for _, dom, _rank in a:
+        per[dom] = per.get(dom, 0) + 1
+    assert max(per.values()) <= 5 and per["mega.com"] == 5
