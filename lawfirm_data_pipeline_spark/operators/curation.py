@@ -188,6 +188,38 @@ def vocab_topk(
     )
 
 
+def cross_source_overlap(
+    docs: DataFrame,
+    n: int = 5,
+    stratum: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise n-gram overlap between strata — the train/eval leakage
+    matrix (which sources share verbatim passages with which).
+
+    The index is DISTINCT (stratum, shingle): a shingle's fan-out in the
+    self-join is bounded by #strata (tens), NEVER by document count — a
+    passage shared by a billion docs of two sources is still one
+    (stratum, shingle) row per side.  One shuffle on the shingle key,
+    then a #strata²-row aggregate.  Returns (source_a, source_b,
+    n_shared_shingles) for pairs with overlap > 0.
+    """
+    toksed = docs.select(F.col(stratum), TX.tokens(F.lower(_c(text_col))).alias("toks"))
+    idx = (
+        toksed.select(F.col(stratum), F.explode(TX.shingles_of(F.col("toks"), n)).alias("sh"))
+        .distinct()
+    )
+    a = idx.select(F.col(stratum).alias("source_a"), "sh")
+    b = idx.select(F.col(stratum).alias("source_b"), "sh")
+    return (
+        a.join(b, on="sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
 def oov_stats(
     docs: DataFrame,
     vocab: DataFrame,

@@ -13,12 +13,14 @@ exact fixed-point accumulation; q100/q101 complete the multimodal
 charter (resize boundary, audio windowing + Arrow feature kernel) with
 md5-reproducible full-value oracles across the Python boundary; q102 is
 the sketch-form quantile profile (approx_percentile + exact-twin
-tolerance gate, the q50 pattern).
+tolerance gate, the q50 pattern); q103 is the cross-source
+contamination matrix (pairwise 5-gram overlap, fan-out bounded by
+#sources).
 
 Registered after m7 — outside round 3's 50-query driver window (it was
 full: 11 never-checked round-2 queries + repaired events queries + the 7
 new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
-FIRST in round 4 so q97-q102 get driver CORRECTNESS rows then; until
+FIRST in round 4 so q97-q103 get driver CORRECTNESS rows then; until
 that, tests/test_oracle_queries.py runs the identical comparison
 locally at sf0.01 (and the round's sf0.1 sweep).
 """
@@ -313,3 +315,31 @@ def q102_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_tol"),
     )
+
+
+# -- q103: cross-source contamination matrix (train/eval leakage audit)
+@query(
+    "q103_cross_source_overlap",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      list_filter(str_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS toks
+               FROM documents),
+         idx AS (SELECT DISTINCT source,
+                        array_to_string(toks[i:i+4], ' ') AS sh
+                 FROM t, unnest(generate_series(1, greatest(len(toks) - 4, 0))) AS u(i)),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                          count(*) AS n_shared_shingles
+                   FROM idx a JOIN idx b ON a.sh = b.sh AND a.source < b.source
+                   GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared_shingles FROM pairs
+    """,
+)
+def q103_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources share verbatim 5-gram passages with which — the
+    leakage audit run before declaring train/eval splits clean.  The
+    distinct (source, shingle) index bounds the self-join fan-out by
+    #sources, never document count (operators/curation.cross_source_overlap)."""
+    from ..operators.curation import cross_source_overlap
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return cross_source_overlap(docs, n=5)
