@@ -15,12 +15,13 @@ md5-reproducible full-value oracles across the Python boundary; q102 is
 the sketch-form quantile profile (approx_percentile + exact-twin
 tolerance gate, the q50 pattern); q103 is the cross-source
 contamination matrix (pairwise 5-gram overlap, fan-out bounded by
-#sources).
+#sources); q104 is a REAL stream-stream interval join (event-time
+attribution with watermark-bounded state on both sides).
 
 Registered after m7 — outside round 3's 50-query driver window (it was
 full: 11 never-checked round-2 queries + repaired events queries + the 7
 new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
-FIRST in round 4 so q97-q103 get driver CORRECTNESS rows then; until
+FIRST in round 4 so q97-q104 get driver CORRECTNESS rows then; until
 that, tests/test_oracle_queries.py runs the identical comparison
 locally at sf0.01 (and the round's sf0.1 sweep).
 """
@@ -343,3 +344,50 @@ def q103_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     return cross_source_overlap(docs, n=5)
+
+
+# -- q104: stream-stream interval join (event-time attribution)
+@query(
+    "q104_stream_stream_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, c.click_id
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.click_ts <= p.ts
+     AND c.click_ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def q104_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join: purchases attribute to the clicks
+    of the preceding hour, both sides streamed with watermarks bounding
+    join state to O(rate x window).  Drained to a memory sink and
+    compared against the batch interval join — batch/stream unification
+    for the two-stream topology (streaming/windows.py)."""
+    from ..io import load_events_stream
+    from ..streaming.windows import run_stream_to_table, stream_stream_interval_join
+
+    def build(stream):
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        joined = stream_stream_interval_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_ts="ts",
+            right_ts="click_ts",
+            lookback="1 hour",
+        )
+        return joined.select(
+            F.col("l.event_id").alias("event_id"), F.col("r.click_id").alias("click_id")
+        )
+
+    stream = load_events_stream(spark, sf_dir)
+    return run_stream_to_table(spark, stream, build, "q104_ss_join", output_mode="append")

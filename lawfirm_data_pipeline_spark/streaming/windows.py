@@ -112,6 +112,38 @@ def enriched_tumbling_counts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join on key + event-time interval:
+    ``right_ts ∈ [left_ts - lookback, left_ts]``.
+
+    The canonical attribution topology (purchase joins the clicks that
+    preceded it).  Both sides carry watermarks, so each side's join
+    state is bounded to ``watermark + lookback`` of event time —
+    O(rate × window), independent of stream length; without the range
+    condition + watermarks Spark would have to buffer both streams
+    forever.  Inner-join results emit as soon as they match (only OUTER
+    stream-stream joins are withheld until the watermark passes), so a
+    bounded replay drains completely under ``processAllAvailable``.
+    """
+    from pyspark.sql import functions as F
+
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} <= l.{left_ts} "
+        f"AND r.{right_ts} >= l.{left_ts} - INTERVAL {lookback}"
+    )
+    return l_wm.alias("l").join(r_wm.alias("r"), cond, "inner")
+
+
 def run_stream_to_table(
     spark,
     source_df_stream,
