@@ -16,12 +16,14 @@ the sketch-form quantile profile (approx_percentile + exact-twin
 tolerance gate, the q50 pattern); q103 is the cross-source
 contamination matrix (pairwise 5-gram overlap, fan-out bounded by
 #sources); q104 is a REAL stream-stream interval join (event-time
-attribution with watermark-bounded state on both sides).
+attribution with watermark-bounded state on both sides); q105 puts the
+salted hot-key aggregation under the driver gate (exact equality with
+the unsalted plan).
 
 Registered after m7 — outside round 3's 50-query driver window (it was
 full: 11 never-checked round-2 queries + repaired events queries + the 7
 new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
-FIRST in round 4 so q97-q104 get driver CORRECTNESS rows then; until
+FIRST in round 4 so q97-q105 get driver CORRECTNESS rows then; until
 that, tests/test_oracle_queries.py runs the identical comparison
 locally at sf0.01 (and the round's sf0.1 sweep).
 """
@@ -408,3 +410,44 @@ def q104_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_stream_to_table(spark, stream, build, "q104_ss_join", output_mode="append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+# -- q105: salted hot-key aggregation (driver-gated skew path)
+@query(
+    "q105_salted_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q105_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on lineitem's few, huge grouping keys
+    (the hot-key shape: ~4 distinct (returnflag, linestatus) groups own
+    the whole table).  Phase 1 spreads each key over 8 salts so no
+    reducer owns a whole group; phase 2 combines partials.  Values are
+    exactly the plain groupBy's (decomposable aggregates over exact
+    integers), so the oracle is the unsalted SQL
+    (operators/skew.salted_aggregate)."""
+    from ..operators.skew import salted_aggregate
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity_int", F.col("l_quantity").cast("long")
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n": ("count", "l_orderkey"),
+            "sum_qty": ("sum", "l_quantity_int"),
+            "first_ship": ("min", "l_shipdate"),
+            "last_ship": ("max", "l_shipdate"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "n", "sum_qty", "first_ship", "last_ship"
+    )
