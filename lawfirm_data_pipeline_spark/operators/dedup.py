@@ -494,3 +494,63 @@ def drop_duplicate_passages(
         )
         .withColumnRenamed("did", id_col)
     )
+
+
+def boilerplate_filter(
+    docs: DataFrame,
+    min_docs: int = 3,
+    passage_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: passages occurring in at least
+    ``min_docs`` DISTINCT documents are removed from EVERY document
+    (including the first occurrence — unlike ``drop_duplicate_passages``,
+    which keeps the canonical copy; boilerplate has no canonical copy
+    worth keeping).
+
+    Returns ``(id, n_passages, n_kept, text_clean)`` for documents that
+    retain at least one passage; fully-boilerplate documents drop out.
+    Reassembly preserves passage order (sort_array over (pidx, chunk)).
+
+    Scale: one explode to (doc, pidx, passage) rows; distinct-doc counts
+    per passage md5 aggregate with map-side combine (a megapopular
+    passage is one agg row); only passages CROSSING the threshold —
+    the boilerplate set, small by definition — come back, broadcast,
+    for a left_anti prune of the exploded stream.  The 100 TB scan's
+    exchange carries (hash, count) pairs, never document text.
+    """
+    from .text import chunk_tokens
+
+    p = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(
+            chunk_tokens(F.col(text_col), size=passage_tokens, overlap=0)
+        ).alias("c"),
+    ).select("did", F.col("c.chunk_idx").alias("pidx"), F.col("c.chunk").alias("chunk"))
+    hot = (
+        p.select("did", F.md5("chunk").alias("h"))
+        .groupBy("h")
+        .agg(F.count_distinct("did").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    kept = p.join(F.broadcast(hot), F.md5("chunk") == F.col("h"), "left_anti")
+    totals = p.groupBy("did").agg(F.count(F.lit(1)).alias("n_passages"))
+    return (
+        kept.groupBy("did")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .join(totals, "did")
+        .select(
+            F.col("did").alias(id_col), "n_passages", "n_kept", "text_clean"
+        )
+    )

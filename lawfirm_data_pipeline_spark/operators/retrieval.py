@@ -106,6 +106,66 @@ def bm25_scores(
     )
 
 
+def positional_postings(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional inverted-index postings: one row per (term, doc, pos).
+
+    ``terms`` restricts the postings to a term set BEFORE any exchange —
+    for phrase queries only the phrase's own words ever shuffle, so the
+    cost tracks term selectivity, not corpus size.  ``pos`` is the
+    0-based token offset (the token stream is the engine-wide
+    lowercase/whitespace convention).
+    """
+    tok = tokenized(docs, text_col=text_col, id_col=id_col)
+    posts = tok.select(
+        F.col(id_col), F.posexplode("toks").alias("pos", "term")
+    )
+    if terms is not None:
+        posts = posts.filter(F.col("term").isin(list(terms)))
+    return posts.select("term", id_col, "pos")
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrence counts per document via positional-
+    postings adjacency joins — the standard inverted-index phrase plan.
+
+    The first word's postings anchor the match; each subsequent word
+    joins on ``(doc, pos + offset)``.  Every join side is pre-filtered
+    to a single term, so these are joins between two slivers of the
+    postings list, and the join key (doc, pos) is unique per side — no
+    fan-out.  Returns ``(id, n_matches)`` for documents containing the
+    phrase at least once.
+
+    Scale: one tokenize+posexplode scan with term filter pushed below
+    the exchange, then |phrase|-1 equi-joins on (doc, pos) — each
+    shuffles only that term's postings.  A phrase of stopwords degrades
+    to the hot-token case; partial aggregation still collapses the
+    final per-doc count map-side.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_match_counts needs >= 2 words")
+    posts = positional_postings(docs, terms=list(set(phrase)), text_col=text_col, id_col=id_col)
+    anchor = (
+        posts.filter(F.col("term") == phrase[0])
+        .select(F.col(id_col), F.col("pos").alias("p0"))
+    )
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = posts.filter(F.col("term") == w).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        anchor = anchor.join(nxt, [id_col, "p0"])
+    return anchor.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

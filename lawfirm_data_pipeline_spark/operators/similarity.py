@@ -536,3 +536,96 @@ def label_centroids(
         "n",
         F.round(F.col("s").cast("double") / 1e9 / F.col("n"), 6).alias("centroid"),
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact corpus covariance matrix of the embedding column, long-form
+    upper triangle: one ``(i, j, n, cov)`` row per dimension pair
+    (i <= j) — the input every PCA / whitening / Mahalanobis consumer
+    needs, computed without ever collecting vectors to the driver.
+
+    The heavy part, sum(x_i * x_j) over all rows, runs as an Arrow
+    ``mapInPandas`` kernel: each partition quantizes its vectors to
+    micro fixed point (round-half-away, matching SQL ROUND) and emits
+    ONE d x d int64 Gram matrix via a single BLAS matmul — dim*(dim+1)/2
+    rows leave the executor regardless of row count.  Partials then
+    hash-aggregate (exact integer sums).  Dimension means come from a
+    JVM posexplode aggregate (same exact-int discipline as
+    ``label_centroids``).  Final covariance = E[xy] - E[x]E[y] evaluated
+    once per pair from exact sums, so the result is bit-stable at any
+    parallelism and reproducible in ANSI SQL.
+
+    Scale: partials are O(d^2) per partition (independent of rows);
+    the mean aggregate shuffles d rows per map task.  At 100 TB the
+    exchange carries a few thousand integers per task, nothing else.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    iu = np.triu_indices(dim)
+    part_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), False),
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("s_xy", T.LongType(), False),
+        ]
+    )
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
+            q = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+            acc += q.T @ q
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "s_xy": acc[iu]}
+            )
+
+    partials = embeddings.select(vec_col).mapInPandas(gram, part_schema)
+    sxy = partials.groupBy("i", "j").agg(F.sum("s_xy").alias("s_xy"))
+
+    means = (
+        embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
+        .select(
+            "pos",
+            F.round(F.col("x").cast("double") * 1e6).cast("long").alias("x_fp"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("x_fp").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    mi = means.select(
+        F.col("pos").alias("i"), F.col("s").alias("s_i"), F.col("n").alias("n")
+    )
+    mj = means.select(F.col("pos").alias("j"), F.col("s").alias("s_j"))
+    return (
+        sxy.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's round keeps the
+            # sign; the driver hashes the rendered string, so -0.0 != 0.0)
+            (
+                F.round(
+                    F.col("s_xy").cast("double") / F.lit(1e12) / F.col("n")
+                    - (F.col("s_i").cast("double") / F.lit(1e6) / F.col("n"))
+                    * (F.col("s_j").cast("double") / F.lit(1e6) / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )

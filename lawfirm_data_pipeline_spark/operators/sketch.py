@@ -1,0 +1,112 @@
+"""Sketch-based frequency operators: distributed Misra-Gries heavy
+hitters with an exact verification pass.
+
+Charter addition (SURVEY §2.C) over the ``documents`` table.  The
+reference has no frequency analytics at all (its only aggregation is
+Prisma ``count``/``groupBy``); a pretraining-data pipeline needs
+"which tokens/domains/templates dominate the corpus" answers WITHOUT
+shuffling every token occurrence at 100 TB.
+
+Scale posture — the whole point of this module:
+
+* ``misra_gries_candidates`` — one pass per input partition holding at
+  most ``k`` counters (classic Misra-Gries); the only data that leaves
+  an executor is ≤ k candidate rows per partition, never the token
+  stream itself.  Distributed-superset guarantee (pigeonhole over
+  partition sub-streams): any token with global frequency
+  > N/(k+1) exceeds n_p/(k+1) on at least one partition, so it
+  survives in that partition's sketch.
+* ``heavy_hitters`` — candidates (a few thousand rows at most) are
+  de-duplicated and broadcast back for ONE exact recount restricted to
+  candidate tokens: explode + broadcast semi-join + hash aggregate with
+  map-side partial combine.  Hot keys are by construction the common
+  case here, and partial aggregation collapses each to one row per map
+  task — no skewed shuffle.  Final output is EXACT (count ≥ threshold
+  over true counts), so the oracle gate is a plain GROUP BY / HAVING,
+  not a tolerance band: the sketch only prunes the candidate space.
+
+Python appears only in the per-partition sketch (`mapInPandas`, Arrow
+batches, dict counters) — the recount path is pure JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import tokens
+
+_CAND_SCHEMA = T.StructType([T.StructField("token", T.StringType(), False)])
+
+
+def misra_gries_candidates(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-partition Misra-Gries sketch → candidate token set (distinct).
+
+    ``k`` is the counter budget per partition.  Tokenization matches the
+    engine-wide convention (lowercase, whitespace split, empties
+    dropped) so the recount and the DuckDB oracle see the same tokens.
+    """
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in text.strip().lower().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all step; drop zeroed counters
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return docs.select(text_col).mapInPandas(sketch, _CAND_SCHEMA).distinct()
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    phi: float = 0.01,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokens whose EXACT corpus frequency is ≥ ``phi`` of all tokens.
+
+    Two jobs: (1) sketch pass producing candidates with counter budget
+    k = ceil(2/phi) (> 1/phi, so the superset guarantee covers the
+    threshold with slack), (2) exact recount of candidates only.
+    Returns ``(token, cnt)`` with exact counts — the sketch can only
+    prune tokens that provably cannot reach the threshold.
+    """
+    k = int(2.0 / phi) + 1
+    cands = misra_gries_candidates(docs, k, text_col, id_col)
+
+    toks = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))
+        .select("token", "cnt")
+    )

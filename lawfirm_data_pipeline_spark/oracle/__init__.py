@@ -29,10 +29,12 @@ from . import m17_retrieval_quality  # noqa: F401
 # m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# New in round 3 but past the window edge: q97 corpus composite —
-# registers FIRST in round 4 (see m18's module docstring); until then
-# the local oracle suite runs the identical comparison.
+# New in round 3 but past the window edge: q97-q105 composite/streaming
+# wave and q106-q110 frequency/index wave — these register FIRST in
+# round 4 (see m18's module docstring); until then the local oracle
+# suite runs the identical comparison.
 from . import m18_corpus_pipeline  # noqa: F401
+from . import m19_frequency_index  # noqa: F401
 
 # Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
 # events queries (q22-q25, green r1) are re-proven locally post-fix by
