@@ -1,0 +1,115 @@
+"""Behavioral event analytics: sequential funnels and cohort retention.
+
+Charter §2.C additions over the ``events`` table — the product-analytics
+queries every event warehouse runs (the reference's only event table,
+``CrmSyncEvent``, records one outcome row per company; these operators
+generalize that to the full event-stream case, SURVEY.md §2.C).
+
+Scale posture:
+
+* ``funnel_steps`` — strict-order funnel (first A, then first B after
+  it, then first C after that) computed with THREE stacked aggregate
+  windows over ONE ``partitionBy(user)`` exchange: the step-k timestamp
+  depends on step-k-1, so each is a ``min(CASE WHEN …)`` window over the
+  same partitioning — Catalyst plans a single shuffle, three Window
+  operators back-to-back, no self-joins of the event table.  The event
+  scan is pre-filtered to the funnel's own types, so the exchange never
+  carries unrelated events.
+* ``cohort_retention`` — two aggregations sharing the user_id shuffle
+  key (first-touch cohort per user, then (cohort, offset) counts); the
+  cohort table joins back on user_id co-partitioned.  No window, no
+  driver-side state; output is O(cohorts × offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-sequence funnel: users whose first ``steps[k]`` event
+    occurs AFTER their committed step-k-1 time, for every k.
+
+    Returns one row per step: ``(step_idx, step, n_users,
+    conversion)`` where conversion is the fraction of step-0 users
+    (rounded to 6; 0-user funnels yield conversion null).
+    """
+    filtered = events.select(user_col, ts_col, type_col).filter(
+        F.col(type_col).isin(list(steps))
+    )
+    w = Window.partitionBy(user_col)
+    cur = filtered
+    t_cols = []
+    for k, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if k > 0:
+            cond = cond & (F.col(ts_col) > F.col(t_cols[k - 1]))
+        tcol = f"__t{k}"
+        cur = cur.withColumn(tcol, F.min(F.when(cond, F.col(ts_col))).over(w))
+        t_cols.append(tcol)
+    per_user = cur.groupBy(user_col).agg(
+        *[F.max(t).alias(t) for t in t_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(t).alias(f"__n{k}") for k, t in enumerate(t_cols)]
+    )
+    # one tiny row -> per-step long form.  Conversion is computed INSIDE
+    # this single-row reshape: a separate base-count branch would make
+    # Catalyst re-derive the whole window pipeline a second time (plans
+    # are trees, not DAGs — a second reference duplicates the subtree).
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("step_idx"),
+                        F.lit(step).alias("step"),
+                        F.col(f"__n{k}").alias("n_users"),
+                        F.round(F.col(f"__n{k}") / F.col("__n0"), 6).alias(
+                            "conversion"
+                        ),
+                    )
+                    for k, step in enumerate(steps)
+                ]
+            )
+        ).alias("s")
+    ).select("s.step_idx", "s.step", "s.n_users", "s.conversion")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = week of a user's first event;
+    a (cohort, offset) cell counts distinct users active ``offset``
+    weeks after their cohort week.
+
+    Returns ``(cohort_week, week_offset, n_users)``.
+    """
+    firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("__first"))
+    cohorts = firsts.select(
+        user_col, F.date_trunc("week", F.col("__first")).alias("cohort_week")
+    )
+    active = events.select(
+        user_col, F.date_trunc("week", F.col(ts_col)).alias("__week")
+    )
+    return (
+        active.join(cohorts, user_col)
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.to_date("__week"), F.to_date("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(user_col).alias("n_users"))
+    )

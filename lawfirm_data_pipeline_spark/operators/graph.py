@@ -66,18 +66,33 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    endpoints = edges.select(F.col("src").alias(node_col))
     if nodes is None:
-        universe = edges.select(F.col("src").alias(node_col)).distinct()
+        universe = endpoints.distinct()
     else:
-        universe = nodes.select(F.col(nodes.columns[0]).alias(node_col)).distinct()
+        # endpoints folded in: they receive labels through propagation
+        # either way (both edge orientations are present), so declaring
+        # them up front preserves output while enabling the join-free
+        # first round below
+        universe = (
+            nodes.select(F.col(nodes.columns[0]).alias(node_col))
+            .unionByName(endpoints)
+            .distinct()
+        )
 
     labels = universe.withColumn("label", F.col(node_col))
     prev_sum = None
     superseded: list[DataFrame] = []
     for i in range(max_iters):
-        prop = edges.join(
-            labels, edges["src"] == labels[node_col]
-        ).select(F.col("dst").alias(node_col), "label")
+        if i == 0:
+            # labels are the identity map on round 0: joining edges
+            # against it is a per-round shuffle join that returns the
+            # edge list itself — skip the join, propagate src directly
+            prop = edges.select(F.col("dst").alias(node_col), F.col("src").alias("label"))
+        else:
+            prop = edges.join(
+                labels, edges["src"] == labels[node_col]
+            ).select(F.col("dst").alias(node_col), "label")
         labels = (
             labels.unionByName(prop)
             .groupBy(node_col)

