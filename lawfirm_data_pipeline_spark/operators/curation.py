@@ -262,3 +262,71 @@ def weighted_hash_keep(
     seeded ``sample()``.  Zero shuffle (scan-side filter)."""
     p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
     return df.filter(hash_bucket(key, 10_000, salt) < p * 10_000)
+
+
+def winsorized_stats(
+    df,
+    group_col: str,
+    value_col: str,
+    p_low: float = 0.01,
+    p_high: float = 0.99,
+):
+    """Per-group winsorization audit: exact interpolated percentile
+    bounds, clip counts, and the clipped mean — the outlier-robust
+    summary a curation stage applies to quality/score columns before
+    thresholding on them.
+
+    Numeric discipline: bounds come from ONE exact percentile aggregate
+    per group (Spark ``percentile`` == DuckDB ``quantile_cont``); the
+    clipped mean snaps each clipped value to micro fixed point before
+    summation, so the aggregate is an exact integer sum (order-
+    independent; the bounds themselves are deterministic scalars).
+
+    Scale: two aggregates sharing the group key — the percentile pass
+    shuffles the group's values once (at 100 TB swap to
+    ``approx_percentile`` + tolerance gate, the q50/q102 pattern), the
+    clip pass is a broadcast join of the per-group bounds back onto the
+    scan.  Output is O(groups).
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(p_low)).alias("__lo"),
+        F.percentile(value_col, F.lit(p_high)).alias("__hi"),
+    )
+    clipped = (
+        df.select(group_col, value_col)
+        .join(F.broadcast(bounds), group_col)
+        .select(
+            group_col,
+            "__lo",
+            "__hi",
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")).alias(
+                "__v"
+            ),
+            # when/otherwise (not a bool cast): a NULL value must count
+            # as 0, matching the SQL twin's CASE WHEN ... ELSE 0 END
+            F.when(F.col(value_col) < F.col("__lo"), 1).otherwise(0).cast("long").alias("__low"),
+            F.when(F.col(value_col) > F.col("__hi"), 1).otherwise(0).cast("long").alias("__high"),
+        )
+    )
+    return (
+        clipped.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("__lo"), 4).alias("p_low"),
+            F.round(F.max("__hi"), 4).alias("p_high"),
+            F.sum("__low").alias("n_clipped_low"),
+            F.sum("__high").alias("n_clipped_high"),
+            F.sum(F.round(F.col("__v") * 1e6).cast("long")).alias("__s_fp"),
+        )
+        .select(
+            group_col,
+            "n",
+            "p_low",
+            "p_high",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.round(F.col("__s_fp").cast("double") / 1e6 / F.col("n"), 4).alias(
+                "clipped_mean"
+            ),
+        )
+    )

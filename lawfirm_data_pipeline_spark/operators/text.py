@@ -383,3 +383,74 @@ def pmi_bigrams(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def bigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram model — the next fidelity step above
+    ``unigram_logprob_scores``: word salad with plausible unigrams but
+    impossible transitions scores low.
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), V = distinct
+    continuation words in the corpus bigram table (the add-one event
+    space).  Every input to the log is an exact integer; per-bigram
+    logs snap to nano fixed point before the per-doc sum (the q58/q90
+    discipline), so results are partition-order independent.
+
+    Plan: the per-doc bigram count table is built once and persisted —
+    both its consumers (corpus model derivation, per-doc scoring join)
+    read the materialization instead of re-running tokenize+explode
+    (Catalyst plans are trees; a second reference re-derives the
+    subtree).  Model tables are vocabulary-sized and broadcast.
+    """
+    tok = tokenized(docs, text_col=text_col, id_col=id_col)
+    dbc = (
+        tok.filter(F.size("toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("w1"),
+                        F.element_at(F.col("toks"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    cb = dbc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    cl = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = cb.agg(F.count_distinct("w2").alias("v"))
+    lp = (
+        cb.join(F.broadcast(cl), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("lp_fp"),
+        )
+    )
+    doc = dbc.join(F.broadcast(lp), ["w1", "w2"]).groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.col("lp_fp")).alias("s"),
+        F.sum("cnt").alias("nbig"),
+    )
+    return doc.select(
+        id_col,
+        "nbig",
+        F.round((F.col("s").cast("double") / 1e9) / F.col("nbig"), 6).alias(
+            "avg_bigram_logp"
+        ),
+    )
