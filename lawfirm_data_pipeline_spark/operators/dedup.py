@@ -142,10 +142,14 @@ def incremental_exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     fp: Column | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Dedup an incoming batch against an already-ingested corpus: drop
     new docs whose content fingerprint exists historically, then keep one
     (min-id) copy per fingerprint within the batch itself.
+
+    ``materialize=False`` keeps the whole plan lazy (used by plan tests
+    to inspect the anti-join stage; production keeps the default).
 
     This is the production shape of dedup — the corpus is never re-deduped
     from scratch; each ingest round anti-joins its (fp) set against the
@@ -164,6 +168,15 @@ def incremental_exact_dedup(
     batch_fp = new_batch.select(F.col(id_col), fp.alias("fp"))
     fresh = batch_fp.join(hist_fp, on="fp", how="left_anti")
     keep_ids = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    if materialize:
+        # materialize the (batch-bounded) survivor-id set: the final
+        # semi-join otherwise re-derives BOTH input lineages a second
+        # time inside its own plan (measured 39 scan nodes on a 3-branch
+        # union input; 3 after).  This is also the production artifact —
+        # the ingest round's dedup decision set.
+        keep_ids = keep_ids.localCheckpoint(eager=True)
+    # no broadcast hint: survivors scale with the batch — AQE picks
+    # broadcast when the materialized stats say it fits
     return new_batch.join(keep_ids, on=id_col, how="left_semi")
 
 
@@ -300,7 +313,13 @@ def lsh_candidate_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    with_bands = signatures.select(F.col(id_col).alias("did"), *band_keys)
+    # band keys materialize before the self-join: both sides would
+    # otherwise re-derive the MinHash signatures (k md5 aggregations per
+    # row) from the raw scan.  (did, band-md5 x bands) rows are ~100
+    # bytes — this IS the LSH index table a production run persists.
+    with_bands = signatures.select(
+        F.col(id_col).alias("did"), *band_keys
+    ).localCheckpoint(eager=True)
     stacked = with_bands.select(
         "did",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
@@ -373,7 +392,11 @@ def simhash_neardup_pairs(
     rotated prefixes — same plan shape).
     """
     sigs = docs.select(F.col(id_col).alias("did"), simhash_bits(text_col, bits).alias("sig"))
-    with_bucket = sigs.withColumn("bucket", F.substring("sig", 1, prefix_bits))
+    # (did, sig) rows are tiny; materializing avoids re-running the
+    # per-token majority-vote signature on both self-join sides
+    with_bucket = sigs.withColumn(
+        "bucket", F.substring("sig", 1, prefix_bits)
+    ).localCheckpoint(eager=True)
     a, b = with_bucket.alias("a"), with_bucket.alias("b")
     hamming = F.aggregate(
         F.zip_with(

@@ -47,7 +47,15 @@ def bm25_scores(
     hash-matches an ANSI-SQL twin at any parallelism.
     """
     tok = tokenized(docs, text_col=text_col, id_col=id_col)
-    # doc length table + corpus constants (one tiny row, broadcast)
+    # doc length table + corpus constants (one tiny row, broadcast).
+    # NOTE on the 5-scan lazy plan: consts and tf are each referenced
+    # twice (directly + through idf), so the lazy plan re-derives the
+    # tokenize+explode lineage per reference.  Deliberately NOT
+    # materialized: A/B at sf0.1 measured plain-lazy 0.94 s vs persist()
+    # 1.09 s vs eager checkpoint 1.21 s — re-scanning a small corpus is
+    # cheaper than cache/job management.  At production scale the tf and
+    # dl tables are PRE-BUILT index artifacts (write once, query many),
+    # which removes the duplication without per-query materialization.
     dl = tok.select(F.col(id_col), F.size("toks").alias("dl"))
     consts = dl.agg(
         F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")

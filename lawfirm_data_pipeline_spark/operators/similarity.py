@@ -456,11 +456,19 @@ def lsh_neardup_pairs(
         "n", norm(F.col("v"))
     )
     keys = _bucket_keys_arrow(n_planes, n_tables, dim)
-    vb = (
+    # materialize the keyed index ONCE before the self-join: Spark plans
+    # are trees, so both join sides would otherwise re-run the centering
+    # aggregate + Arrow matmul from the raw scan (measured 2x the key
+    # computation on every call).  Production writes this index table
+    # anyway; keys ride pre-explode so the checkpoint stores one row per
+    # vector, not per (vector, table).
+    v_keyed = (
         _with_centered(v, "v", _mean_vector(v, "v", dim))
-        .withColumn("bucket", F.explode(keys(F.col("__vc"))))
+        .withColumn("buckets", keys(F.col("__vc")))
         .drop("__vc")
+        .localCheckpoint(eager=True)
     )
+    vb = v_keyed.withColumn("bucket", F.explode("buckets")).drop("buckets")
     a, b = vb.alias("a"), vb.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
