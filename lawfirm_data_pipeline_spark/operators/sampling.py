@@ -185,3 +185,40 @@ def mixture_sample(
         .filter(bucket < F.col("_keep_frac") * 10_000)
         .drop("_sz", "_keep_frac")
     )
+
+
+def weighted_reservoir_sample(
+    df,
+    k: int,
+    key: Column | str,
+    weight: Column | str,
+    salt: str = "res",
+):
+    """Deterministic weighted sample WITHOUT replacement of exactly
+    ``k`` rows (Efraimidis–Spirakis A-ES): each row draws a
+    hash-uniform u ∈ (0, 1] from its key and is ranked by
+    ln(u) / weight; the top-k ranks are the sample.
+
+    Unlike fraction-based keeps (``weighted_hash_keep``) the output
+    size is EXACT, and unlike ``df.sample`` the membership is a pure
+    function of the key — stable across runs, partitionings, and
+    engines, so an ANSI-SQL twin reproduces it row-for-row.
+
+    Scale: ranking is one projection + a global sort-limit (Spark's
+    TakeOrderedAndProject = per-partition top-k heads merged on the
+    driver, k rows each — no full sort).  Weights must be > 0; the
+    selection key rounds to 12 decimals with an id tie-break so the
+    cut is deterministic on both engines.
+    """
+    kc = F.col(key) if isinstance(key, str) else key
+    wc = F.col(weight) if isinstance(weight, str) else weight
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), kc.cast("string"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    sel = F.round(F.log(u) / wc.cast("double"), 12)
+    return (
+        df.withColumn("sel_key", sel)
+        .orderBy(F.col("sel_key").desc(), kc)
+        .limit(k)
+    )
