@@ -113,3 +113,61 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    lookback: int = 24,
+    min_history: int = 12,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hours whose event count deviates from the trailing baseline:
+    per-type hourly counts, rolling mean/variance over the preceding
+    ``lookback`` hours, emit hours with |z| >= ``z_threshold``.
+
+    Numeric discipline: the rolling window aggregates INTEGER counts
+    (sum, sum-of-squares, n — all exact), and mean/var/z evaluate once
+    per row from those integers, so the result is deterministic and
+    SQL-reproducible — a rolling ``stddev`` window would accumulate
+    floats in frame order.
+
+    Scale: one groupBy to the hourly grid (O(types × hours) rows —
+    tiny), then one window partitioned by type.  The raw event stream
+    is touched once; everything after the first aggregate is
+    grid-sized.
+    """
+    hourly = events.groupBy(
+        F.col(type_col).alias("etype"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("etype")
+        .orderBy("bucket")
+        .rowsBetween(-lookback, -1)
+    )
+    stats = hourly.select(
+        "etype",
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.count("n").over(w).alias("m"),
+    ).filter(F.col("m") >= min_history)
+    mean = F.col("s").cast("double") / F.col("m")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("m")
+    ) / (F.col("m") - 1)
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        stats.filter(var > 0)
+        .select(
+            "etype",
+            "bucket",
+            "n",
+            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

@@ -330,3 +330,64 @@ def winsorized_stats(
             ),
         )
     )
+
+
+def token_drift_kl(
+    docs,
+    split: Column | None = None,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Per-source corpus drift: add-one-smoothed KL divergence
+    KL(P_old || P_new) between the token distributions of two document
+    populations (``split`` boolean column: True = old/A side).  The
+    monitoring query a pipeline runs when a new crawl lands — a source
+    whose language shifted screams here before any model does.
+
+    Numeric discipline: counts are exact integers; each term's
+    contribution p_a·ln(p_a/p_b) snaps to pico fixed point (1e12)
+    before the per-source integer sum, so the divergence is
+    partition-order independent and SQL-reproducible.
+
+    Scale: one tokenize+explode scan to (source, side, token) counts
+    (map-side combined), a full-outer merge of the two sides'
+    vocabularies per source, and an O(sources) output.
+    """
+    from . import text as TXm
+
+    split = split if split is not None else (F.col(id_col) % 2 == 0)
+    tok = docs.select(
+        F.col(source_col).alias("src"),
+        split.alias("is_a"),
+        F.explode(TXm.tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    counts = tok.groupBy("src", "is_a", "w").agg(F.count(F.lit(1)).alias("c"))
+    a = counts.filter("is_a").select("src", "w", F.col("c").alias("ca"))
+    b = counts.filter(~F.col("is_a")).select("src", "w", F.col("c").alias("cb"))
+    merged = a.join(b, ["src", "w"], "full_outer").select(
+        "src",
+        "w",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    per_src = merged.groupBy("src").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
+    contrib = F.round(pa * F.log(pa / pb) * 1e12).cast("long")
+    return (
+        merged.join(F.broadcast(per_src), "src")
+        .select("src", contrib.alias("k_fp"))
+        .groupBy("src")
+        .agg(F.sum("k_fp").alias("s"))
+        .join(F.broadcast(per_src.select("src", "v")), "src")
+        .select(
+            F.col("src").alias(source_col),
+            F.col("v").alias("n_terms"),
+            F.round(F.col("s").cast("double") / 1e12, 6).alias("kl"),
+        )
+    )

@@ -577,3 +577,51 @@ def boilerplate_filter(
             F.col("did").alias(id_col), "n_passages", "n_kept", "text_clean"
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shingles: int = 5,
+) -> DataFrame:
+    """DIRECTIONAL near-dup detection: pairs where document a's shingle
+    set is (almost) contained in document b's — containment
+    |A∩B| / |A| ≥ threshold.  Catches what symmetric Jaccard misses:
+    a short document pasted inside a much longer one scores near-zero
+    Jaccard but containment 1.0 (quote inclusion, subset reposts,
+    prompt-in-completion leaks).
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (the df-capped
+    candidate-generation gate applies identically at scale); emitted
+    both directions per unordered colliding pair, filtered by each
+    side's own containment.  ``min_shingles`` drops trivially-small
+    sets whose containment is noise.
+    """
+    idx = _shingle_index(docs, text_col, id_col, n).cache()
+    sizes = idx.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("da"), F.col("b.did").alias("db"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # both directions from the one unordered-common table
+    directed = common.select(
+        F.col("da").alias("ida"), F.col("db").alias("idb"), "common"
+    ).unionByName(
+        common.select(F.col("db").alias("ida"), F.col("da").alias("idb"), "common")
+    )
+    sa = sizes.select(F.col("did").alias("ida"), F.col("sz").alias("sz_a"))
+    return (
+        directed.join(sa, "ida")
+        .filter(F.col("sz_a") >= min_shingles)
+        .select(
+            "ida",
+            "idb",
+            F.round(F.col("common") / F.col("sz_a"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
