@@ -22,10 +22,12 @@ the unsalted plan).
 
 Registered after m7 — outside round 3's 50-query driver window (it was
 full: 11 never-checked round-2 queries + repaired events queries + the 7
-new m17 queries + m7's q50 value gate).  Rotation plan: m18 registers
-FIRST in round 4 so q97-q105 get driver CORRECTNESS rows then; until
-that, tests/test_oracle_queries.py runs the identical comparison
-locally at sf0.01 (and the round's sf0.1 sweep).
+new m17 queries + m7's q50 value gate).  Rotation plan: m18-m23 (q97-
+q123) register FIRST in round 4 so the whole round-3 wave gets driver
+CORRECTNESS rows then (27 queries; the remaining window slots go to
+long-proven modules in round-robin).  Until that,
+tests/test_oracle_queries.py runs the identical comparison locally at
+sf0.01 (and the round's sf0.1 sweep).
 """
 
 from __future__ import annotations
