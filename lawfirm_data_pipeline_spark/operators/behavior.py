@@ -72,7 +72,10 @@ def funnel_steps(
                         F.lit(k).alias("step_idx"),
                         F.lit(step).alias("step"),
                         F.col(f"__n{k}").alias("n_users"),
-                        F.round(F.col(f"__n{k}") / F.col("__n0"), 6).alias(
+                        # try_divide: a funnel whose first step converted
+                        # nobody yields NULL conversions (ANSI division
+                        # would throw; DuckDB's x/0 is NULL — parity)
+                        F.round(F.try_divide(F.col(f"__n{k}"), F.col("__n0")), 6).alias(
                             "conversion"
                         ),
                     )

@@ -176,3 +176,104 @@ def test_connect_or_create_idempotent(spark, tags):
     assert b1.count() == b2.count()
     # dim keys stay unique
     assert d1.count() == d1.select("name").distinct().count()
+
+
+# --- round-3 wave invariants ------------------------------------------
+
+TOKENS = st.sampled_from(["a", "b", "c", "d", "hot"])
+DOC_TEXTS = st.lists(
+    st.lists(TOKENS, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(texts=DOC_TEXTS, phi=st.sampled_from([0.05, 0.1, 0.2]))
+def test_heavy_hitters_equals_exact_filter(spark, texts, phi):
+    """MG candidates + recount == plain exact count filter, for any
+    stream and threshold — the sketch may only prune, never distort."""
+    import math
+
+    from lawfirm_data_pipeline_spark.operators.sketch import heavy_hitters
+
+    docs = df_of(spark, list(enumerate(texts)), "doc_id int, text string")
+    got = {(r.token, r.cnt) for r in heavy_hitters(docs, phi=phi).collect()}
+    toks = [t for x in texts for t in x.split()]
+    if not toks:
+        assert got == set()
+        return
+    thresh = math.ceil(phi * len(toks))
+    want = {
+        (w, toks.count(w))
+        for w in set(toks)
+        if toks.count(w) >= thresh
+    }
+    assert got == want
+
+
+@SLOW
+@given(texts=DOC_TEXTS)
+def test_cms_never_undercounts(spark, texts):
+    from lawfirm_data_pipeline_spark.operators.sketch import cms_frequency_audit
+
+    docs = df_of(spark, list(enumerate(texts)), "doc_id int, text string")
+    rows = cms_frequency_audit(docs, depth=2, width=16).collect()
+    assert all(r.within_lower for r in rows)
+
+
+@SLOW
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=20),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_weighted_reservoir_is_subset_invariant(spark, weights, k):
+    """Exact-k output (or all rows when k >= n), stable under
+    repartitioning, and a pure function of keys+weights."""
+    from lawfirm_data_pipeline_spark.operators.sampling import weighted_reservoir_sample
+
+    rows = [(i, float(w)) for i, w in enumerate(weights)]
+    df = df_of(spark, rows, "id int, w double")
+    a = [r.id for r in weighted_reservoir_sample(df, k, "id", "w").collect()]
+    b = [r.id for r in weighted_reservoir_sample(df.repartition(5), k, "id", "w").collect()]
+    assert a == b
+    assert len(a) == min(k, len(rows))
+
+
+@SLOW
+@given(texts=st.lists(st.lists(TOKENS, min_size=5, max_size=10).map(" ".join), min_size=2, max_size=6))
+def test_containment_self_and_bounds(spark, texts):
+    """Containment values lie in (0, 1]; a doc never pairs with itself."""
+    from lawfirm_data_pipeline_spark.operators.dedup import containment_pairs
+
+    docs = df_of(spark, list(enumerate(texts)), "doc_id int, text string")
+    rows = containment_pairs(docs, threshold=0.0, n=2, min_shingles=1).collect()
+    for r in rows:
+        assert r.ida != r.idb
+        assert 0.0 < r.containment <= 1.0
+
+
+@SLOW
+@given(
+    steps=st.lists(st.sampled_from(["view", "click", "purchase"]), min_size=1, max_size=6),
+    n_users=st.integers(min_value=1, max_value=5),
+)
+def test_funnel_counts_are_monotone(spark, steps, n_users):
+    """Each funnel step's user count never exceeds the previous step's,
+    for ANY event soup (strict sequencing can only lose users)."""
+    import datetime
+
+    from lawfirm_data_pipeline_spark.operators.behavior import funnel_steps
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for u in range(n_users):
+        for i, s in enumerate(steps):
+            rows.append((u, base + datetime.timedelta(hours=(u * 31 + i * 7) % 50), s))
+    df = df_of(spark, rows, "user_id int, ts timestamp, event_type string")
+    out = sorted(
+        (r.step_idx, r.n_users)
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    )
+    counts = [n for _, n in out]
+    assert counts == sorted(counts, reverse=True)
