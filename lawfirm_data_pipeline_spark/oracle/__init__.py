@@ -29,10 +29,11 @@ from . import m17_retrieval_quality  # noqa: F401
 # m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# New in round 3 but past the window edge: q97-q105 composite/streaming
-# wave and q106-q110 frequency/index wave — these register FIRST in
-# round 4 (see m18's module docstring); until then the local oracle
-# suite runs the identical comparison.
+# New in round 3 but past the window edge: m18-m23 (q97-q123, 27
+# queries) — ROUND-4 ROTATION: move these six imports to the TOP of
+# this file so they take the first 27 window slots; fill the remaining
+# 23 with the longest-unchecked proven modules.  Until then the local
+# oracle suite runs the identical comparison at sf0.01.
 from . import m18_corpus_pipeline  # noqa: F401
 from . import m19_frequency_index  # noqa: F401
 from . import m20_behavior  # noqa: F401
