@@ -222,3 +222,36 @@ def weighted_reservoir_sample(
         .orderBy(F.col("sel_key").desc(), kc)
         .limit(k)
     )
+
+
+def epoch_shuffle(
+    df,
+    epoch: int,
+    n_shards: int = 8,
+    key: Column | str = "doc_id",
+):
+    """Deterministic training-order generation for one epoch: every row
+    gets a shard and an intra-shard position, both pure functions of
+    (epoch, key) — re-running the job, changing partitioning, or
+    re-reading the corpus cannot change the training order, and each
+    epoch is an independent pseudo-random permutation.
+
+    Shard = md5 bucket of the salted key (≈ equal-count by hash
+    uniformity); position = rank of the hash WITHIN the shard.  The
+    window partitions by shard, so ordering cost is per-shard, not
+    global — at production n_shards is in the thousands and no single
+    partition sorts the corpus (the global-orderBy formulation would
+    funnel everything through one range exchange; this one never
+    materializes a total order, which training doesn't need).
+
+    Returns the input plus ``(shard, pos)``.
+    """
+    from pyspark.sql import Window
+
+    kc = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(f"epoch{epoch}|"), kc.cast("string")))
+    with_shard = df.withColumn("__h", h).withColumn(
+        "shard", F.conv(F.substring("__h", 1, 8), 16, 10).cast("long") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), kc)
+    return with_shard.withColumn("pos", F.row_number().over(w)).drop("__h")
