@@ -342,14 +342,42 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: sign → band → candidates →
-    exact-Jaccard verify.  Returns verified pairs (ida < idb, jaccard)."""
+    exact-Jaccard verify.  Returns verified pairs (ida < idb, jaccard).
+
+    The verify stage computes exact Jaccard for CANDIDATE pairs only
+    (expand each candidate by a's shingles, equi-join b's index — the
+    same bounded recount ``ngram_jaccard_pairs`` uses under ``df_cap``).
+    An earlier version joined candidates against the full all-pairs
+    exact-Jaccard table, which re-introduced the quadratic shuffle the
+    LSH gate exists to avoid.
+    """
     sigs = minhash_signatures(docs, k, n, text_col, id_col)
     cands = lsh_candidate_pairs(sigs, bands, k // bands, id_col)
-    exact = ngram_jaccard_pairs(docs, 0.0, n, text_col, id_col)
+    idx = _shingle_index(docs, text_col, id_col, n)
+    sizes = idx.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    ia = idx.select(F.col("did").alias("ida"), "sh")
+    ib = idx.select(F.col("did").alias("idb"), "sh")
+    common = (
+        cands.join(ia, "ida")
+        .join(ib, ["idb", "sh"])
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("did").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("did").alias("idb"), F.col("sz").alias("szb"))
     return (
-        cands.join(exact, ["ida", "idb"])
+        common.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            "ida",
+            "idb",
+            F.round(
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("ida", "idb", "jaccard")
     )
 
 
