@@ -1,0 +1,194 @@
+"""Whole-graph analytics over item co-occurrence graphs.
+
+`graph.py` gives dedup its transitive closure; this module adds the
+*metrics* side of graph processing — degree structure, triangle
+counting, PageRank — over a graph derived from relational data (parts
+that appear in the same order).  These are the classic "can your engine
+do graphs without a graph engine" operators: each is expressed as plain
+DataFrame joins/aggregations so Catalyst plans them like any other
+query, and each uses the standard distributed-algorithm shape for its
+problem:
+
+* **edge building** is a per-key self-join (items grouped by order);
+  the blow-up per order is C(items_per_order, 2), bounded by the
+  order-size cap the schema implies (TPC-H ~7 lines/order), never a
+  global cross join.
+* **triangle counting** uses degree orientation (each undirected edge
+  directed from its lower-(degree, id) endpoint): every wedge is
+  enumerated at its unique minimum-degree apex, so a power-law hub with
+  degree D costs O(D) oriented out-edges instead of O(D^2) wedges —
+  the difference between hours and seconds on skewed graphs [Suri &
+  Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the Last
+  Reducer"].
+* **PageRank** runs a FIXED number of synchronous iterations in pure
+  64-bit integer fixed point (pico-units): per-edge contributions are
+  ``rank_fp div degree`` (integer division) and the damping multiply is
+  ``(85 * sum) div 100`` — no float ever enters an aggregate, so the
+  result is bit-identical regardless of partitioning, and hash-checks
+  against an unrolled SQL oracle.  Three iterations is the plan-depth
+  sweet spot; production runs would checkpoint every ~5 rounds exactly
+  like `graph.connected_components`.
+
+Reference parity: the reference has no graph analytics — charter
+addition alongside SURVEY.md §2.C's dedup-graph story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAGERANK_SCALE = 10**12  # pico fixed point, matches the repo-wide discipline
+
+
+def copurchase_edges(lineitem: DataFrame, min_weight: int = 1) -> DataFrame:
+    """Undirected co-purchase edge list: (src < dst, weight = number of
+    orders containing both parts).
+
+    The self-join key is the order key, so each order contributes
+    C(distinct_parts, 2) pairs — bounded per key by order size, and the
+    groupBy that follows is map-side combinable.  ``min_weight`` prunes
+    noise edges (scale knob: weight >= 2 drops ~95% of edges on
+    uniform baskets).
+    """
+    items = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    if min_weight > 1:
+        edges = edges.filter(F.col("weight") >= min_weight)
+    return edges
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Both orientations of a canonical (src < dst) edge list, from ONE
+    evaluation of the upstream plan (array-explode, not self-union —
+    a union would run the edge build twice)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+                F.struct(F.col("dst").alias("u"), F.col("src").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes) histogram of the undirected graph.
+
+    Two map-side-combinable aggregations; output cardinality is the
+    number of DISTINCT degrees (tiny at any scale).  The skew check a
+    pipeline runs before choosing a triangle/join strategy.
+    """
+    deg = undirect(edges).groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts: (node, n_triangles) for
+    every node in at least one triangle.
+
+    Degree-oriented wedge enumeration: orient each edge from its
+    lower-(degree, id) endpoint, enumerate wedges at the apex (the
+    unique min endpoint of each triangle), close them against the
+    canonical edge set.  Work is sum(out_degree^2) with out-degrees
+    capped near sqrt(|E|) — hub-proof.  Each triangle appears exactly
+    once, then credits its three corners via a 3-way explode.
+    """
+    canon = edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = (
+        undirect(canon).groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # orient: (u -> v) iff (d_u, u) < (d_v, v); join degrees onto both
+    # endpoints of the canonical list, emit the oriented pair.
+    du = deg.select(F.col("u").alias("src"), F.col("d").alias("ds"))
+    dv = deg.select(F.col("u").alias("dst"), F.col("d").alias("dd"))
+    withd = canon.join(du, "src").join(dv, "dst")
+    oriented = withd.select(
+        F.when(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+            F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+        )
+        .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges at the apex; id-order the legs so each unordered leg pair
+    # appears once.  The closing edge is looked up in CANONICAL (src <
+    # dst) orientation, so normalize the leg pair the same way.
+    wedges = o1.join(
+        o2, (F.col("o1.u") == F.col("o2.u")) & (F.col("o1.v") < F.col("o2.v"))
+    ).select(
+        F.col("o1.u").alias("apex"),
+        F.col("o1.v").alias("x"),
+        F.col("o2.v").alias("y"),
+    )
+    tri = wedges.join(
+        canon, (F.col("x") == F.col("src")) & (F.col("y") == F.col("dst"))
+    ).select("apex", "x", "y")
+    return (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank with damping 0.85 over the undirected graph, ``iters``
+    synchronous rounds, 64-bit pico fixed point throughout.
+
+    Returns (node, rank_fp BIGINT, rank DOUBLE).  Every aggregate is an
+    integer sum of integer-division contributions, so the result is
+    independent of partitioning and row order — the property that lets
+    a distributed run hash-match a single-threaded SQL oracle, and the
+    property floating-point PageRank never has.  Total rank mass is
+    <= PAGERANK_SCALE, so 64-bit sums cannot overflow.
+
+    Per round: one shuffle join (ranks onto edge sources) + one
+    map-side-combinable groupBy sum — the minimal synchronous-PageRank
+    shape.  Node universe = edge endpoints (every node has degree >= 1;
+    dangling mass does not arise on an undirected graph).
+    """
+    und = undirect(edges).localCheckpoint(eager=True)
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # unit and base terms are derived in-plan from a broadcast one-row
+    # aggregate — no driver collect, the plan stays fully declarative.
+    unit = F.expr(f"{PAGERANK_SCALE} div n")
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "u", "d", unit.alias("r"), ((F.lit(15) * unit).cast("long")).alias("base15")
+    )
+    base = F.expr("base15 div 100")
+    for _ in range(iters):
+        contrib = (
+            und.join(ranks.select("u", F.expr("r div d").alias("c")), "u")
+            .groupBy(F.col("v").alias("u"))
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = (
+            ranks.select("u", "d", "base15")
+            .join(contrib, "u", "left")
+            .select(
+                "u",
+                "d",
+                "base15",
+                (base + F.expr("(85 * coalesce(s, 0L)) div 100")).cast("long").alias("r"),
+            )
+        )
+    # no round(): x / 1e12 on an exactly-representable integer double is
+    # IEEE-defined, so both engines produce bit-identical doubles; a
+    # round() would only add a tie-handling divergence surface.
+    return ranks.select(
+        F.col("u").alias("node"),
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
+    )
