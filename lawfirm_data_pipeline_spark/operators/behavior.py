@@ -174,3 +174,38 @@ def hourly_anomalies(
         )
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def consecutive_paths(
+    events: DataFrame, gap_minutes: int = 30, length: int = 3
+) -> DataFrame:
+    """Frequency of length-``length`` consecutive event-type paths
+    within a session (consecutive events <= ``gap_minutes`` apart).
+
+    A path-analysis query normally written as "sessionize, then window
+    over (user, session)" — two exchanges, because the session id is
+    derived.  This uses the identity that a run of consecutive events
+    lies within one gap-session iff EVERY consecutive gap inside the
+    run is under the threshold, so one ``partitionBy(user)`` window
+    (lead over type and ts) replaces sessionize-then-window: single
+    shuffle, and the output is bounded by |event_type|^length.
+    Ordering is (ts, event_id) — the repo-wide deterministic tie-break.
+    """
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cols = {"e0": F.col("event_type"), "t0": F.unix_micros(F.col("ts"))}
+    for i in range(1, length):
+        cols[f"e{i}"] = F.lead("event_type", i).over(w)
+        cols[f"t{i}"] = F.unix_micros(F.lead("ts", i).over(w))
+    runs = events.select([v.alias(k) for k, v in cols.items()])
+    in_session = F.lit(True)
+    for i in range(1, length):
+        in_session = in_session & (
+            (F.col(f"t{i}") - F.col(f"t{i-1}")) <= F.lit(gap_us)
+        )
+    return (
+        runs.filter(F.col(f"e{length-1}").isNotNull())
+        .filter(in_session)
+        .groupBy(*[f"e{i}" for i in range(length)])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )
