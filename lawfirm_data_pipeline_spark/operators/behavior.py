@@ -209,3 +209,53 @@ def consecutive_paths(
         .groupBy(*[f"e{i}" for i in range(length)])
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_minutes: int = 7 * 24 * 60,
+) -> DataFrame:
+    """Attribute each conversion's value to the most recent preceding
+    NON-conversion event within the attribution window, per user;
+    conversions with no qualifying touch attribute to 'none'.  Output:
+    (touch_type, n_conversions, value_cents).
+
+    Two IGNORE-NULLS last() windows (touch type and touch ts) over ONE
+    user partitioning — they share the frame and ordering, so they pick
+    the same row and Catalyst plans one exchange + one Window operator.
+    Value is exact cents; the final aggregate is integer.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != conversion_type, F.col("event_type"))
+    touch_ts = F.when(
+        F.col("event_type") != conversion_type, F.unix_micros(F.col("ts"))
+    )
+    gap_us = window_minutes * 60_000_000
+    tagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.last(touch, ignorenulls=True).over(w).alias("src"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("src_us"),
+    ).filter(F.col("event_type") == conversion_type)
+    attributed = tagged.select(
+        F.when(
+            F.col("src_us").isNotNull()
+            & ((F.unix_micros(F.col("ts")) - F.col("src_us")) <= gap_us),
+            F.col("src"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("touch_type"),
+        "cents",
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )

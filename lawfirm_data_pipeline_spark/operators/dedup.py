@@ -28,7 +28,7 @@ Hashes are md5-based so the DuckDB oracle can reproduce them exactly;
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles_of, tokenized
@@ -652,4 +652,82 @@ def containment_pairs(
             F.round(F.col("common") / F.col("sz_a"), 6).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard >= num/den pairs via PREFIX FILTERING (AllPairs /
+    PPJoin family [Bayardo et al., WWW'07; Xiao et al., WWW'08]) — the
+    third candidate-generation strategy next to the df-cap gate
+    (`ngram_jaccard_pairs`) and MinHash LSH (`lsh_candidate_pairs`),
+    and the only one of the three that is BOTH exact and sub-quadratic:
+
+    * rank every shingle by ascending global document frequency (ties
+      by shingle) — one small broadcastable dictionary;
+    * per document, keep only the first ``sz - ceil(tau*sz) + 1``
+      shingles in that order (the "prefix"); two sets with Jaccard >=
+      tau MUST share a prefix shingle (if they shared none, their
+      overlap is at most sz - p = ceil(tau*sz) - 1 < tau*|union|),
+      so equi-joining prefixes loses no true pair;
+    * prefixes are dominated by RARE shingles, so the candidate join
+      fans out far less than the full index self-join; verification
+      then recomputes exact Jaccard over full shingle sets, bounded by
+      the candidate list exactly as in `ngram_jaccard_pairs`.
+
+    The threshold is a rational (num/den) and the similarity gate is
+    the integer cross-multiplication ``den*common >= num*union`` — no
+    float ever decides membership.  Prefix length uses exact integer
+    ceil ``(num*sz + den - 1) div den`` (a float ``ceil(0.8*35)``
+    rounds to 29 on binary-float dust and would silently shrink
+    recall).
+    """
+    idx = _shingle_index(docs, text_col, id_col, n).cache()
+    sizes = idx.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+    freq = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rank_w = Window.partitionBy("did").orderBy("df", "sh")
+    prefix = (
+        idx.join(freq, "sh")
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .join(sizes, "did")
+        .filter(
+            F.col("rnk")
+            <= F.col("sz")
+            - F.expr(f"({threshold_num} * sz + {threshold_den} - 1) div {threshold_den}")
+            + F.lit(1)
+        )
+        .select("did", "sh")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        pa.join(pb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+        .select(F.col("a.did").alias("ida"), F.col("b.did").alias("idb"))
+        .distinct()
+    )
+    ia = idx.select(F.col("did").alias("ida"), "sh")
+    ib = idx.select(F.col("did").alias("idb"), "sh")
+    common = (
+        cands.join(ia, "ida")
+        .join(ib, ["idb", "sh"])
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("did").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("did").alias("idb"), F.col("sz").alias("szb"))
+    union = F.col("sza") + F.col("szb") - F.col("common")
+    return (
+        common.join(sa, "ida")
+        .join(sb, "idb")
+        .filter(F.lit(threshold_den) * F.col("common") >= F.lit(threshold_num) * union)
+        .select(
+            "ida",
+            "idb",
+            F.round(F.col("common").cast("double") / union, 6).alias("jaccard"),
+        )
     )

@@ -40,3 +40,32 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for c in cols
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def zone_map(df, part_expr, value_col, part_name: str = "part"):
+    """Per-partition (min, max, count) zone map over an exact-integer
+    measure — the statistics a lakehouse keeps per file/row-group for
+    data skipping.  One map-side-combinable aggregate; output
+    cardinality = number of partitions."""
+    return df.groupBy(part_expr.alias(part_name)).agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def zone_map_prune(zm, lo_bound: int, hi_bound: int):
+    """Classify each zone against a BETWEEN predicate: 'skip' (no
+    overlap — the scan never opens it), 'full' (entirely inside — rows
+    qualify without evaluating the predicate), 'partial' (must scan and
+    filter).  The skip ratio is the number a 100 TB layout audit
+    optimizes: at scale this table IS the pruning decision the reader
+    makes from footer stats, computed here explicitly so it can be
+    asserted on."""
+    return zm.select(
+        "*",
+        F.when((F.col("hi") < lo_bound) | (F.col("lo") > hi_bound), F.lit("skip"))
+        .when((F.col("lo") >= lo_bound) & (F.col("hi") <= hi_bound), F.lit("full"))
+        .otherwise(F.lit("partial"))
+        .alias("decision"),
+    )

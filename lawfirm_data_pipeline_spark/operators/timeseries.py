@@ -72,3 +72,41 @@ def resample_ffill(
         F.last("sum_micros", ignorenulls=True).over(w).alias("filled_micros"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+def state_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Collapse an event stream into effective-dated state intervals
+    (gaps-and-islands): one row per maximal run of consecutive equal
+    states per key — the SCD-2 "dimension history build" over a raw
+    change feed.
+
+    Plan: island ids are a boundary flag (state != lag(state)) summed
+    cumulatively, then one aggregate per island — all three steps share
+    the key partitioning, so Catalyst plans a SINGLE exchange.  Output
+    cardinality is the number of state runs (<= input rows).  Ordering
+    is (ts, tiebreak) per the repo-wide deterministic tie-break.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return flagged.groupBy(key_col, "island").agg(
+        F.min(state_col).alias("state"),
+        F.min(ts_col).alias("valid_from"),
+        F.max(ts_col).alias("valid_to"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
