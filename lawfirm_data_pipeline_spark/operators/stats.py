@@ -123,3 +123,127 @@ def pca_explained_variance(
         "n_components int, trace double, trace_matches_eigsum boolean, "
         "ratios_in_bounds boolean, ratios_sum_ok boolean",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    cents_col: str = "cents",
+    k: float = 4.4478,
+) -> DataFrame:
+    """Robust outlier counts per group: median / MAD on an exact-cents
+    integer column, flagging |x - median| > k * MAD (k = 3 * 1.4826
+    approximates 3 sigma under normality).
+
+    Exact percentiles on INTEGER cents keep the comparison
+    deterministic: every interpolated median lands on the half-cent
+    grid, so both engines compute identical doubles from identical
+    sorted inputs — a float value column would make median ties
+    engine-dependent.  Two grouped exact-percentile aggregates (Spark
+    sorts within each group partition); at 100 TB the same query runs
+    with approx_percentile + a tolerance gate, the exact form is the
+    oracle-friendly twin.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({cents_col}, 0.5)").alias("med_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # med/mad tables are |groups| rows — broadcast both join-backs so
+    # the event stream never reshuffles on the group key twice
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "adev", F.abs(F.col(cents_col) - F.col("med_cents"))
+    )
+    mad = dev.groupBy(group_col).agg(F.expr("percentile(adev, 0.5)").alias("mad_cents"))
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .groupBy(group_col, "n", "med_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > F.lit(k) * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(group_col, "n", "med_cents", "mad_cents", "n_outliers")
+    )
+
+
+def chisq_independence(
+    df: DataFrame, row_col: str, col_col: str, scale: int = 10**9
+) -> DataFrame:
+    """Chi-square test of independence between two categorical columns:
+    one output row (chi2, dof, n_rows).
+
+    Observed counts are one groupBy; row/column marginals are two
+    map-side-combinable re-aggregations of that contingency table (its
+    cardinality is |R|x|C|, tiny), broadcast back.  Each cell's
+    (O-E)^2/E is computed from exact integer counts in identical IEEE
+    steps on both engines, snapped to nano fixed point, and SUMMED AS
+    INTEGERS — the repo-wide trick that makes a float statistic
+    partition-order independent.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
+    cols = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct(F.col("r")).cast("long").alias("nr"),
+        F.count_distinct(F.col("c")).cast("long").alias("nc"),
+    )
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("n").cast("double")
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    snapped = F.round(contrib * F.lit(float(scale))).cast("long")
+    # densify to the full R x C grid: a zero cell contributes E to the
+    # statistic and MUST appear (groupBy alone omits it — chi2 would be
+    # silently understated exactly when association is strongest)
+    grid = rows.crossJoin(cols)
+    return (
+        grid.join(cells, ["r", "c"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tot))
+        .select(snapped.alias("k_fp"), "n", "nr", "nc")
+        .groupBy("n", "nr", "nc")
+        .agg(F.sum("k_fp").cast("long").alias("s"))
+        .select(
+            F.round(F.col("s").cast("double") / F.lit(float(scale)), 6).alias("chi2"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+
+
+def trend_slopes(
+    df: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "d",
+    count_col: str = "y",
+) -> DataFrame:
+    """Per-group OLS slope of a daily count series, from pure integer
+    co-moments: slope = (m*Sdy - Sd*Sy) / (m*Sd2 - Sd^2).
+
+    All five sums are exact 64-bit integers (day indexes ~2*10^4,
+    counts bounded by rows/day — the products stay far from overflow),
+    so the only float operation is ONE final division of two exact
+    integers: bit-identical across engines and partitionings.  One
+    map-side-combinable aggregate after the daily rollup.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(day_col).cast("long").alias("sd"),
+            F.sum(count_col).cast("long").alias("sy"),
+            F.sum(F.col(day_col) * F.col(day_col)).cast("long").alias("sd2"),
+            F.sum(F.col(day_col) * F.col(count_col)).cast("long").alias("sdy"),
+        )
+        .select(
+            group_col,
+            F.col("m").alias("n_days"),
+            (
+                (F.col("m") * F.col("sdy") - F.col("sd") * F.col("sy")).cast("double")
+                / (F.col("m") * F.col("sd2") - F.col("sd") * F.col("sd")).cast("double")
+            ).alias("slope_per_day"),
+        )
+    )

@@ -110,3 +110,44 @@ def state_intervals(
         F.max(ts_col).alias("valid_to"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def max_concurrency(
+    intervals: DataFrame,
+    group_col: str = "state",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Peak number of simultaneously-open intervals per group (the
+    "max concurrent sessions" metric), via the +1/-1 sweep: explode
+    each interval into a start(+1) and end(-1) event, running-sum in
+    time order, take the max.
+
+    Determinism under ties: at an identical timestamp, +1 events sort
+    before -1 (delta DESC), so touching intervals count as concurrent
+    and — because tied rows then all carry the SAME delta — every
+    ordering of the remaining ties yields the same prefix-sum multiset,
+    hence the same max.  The window partitions by group; for a GLOBAL
+    concurrency curve at 100 TB, the same sweep runs as the two-phase
+    distributed prefix sum used by operators/packing (chunk-local sums
+    + broadcast chunk offsets), never a single-partition window.
+    """
+    points = intervals.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.array(
+                F.struct(F.col(from_col).alias("ts"), F.lit(1).alias("delta")),
+                F.struct(F.col(to_col).alias("ts"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("g", "p.ts", "p.delta")
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.col("ts"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = points.withColumn("open", F.sum("delta").over(w))
+    return running.groupBy(F.col("g").alias(group_col)).agg(
+        F.max("open").cast("long").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
