@@ -1,0 +1,74 @@
+"""Frequent-itemset association rules over transaction baskets.
+
+Classic market-basket mining at warehouse scale: pair supports come
+from the bounded per-basket self-join (same build as
+`graph_metrics.copurchase_edges` — C(basket_size, 2) per key, never a
+global cross join), item supports and the basket count are map-side
+combinable aggregates, and the rule metrics are computed per pair from
+exact integer counts:
+
+    confidence(a -> b) = support(ab) / support(a)
+    lift(a -> b)       = support(ab) * n_baskets / (support(a) * support(b))
+
+Each is ONE float division (or one product then a division) of exact
+64-bit integers — bit-identical across engines and partitionings.
+A full Apriori/FP-Growth generalizes to k-itemsets; pairs (plus
+`graph_metrics.triangle_counts` for 3-cliques of the pair graph) cover
+the rule sizes a recommendation audit actually reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "ok",
+    item_col: str = "pk",
+    min_support: int = 3,
+) -> DataFrame:
+    """Directed rules (ante -> cons) for item pairs co-occurring in at
+    least ``min_support`` baskets.  ``baskets`` is (basket, item),
+    deduplicated by the caller or here (distinct is idempotent)."""
+    items = baskets.select(
+        F.col(basket_col).alias("ok"), F.col(item_col).alias("pk")
+    ).distinct()
+    n_baskets = items.agg(F.count_distinct("ok").cast("long").alias("nb"))
+    item_sup = items.groupBy(F.col("pk")).agg(F.count(F.lit(1)).cast("long").alias("sup"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_sup = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("x"), F.col("b.pk").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= min_support)
+    )
+    # both rule directions from one evaluation of the pair plan
+    directed = pair_sup.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x").alias("ante"), F.col("y").alias("cons"), "sup_ab"),
+                F.struct(F.col("y").alias("ante"), F.col("x").alias("cons"), "sup_ab"),
+            )
+        ).alias("r")
+    ).select("r.ante", "r.cons", "r.sup_ab")
+    sa = item_sup.select(F.col("pk").alias("ante"), F.col("sup").alias("sup_a"))
+    sb = item_sup.select(F.col("pk").alias("cons"), F.col("sup").alias("sup_b"))
+    return (
+        directed.join(sa, "ante")
+        .join(sb, "cons")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "ante",
+            "cons",
+            F.col("sup_ab").alias("support"),
+            F.round(F.col("sup_ab").cast("double") / F.col("sup_a").cast("double"), 6)
+            .alias("confidence"),
+            F.round(
+                (F.col("sup_ab") * F.col("nb")).cast("double")
+                / (F.col("sup_a") * F.col("sup_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -45,6 +45,7 @@ from . import m25_graph_metrics  # noqa: F401
 from . import m26_linkage_ivm  # noqa: F401
 from . import m27_layout_paths  # noqa: F401
 from . import m28_robust_stats  # noqa: F401
+from . import m29_mlops_market  # noqa: F401
 
 # Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
 # events queries (q22-q25, green r1) are re-proven locally post-fix by
