@@ -10,7 +10,7 @@ shuffle at any scale — and oracle-reproducible (md5 on both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -255,3 +255,43 @@ def epoch_shuffle(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__h"), kc)
     return with_shard.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+def hash_bucket_negatives(
+    positives: DataFrame,
+    items: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    n_buckets: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every user with a positive, pick the ``k`` smallest-md5 non-positive
+    items from the user's hash bucket.
+
+    The scale trick is the BUCKET EQUI-JOIN: items are bucketed by
+    ``item % n_buckets`` and each user joins only bucket ``user %
+    n_buckets`` — candidate generation is |users| x (|items| /
+    n_buckets) via a plain shuffle join, never a users x items cross
+    join (at catalog scale the cross join is the difference between a
+    map task and an impossibility).  Positives are removed with an
+    anti-join BEFORE ranking, so every emitted rank <= k is a true
+    negative; md5(user:item) ordering makes the sample reproducible
+    across runs, partitionings, and engines.
+    """
+    u = positives.select(F.col(user_col)).distinct().withColumn(
+        "bkt", F.col(user_col) % n_buckets
+    )
+    it = items.select(F.col(item_col)).distinct().withColumn(
+        "bkt", F.col(item_col) % n_buckets
+    )
+    cand = u.join(it, "bkt").drop("bkt")
+    cand = cand.join(positives.select(user_col, item_col), [user_col, item_col], "left_anti")
+    w = Window.partitionBy(user_col).orderBy(
+        F.md5(F.concat_ws(":", F.col(user_col), F.col(item_col))), F.col(item_col)
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(user_col, item_col, "rnk")
+    )

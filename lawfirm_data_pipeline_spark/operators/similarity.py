@@ -637,3 +637,67 @@ def embedding_covariance(
             ).alias("cov"),
         )
     )
+
+
+def rrf_fusion(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_candidates: int = 100,
+    k_out: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (cosine and raw inner
+    product) over the same corpus: score = sum over lists of
+    1/(rrf_k + rank), contributions only from each retriever's
+    top-``k_candidates`` [Cormack et al., SIGIR'09].
+
+    The production shape: each retriever hands over a BOUNDED top-K
+    candidate list (here both ranks come from one scored pass over the
+    broadcast-join corpus scan — two rank windows share the query_id
+    partitioning), fusion touches only the union of those lists, and
+    the final top-``k_out`` is a per-query window over <= 2K rows.
+    RRF scores are sums of 1/(60+r) for SMALL INTEGER ranks — both
+    engines compute identical doubles, so the fused ranking is
+    hash-stable, unlike fusing raw float scores.
+    """
+    c = corpus.select(F.col(id_col), _dvec(vec_col).alias("v"))
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), _dvec(vec_col).alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("qv"), F.col("v")).alias("cs"),
+            dot(F.col("qv"), F.col("v")).alias("ip"),
+        )
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(F.desc("cs"), F.col(id_col))
+    wi = Window.partitionBy(query_id_col).orderBy(F.desc("ip"), F.col(id_col))
+    ranked = scored.select(
+        query_id_col,
+        id_col,
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wi).alias("ri"),
+    ).filter((F.col("rc") <= k_candidates) | (F.col("ri") <= k_candidates))
+    rrf = (
+        F.when(F.col("rc") <= k_candidates, F.lit(1.0) / (F.lit(rrf_k) + F.col("rc"))).otherwise(F.lit(0.0))
+        + F.when(F.col("ri") <= k_candidates, F.lit(1.0) / (F.lit(rrf_k) + F.col("ri"))).otherwise(F.lit(0.0))
+    )
+    fused = ranked.withColumn("rrf_raw", rrf)
+    wf = Window.partitionBy(query_id_col).orderBy(F.desc("rrf_raw"), F.col(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= k_out)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("rrf_raw"), 6).alias("rrf"),
+            F.col("fused_rank").cast("long").alias("fused_rank"),
+        )
+    )

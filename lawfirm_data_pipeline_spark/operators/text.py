@@ -454,3 +454,41 @@ def bigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
             "avg_bigram_logp"
         ),
     )
+
+
+def bpe_first_merges(
+    docs: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """The first BPE training step: corpus-weighted adjacent character
+    pair frequencies, top ``top_n`` merge candidates.
+
+    Runs on the DISTINCT-WORD dictionary with per-word corpus
+    frequencies (the dictionary is bounded by vocabulary, not corpus
+    size — the same "dedupe the dictionary" shape as linkage), then
+    explodes each word into its length-1 adjacent pairs and sums
+    frequencies.  Top-N is orderBy+limit (TakeOrderedAndProject — a
+    per-partition heap, no global sort).  Words shorter than 2 chars
+    are filtered BEFORE the pair expansion: Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0], not an empty list.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.col("pair"))
+        .limit(top_n)
+    )
