@@ -32,9 +32,16 @@ def association_rules(
     """Directed rules (ante -> cons) for item pairs co-occurring in at
     least ``min_support`` baskets.  ``baskets`` is (basket, item),
     deduplicated by the caller or here (distinct is idempotent)."""
-    items = baskets.select(
-        F.col(basket_col).alias("ok"), F.col(item_col).alias("pk")
-    ).distinct()
+    # materialized once: the distinct basket-item table feeds THREE
+    # consumers (basket count, item supports, both sides of the pair
+    # join) — Spark plans are trees, so without the checkpoint the
+    # distinct shuffle runs once per consumer (the round-3 self-join
+    # materialization lesson, BASELINE.md)
+    items = (
+        baskets.select(F.col(basket_col).alias("ok"), F.col(item_col).alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_baskets = items.agg(F.count_distinct("ok").cast("long").alias("nb"))
     item_sup = items.groupBy(F.col("pk")).agg(F.count(F.lit(1)).cast("long").alias("sup"))
     a, b = items.alias("a"), items.alias("b")

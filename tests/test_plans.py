@@ -297,3 +297,52 @@ def test_q54_curation_scans_documents_once(spark):
 
     plan = plan_of(QUERIES["q54_curation_pipeline"](spark, SF))
     assert _n_nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_triangle_closing_join_is_shuffle_hash(spark):
+    from lawfirm_data_pipeline_spark.operators.graph_metrics import (
+        copurchase_edges,
+        triangle_counts,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    plan = plan_of(triangle_counts(copurchase_edges(li)))
+    # the ~10x-|E| wedge stream must not be SORTED for its probe join
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_round_join_broadcasts_ranks(spark):
+    from lawfirm_data_pipeline_spark.operators.graph_metrics import (
+        copurchase_edges,
+        pagerank_fixed,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    plan = plan_of(pagerank_fixed(copurchase_edges(li), iters=3))
+    # |V|-row rank table broadcast into every round's edge join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_jaccard_verify_is_candidate_bounded(spark):
+    from lawfirm_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+    from lawfirm_data_pipeline_spark.oracle._shared import planted_corpus
+
+    df = prefix_filter_jaccard_pairs(planted_corpus(spark, SF))
+    plan = plan_of(df)
+    # no cartesian anywhere: candidates come from the prefix equi-join,
+    # verification from candidate-keyed equi-joins
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_negative_sampling_is_bucket_equi_join(spark):
+    from lawfirm_data_pipeline_spark.operators.sampling import hash_bucket_negatives
+
+    pos = spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") * 3 % 40).alias("item_id")
+    )
+    items = spark.range(200).select(F.col("id").alias("item_id"))
+    plan = plan_of(hash_bucket_negatives(pos, items))
+    # users x items must meet on the bucket key, never a cross join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
