@@ -69,3 +69,24 @@ def zone_map_prune(zm, lo_bound: int, hi_bound: int):
         .otherwise(F.lit("partial"))
         .alias("decision"),
     )
+
+
+def table_checksum(df, cols: list[str], label: str):
+    """Order-independent content checksum: one row
+    (tbl, n_rows, checksum) where checksum = SUM over rows of
+    (first-8-hex-digits of the null-safe row md5) mod 1e9+7.
+
+    The replication/snapshot-equality check: integer addition commutes,
+    so any partitioning/ordering of the same multiset of rows produces
+    the same value, and two engines agree bit-for-bit (md5 and the mod
+    are exact).  Per-row residues are < 1e9, so 64-bit sums hold to
+    ~9e9 rows per table; the map-side-combined sum ships one pair per
+    partition."""
+    from .cdc import row_hash
+
+    v = F.conv(F.substring(row_hash(cols), 1, 8), 16, 10).cast("long") % 1000000007
+    return df.select(v.alias("v")).agg(
+        F.lit(label).alias("tbl"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("v").cast("long").alias("checksum"),
+    ).select("tbl", "n_rows", "checksum")

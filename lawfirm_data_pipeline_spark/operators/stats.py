@@ -247,3 +247,33 @@ def trend_slopes(
             ).alias("slope_per_day"),
         )
     )
+
+
+def impute_group_median_audit(
+    df: DataFrame, group_col: str, cents_col: str = "cents"
+) -> DataFrame:
+    """Median-impute missing values per group and audit the result:
+    (group, n_rows, n_imputed, med_cents, mean_cents_after).
+
+    The group median of INTEGER cents lands on the half-cent grid, so
+    the post-imputation sum is an exact integer in half-cent units:
+    2*sum(non-null) + n_imputed * (2*median) — mean_cents_after is one
+    division of exact integers, not a float accumulation.  Median table
+    is |groups| rows, broadcast back."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({cents_col}, 0.5)").alias("med_cents"),
+    )
+    joined = df.join(F.broadcast(med), group_col)
+    half = F.when(
+        F.col(cents_col).isNull(), F.round(F.col("med_cents") * 2).cast("long")
+    ).otherwise(F.col(cents_col) * 2)
+    return joined.groupBy(group_col, "med_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col(cents_col).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_imputed"),
+        F.round(
+            (F.sum(half).cast("double") / F.lit(2.0)) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_cents_after"),
+    ).select(group_col, "n_rows", "n_imputed", "med_cents", "mean_cents_after")

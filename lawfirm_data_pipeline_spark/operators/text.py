@@ -17,7 +17,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker vocabularies for the heuristic language id.
@@ -491,4 +491,74 @@ def bpe_first_merges(
         .agg(F.sum("freq").cast("long").alias("weight"))
         .orderBy(F.desc("weight"), F.col("pair"))
         .limit(top_n)
+    )
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Zipf's-law fit per group: OLS slope of ln(freq) against ln(rank)
+    over the token frequency table (natural corpora slope toward -1;
+    a flat or cliffy slope flags synthetic or templated text).
+
+    Rank windows run over the per-group VOCABULARY (bounded), not the
+    token stream.  Per-row ln() terms are identical IEEE calls on both
+    engines; each term is snapped to micro fixed point and the five
+    co-moment sums accumulate as decimal(38) integers (vocab-sized
+    products overflow int64), so the only engine-divergence surface is
+    the final two-integer division."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    freq = (
+        docs.select(F.col(group_col).alias("g"), F.explode(toks).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("f"), "w")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    x = F.round(F.log(F.col("r").cast("double")) * 1e6).cast("long")
+    y = F.round(F.log(F.col("f").cast("double")) * 1e6).cast("long")
+    t = ranked.select("g", x.alias("x"), y.alias("y"))
+    d38 = "decimal(38,0)"
+    agg = t.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sx2"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+    )
+    num = (F.col("m").cast(d38) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("m").cast(d38) * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("m").alias("vocab_size"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )
+
+
+def vocab_stats(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """Vocabulary health per group: token count, vocabulary size, hapax
+    count (frequency-1 types), type/token and hapax/vocab ratios — the
+    Heaps'-law inputs a corpus monitor tracks as crawls accumulate.
+    Two stacked map-side-combinable aggregations; ratios are one
+    division each of exact integers."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    freq = (
+        docs.select(F.col(group_col).alias("g"), F.explode(toks).alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return freq.groupBy(F.col("g").alias(group_col)).agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("f").cast("double"), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_ratio"),
     )

@@ -29,12 +29,12 @@ from . import m17_retrieval_quality  # noqa: F401
 # m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# New in round 3 but past the window edge: m18-m30 (q97-q147, 51
-# queries) — ROUND-4 ROTATION: move these thirteen imports to the TOP
-# of this file so they take the first 50 window slots (they overfill by
-# one; the last m30 query rides to round 5 with the proven modules).
-# Until then the local oracle suite runs the identical comparison at
-# sf0.01.
+# New in round 3 but past the window edge: m18-m31 (q97-q151, 55
+# queries) — ROUND-4 ROTATION: move these fourteen imports to the TOP
+# of this file so m18-m29 (48 queries) plus the head of m30 fill the 50
+# window slots; the m30/m31 tail rides to round 5 with the proven
+# modules.  Until then the local oracle suite runs the identical
+# comparison at sf0.01.
 from . import m18_corpus_pipeline  # noqa: F401
 from . import m19_frequency_index  # noqa: F401
 from . import m20_behavior  # noqa: F401
@@ -48,6 +48,7 @@ from . import m27_layout_paths  # noqa: F401
 from . import m28_robust_stats  # noqa: F401
 from . import m29_mlops_market  # noqa: F401
 from . import m30_fusion_sampling  # noqa: F401
+from . import m31_corpus_integrity  # noqa: F401
 
 # Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
 # events queries (q22-q25, green r1) are re-proven locally post-fix by
