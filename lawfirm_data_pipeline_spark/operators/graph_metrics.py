@@ -207,3 +207,32 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
         F.col("r").alias("rank_fp"),
         (F.col("r").cast("double") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
     )
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Minimum hop distance from a seed set, bounded at ``max_hops``
+    synchronous frontier expansions: each round joins the undirected
+    edge list against the current distance table and keeps the min —
+    the bounded-round BFS a reachability audit runs ("everything
+    within 3 hops of a flagged node").
+
+    Per round: one equi-join + one combinable groupBy-min, exactly the
+    connected-components round shape (graph.connected_components) with
+    distance instead of label; a fixed hop bound means a fixed plan
+    depth — no convergence collect.  Returns (node, dist), dist 0 for
+    seeds.
+    """
+    und = undirect(edges).localCheckpoint(eager=True)
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    for _ in range(max_hops):
+        prop = und.join(
+            F.broadcast(dist), und["u"] == dist["node"]
+        ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist
