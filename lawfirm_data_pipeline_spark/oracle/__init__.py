@@ -29,12 +29,12 @@ from . import m17_retrieval_quality  # noqa: F401
 # m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# New in round 3 but past the window edge: m18-m31 (q97-q151, 55
-# queries) — ROUND-4 ROTATION: move these fourteen imports to the TOP
-# of this file so m18-m29 (48 queries) plus the head of m30 fill the 50
-# window slots; the m30/m31 tail rides to round 5 with the proven
+# New in round 3 but past the window edge: m18-m36 (q97-q168, 72
+# queries) — ROUND-4 ROTATION: move these imports to the TOP of this
+# file so m18-m29 (48 queries) plus the head of m30 fill the 50 window
+# slots; the m30-m36 tail rotates through rounds 5-6 with the proven
 # modules.  Until then the local oracle suite runs the identical
-# comparison at sf0.01.
+# comparison at sf0.01 (and this round also ran it at sf0.1).
 from . import m18_corpus_pipeline  # noqa: F401
 from . import m19_frequency_index  # noqa: F401
 from . import m20_behavior  # noqa: F401
