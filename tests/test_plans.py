@@ -346,3 +346,23 @@ def test_negative_sampling_is_bucket_equi_join(spark):
     plan = plan_of(hash_bucket_negatives(pos, items))
     # users x items must meet on the bucket key, never a cross join
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q173_returnflag_pushed_to_scan_and_dims_broadcast(spark):
+    from lawfirm_data_pipeline_spark.oracle.m38_decision_support import (
+        q173_returned_items,
+    )
+
+    plan = plan_of(q173_returned_items(spark, SF))
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "") or "l_returnflag" in plan.split("PushedFilters")[1][:200]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q172_top10_is_bounded_heap(spark):
+    from lawfirm_data_pipeline_spark.oracle.m38_decision_support import (
+        q172_shipping_priority,
+    )
+
+    plan = plan_of(q172_shipping_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan
