@@ -17,9 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table
 from ..operators.graph_metrics import (
-    copurchase_edges,
+    copurchase_edges_for,
     degree_histogram,
     pagerank_fixed,
     triangle_counts,
@@ -63,8 +62,7 @@ def q126_copurchase_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram: per-order bounded self-join -> two map-side
     combinable aggs; output cardinality = number of distinct degrees
     (operators/graph_metrics.degree_histogram)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return degree_histogram(copurchase_edges(lineitem))
+    return degree_histogram(copurchase_edges_for(spark, sf_dir))
 
 
 # -- q127: degree-oriented triangle counting
@@ -87,8 +85,7 @@ def q127_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle uses the simple a<b<c id orientation — triangle counts
     are orientation-independent, so the hashes still match
     (operators/graph_metrics.triangle_counts)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return triangle_counts(copurchase_edges(lineitem))
+    return triangle_counts(copurchase_edges_for(spark, sf_dir))
 
 
 # -- q128: integer fixed-point PageRank, 3 synchronous rounds
@@ -115,5 +112,4 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100` — integer arithmetic end to end, so the distributed result is
     bit-identical to the single-threaded unrolled oracle
     (operators/graph_metrics.pagerank_fixed)."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return pagerank_fixed(copurchase_edges(lineitem), iters=3)
+    return pagerank_fixed(copurchase_edges_for(spark, sf_dir), iters=3)

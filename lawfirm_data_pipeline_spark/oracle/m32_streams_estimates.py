@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_events_stream, load_table
-from ..operators.graph_metrics import bfs_distances, copurchase_edges
+from ..operators.graph_metrics import bfs_distances, copurchase_edges_for
 from ..queries import query
 from ..streaming.windows import run_stream_to_table
 
@@ -285,8 +285,7 @@ def q156_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     three synchronous frontier expansions, each one equi-join + one
     combinable min — the fixed-depth reachability audit
     (operators/graph_metrics.bfs_distances)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li)
+    edges = copurchase_edges_for(spark, sf_dir)
     und_nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

@@ -65,3 +65,21 @@ def test_checksum_null_vs_empty_distinct(spark):
         table_checksum(a, ["k", "s"], "t").collect()[0]["checksum"]
         != table_checksum(b, ["k", "s"], "t").collect()[0]["checksum"]
     )
+
+
+def test_spend_decile_boundary_rule(spark, monkeypatch):
+    # 10 users with totals 1..10: thresholds at i/10 percentiles; the
+    # strictly-greater rule must put exactly one user per decile
+    import lawfirm_data_pipeline_spark.oracle.m37_distribution as m
+
+    rows = [(u, 1_700_000_000_000_000, "purchase", float(u + 1)) for u in range(10)]
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, event_type string, value double"
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_type", "value")
+    monkeypatch.setattr(m, "load_table", lambda sp, sf, n, **kw: df)
+    got = sorted(
+        (r["decile"], r["n_users"], r["min_cents"], r["max_cents"])
+        for r in m.q170_spend_deciles(spark, "unused").collect()
+    )
+    assert [g[1] for g in got] == [1] * 10
+    assert got[0] == (1, 1, 100, 100) and got[-1] == (10, 1, 1000, 1000)
