@@ -57,6 +57,7 @@ from . import m36_engagement  # noqa: F401
 from . import m37_distribution  # noqa: F401
 from . import m38_decision_support  # noqa: F401
 from . import m39_lake_gates  # noqa: F401
+from . import m40_quality_bursts  # noqa: F401
 
 # Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
 # events queries (q22-q25, green r1) are re-proven locally post-fix by
