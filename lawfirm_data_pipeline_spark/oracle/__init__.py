@@ -29,7 +29,7 @@ from . import m17_retrieval_quality  # noqa: F401
 # m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# New in round 3 but past the window edge: m18-m36 (q97-q168, 72
+# New in round 3 but past the window edge: m18-m40 (q97-q178, 82
 # queries) — ROUND-4 ROTATION: move these imports to the TOP of this
 # file so m18-m29 (48 queries) plus the head of m30 fill the 50 window
 # slots; the m30-m36 tail rotates through rounds 5-6 with the proven
