@@ -62,7 +62,7 @@ def q111_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
          c AS (SELECT user_id, date_trunc('week', first_ts) AS cohort_week FROM firsts),
          a AS (SELECT user_id, date_trunc('week', ts) AS w FROM events)
-    SELECT c.cohort_week,
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
            CAST(date_diff('day', CAST(c.cohort_week AS DATE), CAST(a.w AS DATE)) / 7
                 AS BIGINT) AS week_offset,
            CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
