@@ -731,3 +731,109 @@ def prefix_filter_jaccard_pairs(
             F.round(F.col("common").cast("double") / union, 6).alias("jaccard"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    per-position k-gram hashes, then the min hash of every w-length
+    hash window, distinct per doc -> ``(doc_id, fp)``.
+
+    This is the SUBSTRING-level dup detector the set-based family
+    (Jaccard/MinHash/SimHash) can't be: a paragraph pasted into an
+    otherwise-different document shares a run of k-gram hashes, and
+    winnowing guarantees at least one fingerprint per shared run
+    longer than w + k - 1 tokens.  MOSS runs on exactly this scheme.
+
+    Scale shape: everything through fingerprint selection is a
+    projection (token array -> hash array -> window-min array ->
+    explode distinct), no shuffle until the (doc_id, fp) groupBy.
+    Hashes are 60-bit md5 prefixes so the DuckDB oracle reproduces
+    them bit-for-bit (the q160 convention).
+    """
+    t = tokenized(docs, text_col=text_col, id_col=id_col)
+    gram_idx = F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    hashes = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            gram_idx,
+            lambda i: F.conv(
+                F.substring(F.md5(F.array_join(F.slice(F.col("toks"), i, k), " ")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    h = t.select(id_col, hashes.alias("h"))
+    win_idx = F.sequence(F.lit(1), F.size("h") - (w - 1))
+    fps = (
+        F.when(
+            F.size("h") >= w,
+            F.array_distinct(
+                F.transform(win_idx, lambda i: F.array_min(F.slice(F.col("h"), i, w)))
+            ),
+        )
+        .when(F.size("h") > 0, F.array(F.array_min("h")))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return h.select(id_col, F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    max_doc_freq: int = 50,
+    min_overlap_num: int = 1,
+    min_overlap_den: int = 2,
+) -> DataFrame:
+    """Doc pairs sharing winnowed fingerprints: ``(doc_a, doc_b,
+    shared_fps, overlap)`` where overlap = shared / min(|A|, |B|)
+    (containment-style: a short doc fully pasted into a long one
+    scores ~1.0 regardless of the length ratio).
+
+    Fingerprints hitting more than ``max_doc_freq`` docs are dropped
+    before pairing (boilerplate guard — the df-cap that keeps the
+    self-join linear-ish, same discipline as ngram_jaccard_pairs);
+    the overlap DENOMINATOR stays the pre-cap per-doc count so a
+    boilerplate-heavy doc can't inflate its ratio by losing mass from
+    both sides of the fraction.  Threshold is exact rational
+    (num/den), applied before the one rounded output column.
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k=k, w=w).localCheckpoint(
+        eager=False
+    )
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("nf"))
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_doc_freq
+    )
+    xs = fps.join(keep.select("fp"), "fp")
+    xa = xs.select(F.col(id_col).alias("doc_a"), "fp")
+    xb = xs.select(F.col(id_col).alias("doc_b"), "fp")
+    shared = (
+        xa.join(xb, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("nf").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("nf").alias("nb"))
+    mn = F.least(F.col("na"), F.col("nb"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.lit(min_overlap_den) * F.col("shared_fps") >= F.lit(min_overlap_num) * mn)
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(F.col("shared_fps").cast("double") / mn, 6).alias("overlap"),
+        )
+    )
