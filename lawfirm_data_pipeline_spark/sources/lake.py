@@ -79,6 +79,19 @@ def read_latest(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
 
 
+def read_version(spark: SparkSession, table_dir: str, version: int) -> DataFrame:
+    """Time-travel read of a specific committed-or-staged version.
+
+    Version dirs are immutable once written, so any retained version is
+    readable forever (until ``vacuum`` reclaims it) — the AS OF
+    semantics Delta/Iceberg expose, at pointer-file cost (gated by
+    q206)."""
+    path = os.path.join(table_dir, f"v={version}")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"version {version} not found in {table_dir}")
+    return spark.read.parquet(path)
+
+
 def commit_many(staged: dict[str, int]) -> None:
     """$transaction for table mutations: publish several staged versions
     together.  All data is already durable before the first flip; the
