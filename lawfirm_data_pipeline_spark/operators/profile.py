@@ -9,7 +9,7 @@ switch the same shape to approx_count_distinct.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -90,3 +90,22 @@ def table_checksum(df, cols: list[str], label: str):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("v").cast("long").alias("checksum"),
     ).select("tbl", "n_rows", "checksum")
+
+
+def morton_code(x: Column | str, y: Column | str, bits: int = 10) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-bit non-negative
+    ints: bit i of x lands at position 2i, bit i of y at 2i+1.
+
+    The space-filling-curve sort key that makes ONE physical order
+    serve range predicates on BOTH dimensions — the lakehouse
+    multi-dimensional clustering trick (Delta/Iceberg OPTIMIZE
+    ZORDER).  Pure bit arithmetic, fully inside codegen; q209 measures
+    what it buys against a one-dimensional sort via zone-map pruning.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        out = out + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return out
