@@ -1,0 +1,214 @@
+"""M52 — shard-placement and skew-planning ops (round 3 continuation).
+
+SURVEY §2.A28 replaced the reference's @effect/cluster sharding with
+Spark scheduling; these queries cover the two placement computations a
+data platform still owns above the scheduler:
+
+* q210 — consistent-hash reshard audit: when the shard count grows
+  8 -> 9, what fraction of keys move under a 64-vnode hash ring vs
+  naive ``key mod n``?  The ring's ~1/9 vs mod's ~8/9 is THE reason
+  consistent hashing exists; this measures it on real keys.
+* q211 — shuffle-skew salting planner: per-key shuffle share from one
+  count aggregate, and the salt factor each hot key needs to fit a
+  target partition budget — the number q157's salted join takes as
+  input, derived instead of guessed.
+
+Registered after m51 — outside round 3's 50-query window (round-4
+rotation note in ``oracle/__init__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..queries import query
+
+_VNODES = 64
+_RING = 1 << 32
+
+
+def _pos_sql(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 8))::BIGINT"
+
+
+# -- q210: consistent-hash vs mod resharding, moved-key audit
+@query(
+    "q210_reshard_audit",
+    f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         kpos AS (SELECT k, {_pos_sql("'key:' || CAST(k AS VARCHAR)")} AS pos
+                  FROM keys),
+         vn AS (SELECT s.shard, v.v,
+                       {_pos_sql("'vn:' || CAST(s.shard AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)")}
+                         AS pos
+                FROM (SELECT unnest(generate_series(0, 8)) AS shard) s,
+                     (SELECT unnest(generate_series(0, {_VNODES - 1})) AS v) v),
+         ring8 AS (SELECT pos, shard FROM vn WHERE shard < 8),
+         ring9 AS (SELECT pos, shard FROM vn),
+         a8 AS (SELECT k.k,
+                       coalesce((SELECT r.shard FROM ring8 r WHERE r.pos >= k.pos
+                                 ORDER BY r.pos, r.shard LIMIT 1),
+                                (SELECT r.shard FROM ring8 r
+                                 ORDER BY r.pos, r.shard LIMIT 1)) AS shard
+                FROM kpos k),
+         a9 AS (SELECT k.k,
+                       coalesce((SELECT r.shard FROM ring9 r WHERE r.pos >= k.pos
+                                 ORDER BY r.pos, r.shard LIMIT 1),
+                                (SELECT r.shard FROM ring9 r
+                                 ORDER BY r.pos, r.shard LIMIT 1)) AS shard
+                FROM kpos k),
+         ch AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN a8.shard != a9.shard THEN 1 ELSE 0 END)
+                            AS BIGINT) AS moved
+                FROM a8 JOIN a9 USING (k)),
+         md AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN k % 8 != k % 9 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS moved
+                FROM keys)
+    SELECT 'consistent' AS strategy, n, moved,
+           round(CAST(moved AS DOUBLE) / n, 6) AS moved_share
+    FROM ch
+    UNION ALL
+    SELECT 'mod', n, moved, round(CAST(moved AS DOUBLE) / n, 6) FROM md
+    """,
+)
+def q210_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys and vnodes hash onto a 2^32 ring (md5 positions); a key
+    belongs to the first vnode clockwise.  The Spark plan resolves
+    "first vnode >= position" sort-free: the ring is ~600 entries, so
+    it rides as a sorted-array literal and each key folds over it once
+    inside codegen — no per-key subquery, no join explosion (the
+    DuckDB oracle states the same rule as correlated subqueries,
+    affordable at oracle scale).
+    Growing 8->9 shards moves ~1/9 of keys on the ring and ~8/9 under
+    mod — the measured case for stable-hash placement."""
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    kpos = keys.select(
+        "k",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("key:"), F.col("k").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long").alias("pos"),
+    )
+
+    def ring(n_shards: int) -> list[tuple[int, int]]:
+        import hashlib
+
+        vns = []
+        for shard in range(n_shards):
+            for v in range(_VNODES):
+                h = int(hashlib.md5(f"vn:{shard}:{v}".encode()).hexdigest()[:8], 16)
+                vns.append((h, shard))
+        # sort by (pos, shard) — ties resolved identically to the oracle
+        return sorted(vns)
+
+    def assign(n_shards: int, out_name: str) -> DataFrame:
+        # ring as ONE broadcast row of parallel arrays: the array is
+        # materialized on the build side, not rebuilt per key (the
+        # q183 literal-array lesson — per-row F.array(640 lits)
+        # measured 5.6 s for this query, this form 2.8 s)
+        vns = ring(n_shards)
+        ringdf = spark.createDataFrame(
+            [([p for p, _ in vns], [s for _, s in vns])],
+            "rpos array<long>, rshard array<int>",
+        )
+        # min (pos, shard) among vnodes clockwise of the key; array_min
+        # skips nulls, and the coalesce wraps around to the ring start
+        cand = F.array_min(
+            F.zip_with(
+                "rpos",
+                "rshard",
+                lambda p, s: F.when(
+                    p >= F.col("pos"), F.struct(p.alias("p"), s.alias("s"))
+                ),
+            )
+        )
+        wrap = F.array_min(
+            F.zip_with("rpos", "rshard", lambda p, s: F.struct(p.alias("p"), s.alias("s")))
+        )
+        return kpos.crossJoin(F.broadcast(ringdf)).select(
+            "k", F.coalesce(cand["s"], wrap["s"]).alias(out_name)
+        )
+
+    a8 = assign(8, "s8")
+    a9 = assign(9, "s9")
+    ch = (
+        a8.join(a9, "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("s8") != F.col("s9")).cast("int")).cast("long").alias("moved"),
+        )
+        .select(
+            F.lit("consistent").alias("strategy"),
+            "n",
+            "moved",
+            F.round(F.col("moved") / F.col("n"), 6).alias("moved_share"),
+        )
+    )
+    md = keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(((F.col("k") % 8) != (F.col("k") % 9)).cast("int"))
+        .cast("long")
+        .alias("moved"),
+    ).select(
+        F.lit("mod").alias("strategy"),
+        "n",
+        "moved",
+        F.round(F.col("moved") / F.col("n"), 6).alias("moved_share"),
+    )
+    return ch.unionByName(md)
+
+
+# -- q211: shuffle-skew salting planner
+@query(
+    "q211_salt_planner",
+    """
+    WITH c AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                      CAST(count(*) AS BIGINT) AS n_keys
+               FROM c),
+         b AS (SELECT CAST(ceil(CAST(t.total AS DOUBLE) / 32 / 4) AS BIGINT)
+                 AS budget FROM t)
+    SELECT c.key, c.cnt,
+           round(CAST(c.cnt AS DOUBLE) / t.total, 6) AS share,
+           CAST(ceil(CAST(c.cnt AS DOUBLE) / b.budget) AS BIGINT) AS salt_factor
+    FROM c, t, b
+    WHERE c.cnt > b.budget
+    """,
+)
+def q211_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which shuffle keys exceed a per-partition row budget (total /
+    32 partitions / 4 safety), and the salt factor that splits each
+    back under it — q157's salted join takes this as its input.  One
+    combinable count aggregate; the planner algebra runs on the hot-key
+    summary only, so 'derive the salt map' costs one scan at any
+    fact size."""
+    c = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    withb = c.crossJoin(F.broadcast(t)).withColumn(
+        "budget", F.ceil(F.col("total").cast("double") / 32 / 4).cast("long")
+    )
+    return (
+        withb.filter(F.col("cnt") > F.col("budget"))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.ceil(F.col("cnt").cast("double") / F.col("budget"))
+            .cast("long")
+            .alias("salt_factor"),
+        )
+    )
