@@ -29,7 +29,7 @@ from . import m17_retrieval_quality  # noqa: F401
 # m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# New in round 3 but past the window edge: m18-m58 (q97-q221, 125
+# New in round 3 but past the window edge: m18-m59 (q97-q222, 126
 # queries) — ROUND-4 ROTATION: move these imports to the TOP of this
 # file so m18-m29 (48 queries) plus the head of m30 fill the 50 window
 # slots; the m30-m36 tail rotates through rounds 5-6 with the proven
@@ -76,6 +76,7 @@ from . import m55_segmentation  # noqa: F401
 from . import m56_survival  # noqa: F401
 from . import m57_fraud_ltv  # noqa: F401
 from . import m58_textrank  # noqa: F401
+from . import m59_reconciliation  # noqa: F401
 
 # Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
 # events queries (q22-q25, green r1) are re-proven locally post-fix by
