@@ -30,11 +30,13 @@ from . import m17_retrieval_quality  # noqa: F401
 from . import m7_analytics  # noqa: F401
 
 # New in round 3 but past the window edge: m18-m59 (q97-q222, 126
-# queries) — ROUND-4 ROTATION: move these imports to the TOP of this
-# file so m18-m29 (48 queries) plus the head of m30 fill the 50 window
-# slots; the m30-m36 tail rotates through rounds 5-6 with the proven
-# modules.  Until then the local oracle suite runs the identical
-# comparison at sf0.01 (and this round also ran it at sf0.1).
+# queries) — ROTATION PLAN (50-slot windows): round 4 moves m18-m29
+# (48 queries) + the head of m30 to the TOP of this file; round 5
+# front-loads the m30-m43 remainder; round 6 front-loads m44-m59.
+# After round 6 every registered query has a driver CORRECTNESS row.
+# Until then the local oracle suite runs the identical comparison —
+# every query here is green at BOTH sf0.01 and sf0.1 (BASELINE.md
+# two-scale records).
 from . import m18_corpus_pipeline  # noqa: F401
 from . import m19_frequency_index  # noqa: F401
 from . import m20_behavior  # noqa: F401
