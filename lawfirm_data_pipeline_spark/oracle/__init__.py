@@ -29,10 +29,10 @@ from . import m17_retrieval_quality  # noqa: F401
 # m7's 10 queries close the window at exactly 50.
 from . import m7_analytics  # noqa: F401
 
-# New in round 3 but past the window edge: m18-m59 (q97-q222, 126
+# New in round 3 but past the window edge: m18-m60 (q97-q223, 127
 # queries) — ROTATION PLAN (50-slot windows): round 4 moves m18-m29
 # (48 queries) + the head of m30 to the TOP of this file; round 5
-# front-loads the m30-m43 remainder; round 6 front-loads m44-m59.
+# front-loads the m30-m43 remainder; round 6 front-loads m44-m60.
 # After round 6 every registered query has a driver CORRECTNESS row.
 # Until then the local oracle suite runs the identical comparison —
 # every query here is green at BOTH sf0.01 and sf0.1 (BASELINE.md
@@ -79,6 +79,7 @@ from . import m56_survival  # noqa: F401
 from . import m57_fraud_ltv  # noqa: F401
 from . import m58_textrank  # noqa: F401
 from . import m59_reconciliation  # noqa: F401
+from . import m60_psi  # noqa: F401
 
 # Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
 # events queries (q22-q25, green r1) are re-proven locally post-fix by
