@@ -2,74 +2,78 @@
 
 Import order IS registration order, and the driver's correctness gate
 evaluates the first 50 entries of ``queries()`` dict order.  Rotation
-history: round 1 checked m0..m7-head in build order; round 2 rotated the
-then-unchecked m8-m13 + new m14-m16 heads in.  Round 3 (this order)
-front-loads (a) the 11 never-checked round-2 queries q79-q89, (b) every
-events-table query repaired by the timestamp-unit fix (q51/q52 in m8,
-q63 in m11, q70 in m12, q22-q25 in m5), and (c) q50's new value gate in
-m7 — so every registered query has at least one green CORRECTNESS row
-across r1-r3.
+history: round 1 checked m0..m7-head in build order; round 2 rotated
+m8-m13 + new m14-m16 heads in; round 3 front-loaded the never-checked
+q79-q89, the events-ts-repaired families, and q50's new value gate.
+
+ROUND 4 (this order) front-loads exactly 50 never-driver-checked
+queries, biased by ARCHITECTURAL RISK per the r3 verdict (#1/#2): the
+families where a driver-box/session-state divergence could hide from a
+scalar groupBy go first — Spark-4 native surfaces (q202-q204), lake /
+format / IO gates (q175/q176, q197/q198, q205-q207), streaming
+(q104, q110, q152), iterative graph (q126-q128, q156, q208, q221) —
+then the m18-m24 corpus/stats waves, closing with q223 at slot 50.
+
+Round 5 plan: front-load m26-m31 + m33-m38 + m40-m45 + m47 +
+m51-m57 + m59 (the remaining 50 never-checked queries, q129-q151,
+q157-q174, q177-q196, q199-q201, q209-q220, q222).  After round 5
+every query registered through round 3 has a driver CORRECTNESS row;
+round 6 windows go to round-4/5-era additions and regression re-checks.
+Until a query's round arrives, the local oracle suite
+(tests/test_oracle_queries.py) runs the identical comparison — every
+registered query is green at BOTH sf0.01 and sf0.1 (BASELINE.md
+two-scale records).
 """
 
-# Never driver-checked (registered round 2, outside that round's window).
-from . import m14_curation  # noqa: F401  q76-q80 (q79/q80 unchecked)
-from . import m15_scale_ops  # noqa: F401  q81-q86 all unchecked
-from . import m16_weburl  # noqa: F401  q87-q89 all unchecked
+# --- Round-4 window: slots 1-50, all first-ever driver rows ---------------
 
-# Repaired by the events-ts fix this round — need fresh driver rows.
-from . import m8_training_ops  # noqa: F401  q51 (tie-break change), q52
-from . import m11_sql_kit  # noqa: F401  q63
-from . import m12_graph_timeseries  # noqa: F401  q70
+# Highest environment risk first: Spark-4 native surfaces (Python
+# DataSource, UDTF, VariantType), then lake/format/IO round-trips.
+from . import m48_spark4_native  # noqa: F401  q202-q204 (3)
+from . import m39_lake_gates  # noqa: F401  q175-q176 (2)
+from . import m46_formats  # noqa: F401  q197-q198 (2)
+from . import m49_mdm_timetravel  # noqa: F401  q205-q207 (3)
 
-# New in round 3: retrieval + corpus-quality ops (q90-q96) — in-window
-# from day one so they don't repeat round 2's unverified-query gap.
-from . import m17_retrieval_quality  # noqa: F401
+# Streaming + estimate family (q152 stream-history dedup, q156 BFS).
+from . import m32_streams_estimates  # noqa: F401  q152-q156 (5)
 
-# Changed this round: q50 promoted from rows-only to a value gate.
-# m7's 10 queries close the window at exactly 50.
-from . import m7_analytics  # noqa: F401
+# Iterative graph family (triangle/pagerank + recursive/fixed-point).
+from . import m25_graph_metrics  # noqa: F401  q126-q128 (3)
 
-# New in round 3 but past the window edge: m18-m60 (q97-q223, 127
-# queries) — ROTATION PLAN (50-slot windows): round 4 moves m18-m29
-# (48 queries) + the head of m30 to the TOP of this file; round 5
-# front-loads the m30-m43 remainder; round 6 front-loads m44-m60.
-# After round 6 every registered query has a driver CORRECTNESS row.
-# Until then the local oracle suite runs the identical comparison —
-# every query here is green at BOTH sf0.01 and sf0.1 (BASELINE.md
-# two-scale records).
-from . import m18_corpus_pipeline  # noqa: F401
-from . import m19_frequency_index  # noqa: F401
-from . import m20_behavior  # noqa: F401
-from . import m21_integrity_lm  # noqa: F401
-from . import m22_sketch_stats  # noqa: F401
-from . import m23_drift_anomaly  # noqa: F401
-from . import m24_training_order  # noqa: F401
-from . import m25_graph_metrics  # noqa: F401
+# Corpus/stats waves m18-m24 (q97-q125; q104/q110 are streaming).
+from . import m18_corpus_pipeline  # noqa: F401  q97-q105 (9)
+from . import m19_frequency_index  # noqa: F401  q106-q110 (5)
+from . import m20_behavior  # noqa: F401  q111-q113 (3)
+from . import m21_integrity_lm  # noqa: F401  q114-q117 (4)
+from . import m22_sketch_stats  # noqa: F401  q118-q120 (3)
+from . import m23_drift_anomaly  # noqa: F401  q121-q123 (3)
+from . import m24_training_order  # noqa: F401  q124-q125 (2)
+
+# Remaining iterative/fixed-point singletons + round-3 closer.
+from . import m50_recursive  # noqa: F401  q208 (1)
+from . import m58_textrank  # noqa: F401  q221 (1)
+from . import m60_psi  # noqa: F401  q223 (1)  — window closes at 50
+
+# --- Past the window: round-5 rotation targets (never driver-checked) -----
 from . import m26_linkage_ivm  # noqa: F401
 from . import m27_layout_paths  # noqa: F401
 from . import m28_robust_stats  # noqa: F401
 from . import m29_mlops_market  # noqa: F401
 from . import m30_fusion_sampling  # noqa: F401
 from . import m31_corpus_integrity  # noqa: F401
-from . import m32_streams_estimates  # noqa: F401
 from . import m33_skew_layout  # noqa: F401
 from . import m34_experiments  # noqa: F401
 from . import m35_eval_chunking  # noqa: F401
 from . import m36_engagement  # noqa: F401
 from . import m37_distribution  # noqa: F401
 from . import m38_decision_support  # noqa: F401
-from . import m39_lake_gates  # noqa: F401
 from . import m40_quality_bursts  # noqa: F401
 from . import m41_mixture_card  # noqa: F401
 from . import m42_cluster_bloom  # noqa: F401
 from . import m43_governance_stats  # noqa: F401
 from . import m44_seasonal_privacy  # noqa: F401
 from . import m45_estimation  # noqa: F401
-from . import m46_formats  # noqa: F401
 from . import m47_windows_ooo  # noqa: F401
-from . import m48_spark4_native  # noqa: F401
-from . import m49_mdm_timetravel  # noqa: F401
-from . import m50_recursive  # noqa: F401
 from . import m51_zorder  # noqa: F401
 from . import m52_sharding  # noqa: F401
 from . import m53_interval_join  # noqa: F401
@@ -77,23 +81,26 @@ from . import m54_linkpred_expect  # noqa: F401
 from . import m55_segmentation  # noqa: F401
 from . import m56_survival  # noqa: F401
 from . import m57_fraud_ltv  # noqa: F401
-from . import m58_textrank  # noqa: F401
 from . import m59_reconciliation  # noqa: F401
-from . import m60_psi  # noqa: F401
 
-# Proven green (r1 or r2) and unchanged: rotate to the back.  m5's
-# events queries (q22-q25, green r1) are re-proven locally post-fix by
-# pytest + the oracle suite; the window slots went to the never-checked
-# q90-q96 instead.
-from . import m5_streaming  # noqa: F401
+# --- Proven green in r1-r3 and unchanged: rotated to the back -------------
 from . import m0_flagship  # noqa: F401
-from . import m4_scalar  # noqa: F401
 from . import m1_query_layer  # noqa: F401
 from . import m2_relations  # noqa: F401
 from . import m3_mutations  # noqa: F401
+from . import m4_scalar  # noqa: F401
+from . import m5_streaming  # noqa: F401
 from . import m6_text  # noqa: F401
 from . import m6_dedup  # noqa: F401
 from . import m6_similarity  # noqa: F401
+from . import m7_analytics  # noqa: F401
+from . import m8_training_ops  # noqa: F401
 from . import m9_raw_sql  # noqa: F401
 from . import m10_profiling  # noqa: F401
+from . import m11_sql_kit  # noqa: F401
+from . import m12_graph_timeseries  # noqa: F401
 from . import m13_query_surface  # noqa: F401
+from . import m14_curation  # noqa: F401
+from . import m15_scale_ops  # noqa: F401
+from . import m16_weburl  # noqa: F401
+from . import m17_retrieval_quality  # noqa: F401
