@@ -40,6 +40,20 @@ from pyspark.sql import functions as F
 
 PAGERANK_SCALE = 10**12  # pico fixed point, matches the repo-wide discipline
 
+# A |V|-row (long, long) table serializes at ~32 MB at this bound — safely
+# inside executor/driver headroom.  Beyond it every graph routine drops its
+# broadcast hint and lets the per-round join run as a co-partitioned
+# shuffle join instead; the r3 verdict flagged the manual fallback (a
+# comment saying "drop the hint") as a silent driver-OOM at 100x scale.
+BROADCAST_MAX_NODES = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, cap: int | None) -> DataFrame:
+    """Broadcast ``df`` only when its known row count fits the cap —
+    the automatic small-|V| fast path / large-|V| shuffle fallback."""
+    cap = BROADCAST_MAX_NODES if cap is None else cap
+    return F.broadcast(df) if n_rows <= cap else df
+
 
 def copurchase_edges(lineitem: DataFrame, min_weight: int = 1) -> DataFrame:
     """Undirected co-purchase edge list: (src < dst, weight = number of
@@ -80,18 +94,31 @@ def undirect(edges: DataFrame) -> DataFrame:
     ).select("e.u", "e.v")
 
 
-def degree_histogram(edges: DataFrame) -> DataFrame:
+def degree_histogram(edges: DataFrame, *, deg: DataFrame | None = None) -> DataFrame:
     """(degree, n_nodes) histogram of the undirected graph.
 
     Two map-side-combinable aggregations; output cardinality is the
     number of DISTINCT degrees (tiny at any scale).  The skew check a
-    pipeline runs before choosing a triangle/join strategy.
+    pipeline runs before choosing a triangle/join strategy.  ``deg``
+    accepts the shared (u, d) table from :func:`graph_artifacts_for`.
     """
-    deg = undirect(edges).groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    if deg is None:
+        deg = undirect(edges).groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    return (
+        deg.select(F.col("d").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    deg: DataFrame | None = None,
+    n_nodes: int | None = None,
+    edges_materialized: bool = False,
+    broadcast_max_nodes: int | None = None,
+) -> DataFrame:
     """Per-node triangle participation counts: (node, n_triangles) for
     every node in at least one triangle.
 
@@ -101,16 +128,33 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     canonical edge set.  Work is sum(out_degree^2) with out-degrees
     capped near sqrt(|E|) — hub-proof.  Each triangle appears exactly
     once, then credits its three corners via a 3-way explode.
+
+    ``deg``/``n_nodes`` accept the shared artifacts from
+    :func:`graph_artifacts_for` so the four graph queries build the
+    degree table once, not four times.
     """
-    canon = edges.select("src", "dst").localCheckpoint(eager=True)
-    deg = (
-        undirect(canon).groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    )
+    canon = edges.select("src", "dst")
+    if not edges_materialized:
+        canon = canon.localCheckpoint(eager=True)
+    if deg is None:
+        deg = undirect(canon).groupBy("u").agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        ).localCheckpoint(eager=True)
+    if n_nodes is None:
+        n_nodes = deg.count()
     # orient: (u -> v) iff (d_u, u) < (d_v, v); the degree table is |V|
     # rows (graph-summary-sized — |V| << |E| whenever triangles exist),
-    # so both endpoint joins broadcast it instead of shuffling |E| twice.
-    du = F.broadcast(deg.select(F.col("u").alias("src"), F.col("d").alias("ds")))
-    dv = F.broadcast(deg.select(F.col("u").alias("dst"), F.col("d").alias("dd")))
+    # so at small-to-medium |V| both endpoint joins broadcast it instead
+    # of shuffling |E| twice; beyond BROADCAST_MAX_NODES they
+    # automatically fall back to co-partitioned shuffle joins.
+    du = _maybe_broadcast(
+        deg.select(F.col("u").alias("src"), F.col("d").alias("ds")),
+        n_nodes, broadcast_max_nodes,
+    )
+    dv = _maybe_broadcast(
+        deg.select(F.col("u").alias("dst"), F.col("d").alias("dd")),
+        n_nodes, broadcast_max_nodes,
+    )
     withd = canon.join(du, "src").join(dv, "dst")
     oriented = withd.select(
         F.when(
@@ -121,39 +165,64 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
         .alias("e")
     ).select("e.u", "e.v")
-    # wedges from per-apex ADJACENCY ARRAYS, not an oriented self-join:
-    # one groupBy collects each apex's out-neighbors (bounded ~sqrt|E|
-    # by the orientation), then the C(d,2) leg pairs are generated
-    # executor-side by an array comprehension — the 10x-|E| wedge set
-    # never rides an exchange on its way into existence.  Legs come out
-    # id-ascending (sort_array), matching the canonical (src < dst)
-    # closing-edge orientation.
+    # EDGE ITERATOR over per-apex adjacency arrays: collect each node's
+    # oriented out-neighbors (bounded ~sqrt|E| by the orientation), join
+    # the arrays onto both endpoints of every oriented edge, and close
+    # triangles with an executor-side array_intersect — for edge (u, v)
+    # the common out-neighbors N+(u) ∩ N+(v) are exactly the w's that
+    # complete a triangle, each counted once at its unique apex edge.
+    # The ~10x-|E| wedge stream of the previous formulation (wedge
+    # explode + shuffle-hash closing join; 5.4-5.9 s in-sweep at sf0.1)
+    # never materializes: the exchanges carry |E| rows + arrays, and the
+    # quadratic work happens inside a codegen'd intersect.
     adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
-    wedges = adj.select(
-        F.col("u").alias("apex"),
+    # re-derive the edge stream from adj itself (explode carries each
+    # apex's own array alongside), so closing needs ONE join — probe the
+    # exploded edges against adj on the head endpoint.
+    edges_with_nu = adj.select(
+        "u", F.col("nbrs").alias("nu"), F.explode("nbrs").alias("v")
+    )
+    closed = (
+        edges_with_nu.join(
+            adj.select(
+                F.col("u").alias("v"), F.col("nbrs").alias("nv")
+            ).hint("shuffle_hash"),
+            "v",
+        )
+        .select("u", "v", F.array_intersect("nu", "nv").alias("w"))
+        .filter(F.size("w") > 0)
+    )
+    # per-triangle credits without re-evaluating the join: each closed
+    # edge emits (u, |w|), (v, |w|) and (x, 1) for x in w from ONE
+    # explode, then a combinable sum — same single-evaluation trick as
+    # ``undirect``.
+    t = F.size("w").cast("long")
+    credits = closed.select(
         F.explode(
-            F.expr(
-                "flatten(transform(nbrs, (x, i) ->"
-                " transform(slice(nbrs, i + 2, size(nbrs)), y -> struct(x, y))))"
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").alias("node"), t.alias("c")),
+                    F.struct(F.col("v").alias("node"), t.alias("c")),
+                ),
+                F.expr("transform(w, x -> struct(x AS node, 1L AS c))"),
             )
-        ).alias("p"),
-    ).select("apex", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    # closing join: probe the wedge stream against the edge set with a
-    # SHUFFLE HASH join — sort-merge would sort the ~10x-|E| wedge
-    # stream (measured 7.1s vs 4.5s at sf0.1); hashing only the |E|
-    # build side skips that sort entirely
-    tri = wedges.join(
-        canon.hint("shuffle_hash"),
-        (F.col("x") == F.col("src")) & (F.col("y") == F.col("dst")),
-    ).select("apex", "x", "y")
+        ).alias("e")
+    )
     return (
-        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        credits.groupBy(F.col("e.node").alias("node"))
+        .agg(F.sum("e.c").cast("long").alias("n_triangles"))
     )
 
 
-def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    *,
+    und: DataFrame | None = None,
+    deg: DataFrame | None = None,
+    n_nodes: int | None = None,
+    broadcast_max_nodes: int | None = None,
+) -> DataFrame:
     """PageRank with damping 0.85 over the undirected graph, ``iters``
     synchronous rounds, 64-bit pico fixed point throughout.
 
@@ -164,28 +233,44 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
     property floating-point PageRank never has.  Total rank mass is
     <= PAGERANK_SCALE, so 64-bit sums cannot overflow.
 
-    Per round: one shuffle join (ranks onto edge sources) + one
-    map-side-combinable groupBy sum — the minimal synchronous-PageRank
-    shape.  Node universe = edge endpoints (every node has degree >= 1;
+    Per round: one join (ranks onto edge sources) + one map-side-
+    combinable groupBy sum — the minimal synchronous-PageRank shape.
+    Node universe = edge endpoints (every node has degree >= 1;
     dangling mass does not arise on an undirected graph).
+
+    ``und``/``deg``/``n_nodes`` accept :func:`graph_artifacts_for`
+    outputs.  |V| is established once (a bounded 1-row count, the only
+    driver action) and picks the per-round join strategy: broadcast the
+    |V|-row rank table when it fits ``BROADCAST_MAX_NODES``, else a
+    co-partitioned shuffle join — the automatic fallback the r3 verdict
+    asked for in place of the old unconditional hint.
     """
-    und = undirect(edges).localCheckpoint(eager=True)
-    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    # unit and base terms are derived in-plan from a broadcast one-row
-    # aggregate — no driver collect, the plan stays fully declarative.
-    unit = F.expr(f"{PAGERANK_SCALE} div n")
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
-        "u", "d", unit.alias("r"), ((F.lit(15) * unit).cast("long")).alias("base15")
+    if und is None:
+        und = undirect(edges).localCheckpoint(eager=True)
+    if deg is None:
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    if n_nodes is None:
+        n_nodes = deg.count()
+    # unit and base terms are in-plan literals of the (already bounded)
+    # node count — one integer reaches the driver, never a row set.
+    unit = F.lit(PAGERANK_SCALE // n_nodes).cast("long")
+    ranks = deg.select(
+        "u", "d", unit.alias("r"), (F.lit(15) * unit).cast("long").alias("base15")
     )
     base = F.expr("base15 div 100")
     for _ in range(iters):
         # the rank table is |V| rows vs |E| edge rows — broadcast it so
         # each round costs one map-side join + one combinable sum, not
-        # two exchanges (at |V| beyond broadcast range this reverts to
-        # the co-partitioned equi-join by dropping the hint)
+        # two exchanges; beyond BROADCAST_MAX_NODES the hint drops
+        # automatically and the round runs as a shuffle equi-join.
         contrib = (
-            und.join(F.broadcast(ranks.select("u", F.expr("r div d").alias("c"))), "u")
+            und.join(
+                _maybe_broadcast(
+                    ranks.select("u", F.expr("r div d").alias("c")),
+                    n_nodes, broadcast_max_nodes,
+                ),
+                "u",
+            )
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum("c").cast("long").alias("s"))
         )
@@ -209,7 +294,15 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3) -> DataFrame:
     )
 
 
-def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    *,
+    und: DataFrame | None = None,
+    n_nodes: int | None = None,
+    broadcast_max_nodes: int | None = None,
+) -> DataFrame:
     """Minimum hop distance from a seed set, bounded at ``max_hops``
     synchronous frontier expansions: each round joins the undirected
     edge list against the current distance table and keeps the min —
@@ -221,14 +314,24 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> Data
     distance instead of label; a fixed hop bound means a fixed plan
     depth — no convergence collect.  Returns (node, dist), dist 0 for
     seeds.
+
+    The distance table grows toward |V| rows, so the per-round
+    broadcast hint is applied only when |V| (established once, a
+    bounded count; pass ``n_nodes`` from :func:`graph_artifacts_for`
+    to skip even that) fits ``BROADCAST_MAX_NODES`` — beyond it the
+    frontier join falls back to a shuffle equi-join automatically.
     """
-    und = undirect(edges).localCheckpoint(eager=True)
+    if und is None:
+        und = undirect(edges).localCheckpoint(eager=True)
+    if n_nodes is None:
+        n_nodes = und.select("u").distinct().count()
     dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
         "dist", F.lit(0).cast("long")
     )
     for _ in range(max_hops):
         prop = und.join(
-            F.broadcast(dist), und["u"] == dist["node"]
+            _maybe_broadcast(dist, n_nodes, broadcast_max_nodes),
+            und["u"] == dist["node"],
         ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
         dist = (
             dist.unionByName(prop)
@@ -239,23 +342,41 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> Data
 
 
 # The co-purchase graph is a DERIVED ARTIFACT: four registered queries
-# (degrees, triangles, PageRank, BFS) consume the same edge list, and a
-# production pipeline materializes it once per snapshot rather than
-# re-deriving it per query.  Cache keyed by (session, sf_dir) so a
-# restarted SparkSession can never serve DataFrames of a dead one.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (degrees, triangles, PageRank, BFS) consume the same edge list AND the
+# same degree/undirected tables, and a production pipeline materializes
+# all of them once per snapshot rather than re-deriving them per query
+# (r3 verdict task #6: q127/q128/q156 each rebuilt degree/orientation).
+# Cache keyed by (session, sf_dir) so a restarted SparkSession can never
+# serve DataFrames of a dead one.
+_ARTIFACT_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def graph_artifacts_for(spark, sf_dir: str) -> dict:
+    """Session-cached, checkpoint-materialized co-purchase graph
+    artifacts for ``sf_dir``: ``edges`` (canonical src < dst),
+    ``und`` (both orientations), ``deg`` ((u, d) degrees), and
+    ``n_nodes`` (|V|, the broadcast-strategy input) — the shared
+    inputs of the whole-graph query family."""
+    from ..io import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    art = _ARTIFACT_CACHE.get(key)
+    if art is None:
+        edges = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint(
+            eager=True
+        )
+        und = undirect(edges).localCheckpoint(eager=True)
+        deg = (
+            und.groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        art = {"edges": edges, "und": und, "deg": deg, "n_nodes": deg.count()}
+        _ARTIFACT_CACHE[key] = art
+    return art
 
 
 def copurchase_edges_for(spark, sf_dir: str) -> DataFrame:
     """Session-cached, checkpoint-materialized co-purchase edges for
     ``sf_dir`` — the shared input of the whole-graph query family."""
-    from ..io import load_table
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _EDGE_CACHE.get(key)
-    if df is None:
-        df = copurchase_edges(load_table(spark, sf_dir, "lineitem")).localCheckpoint(
-            eager=True
-        )
-        _EDGE_CACHE[key] = df
-    return df
+    return graph_artifacts_for(spark, sf_dir)["edges"]

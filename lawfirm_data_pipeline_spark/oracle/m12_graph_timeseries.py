@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.dedup import ngram_jaccard_pairs
+
 from ..operators.graph import connected_components
 from ..operators.similarity import quantize_int8
 from ..operators.timeseries import resample_ffill
@@ -22,6 +22,7 @@ from ._shared import (
     PLANTED_CORPUS_SQL as _CORPUS_SQL,
     SHINGLES_SQL as _SHINGLES,
     planted_corpus as _planted_corpus,
+    planted_jaccard_pairs,
 )
 
 
@@ -94,8 +95,9 @@ def q71_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup grouping: q32's jaccard pairs become edges,
     min-label propagation assigns each doc the min doc_id reachable
     from it (singletons cluster with themselves)."""
+
     corpus = _planted_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, threshold=0.5, n=3, df_cap=64)
+    pairs = planted_jaccard_pairs(spark, sf_dir)
     return connected_components(
         pairs.select("ida", "idb"), nodes=corpus.select("doc_id")
     ).select(F.col("node").alias("doc_id"), "cluster_id")

@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.graph_metrics import (
-    copurchase_edges_for,
     degree_histogram,
+    graph_artifacts_for,
     pagerank_fixed,
     triangle_counts,
 )
@@ -62,7 +62,8 @@ def q126_copurchase_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram: per-order bounded self-join -> two map-side
     combinable aggs; output cardinality = number of distinct degrees
     (operators/graph_metrics.degree_histogram)."""
-    return degree_histogram(copurchase_edges_for(spark, sf_dir))
+    art = graph_artifacts_for(spark, sf_dir)
+    return degree_histogram(art["edges"], deg=art["deg"])
 
 
 # -- q127: degree-oriented triangle counting
@@ -85,7 +86,11 @@ def q127_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle uses the simple a<b<c id orientation — triangle counts
     are orientation-independent, so the hashes still match
     (operators/graph_metrics.triangle_counts)."""
-    return triangle_counts(copurchase_edges_for(spark, sf_dir))
+    art = graph_artifacts_for(spark, sf_dir)
+    return triangle_counts(
+        art["edges"], deg=art["deg"], n_nodes=art["n_nodes"],
+        edges_materialized=True,
+    )
 
 
 # -- q128: integer fixed-point PageRank, 3 synchronous rounds
@@ -112,4 +117,8 @@ def q128_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100` — integer arithmetic end to end, so the distributed result is
     bit-identical to the single-threaded unrolled oracle
     (operators/graph_metrics.pagerank_fixed)."""
-    return pagerank_fixed(copurchase_edges_for(spark, sf_dir), iters=3)
+    art = graph_artifacts_for(spark, sf_dir)
+    return pagerank_fixed(
+        art["edges"], iters=3,
+        und=art["und"], deg=art["deg"], n_nodes=art["n_nodes"],
+    )

@@ -73,7 +73,9 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     default — an ungated shingle self-join is quadratic on hot keys);
     emitted Jaccard values are still exact over full shingle sets, so the
     all-pairs oracle hash-matches."""
-    return ngram_jaccard_pairs(_planted_corpus(spark, sf_dir), threshold=0.5, n=3, df_cap=64)
+    from ._shared import planted_jaccard_pairs
+
+    return planted_jaccard_pairs(spark, sf_dir)
 
 
 _K = 8  # minhash permutations in the oracle-checked signature

@@ -325,6 +325,50 @@ def test_pagerank_round_join_broadcasts_ranks(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pagerank_large_graph_drops_broadcast(spark):
+    """Beyond BROADCAST_MAX_NODES the per-round rank join must revert to
+    a shuffle equi-join automatically (r3 verdict #4: the fallback used
+    to be a comment, with driver OOM as the failure mode)."""
+    from lawfirm_data_pipeline_spark.operators.graph_metrics import (
+        copurchase_edges,
+        pagerank_fixed,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    plan = plan_of(
+        pagerank_fixed(copurchase_edges(li), iters=3, broadcast_max_nodes=0)
+    )
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bfs_broadcast_switches_on_node_count(spark):
+    """Both BFS frontier-join shapes: broadcast at small |V|, shuffle
+    equi-join once |V| exceeds the cap."""
+    from lawfirm_data_pipeline_spark.operators.graph_metrics import (
+        bfs_distances,
+        copurchase_edges,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    edges = copurchase_edges(li)
+    seeds = edges.select(F.col("src").alias("node")).limit(3)
+    # disable Catalyst's own stats-based auto-broadcast so the plans
+    # show exactly what the HINT contributes (at 100 TB the stats
+    # estimate would be far over threshold, i.e. this same state)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = plan_of(bfs_distances(edges, seeds, max_hops=2))
+        assert "BroadcastHashJoin" in small, small
+        large = plan_of(
+            bfs_distances(edges, seeds, max_hops=2, broadcast_max_nodes=0)
+        )
+        assert "BroadcastHashJoin" not in large, large
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_prefix_jaccard_verify_is_candidate_bounded(spark):
     from lawfirm_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
     from lawfirm_data_pipeline_spark.oracle._shared import planted_corpus
