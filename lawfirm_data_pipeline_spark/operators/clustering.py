@@ -105,7 +105,12 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iters: int = 2, fp: int = FP) -> Da
     larger than the centroid summary ever reaches the driver.
     """
     vec = emb.select("vec_id", to_fp_vec("embedding", fp).alias("v"))
-    init = vec.filter(F.col("vec_id") < k).select("vec_id", "v").collect()
+    # seed from the k SMALLEST vec_ids (not the literal vec_id < k):
+    # deterministic on any id space, and a short read fails loudly
+    # instead of silently running with fewer clusters (r3 ADVICE)
+    init = vec.orderBy("vec_id").limit(k).select("vec_id", "v").collect()
+    if len(init) != k:
+        raise ValueError(f"kmeans_fixed: need >= {k} vectors, got {len(init)}")
     centroids = sorted((int(r["vec_id"]), [int(x) for x in r["v"]]) for r in init)
     assigned = _assign(vec, centroids)
     for _ in range(iters - 1):

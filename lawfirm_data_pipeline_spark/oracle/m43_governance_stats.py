@@ -73,8 +73,21 @@ def q185_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mask")
     )
     mask_counts = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+    # the unpack bound derives from the DATA (max source index), and a
+    # 63rd+ source fails loudly instead of silently wrapping shiftleft /
+    # dropping its pairs (r3 ADVICE: the old fixed sequence(0,19) would
+    # under-count a 21st source while the oracle counted it)
+    smax = t.agg(
+        F.when(F.max("s") < 63, F.max("s"))
+        .otherwise(
+            F.raise_error("q185 bit-mask overlap supports at most 63 sources")
+        )
+        .cast("int")
+        .alias("max_s")
+    )
+    mask_counts = mask_counts.crossJoin(F.broadcast(smax))
     idxs = F.filter(
-        F.sequence(F.lit(0), F.lit(19)),
+        F.sequence(F.lit(0), F.col("max_s")),
         lambda i: F.call_function("shiftright", F.col("mask"), i).bitwiseAND(F.lit(1))
         == 1,
     )

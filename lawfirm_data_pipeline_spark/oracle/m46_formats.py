@@ -121,13 +121,26 @@ def q197_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             path = os.path.join(scratch, fmt)
             writer = src.write.mode("overwrite").format(fmt)
             if fmt == "csv":
-                writer = writer.option("header", "true")
+                # a distinct nullValue sentinel + emptyValue "" keeps
+                # empty strings from reading back as NULL (they are
+                # indistinguishable under the defaults), and multiLine
+                # tolerates newline-bearing text - without these the
+                # gate held only because the synthetic texts are
+                # non-empty and newline-free (r3 ADVICE)
+                writer = (
+                    writer.option("header", "true").option("nullValue", "\\N")
+                )
             writer.save(path)
             reader = spark.read.format(fmt)
             if fmt in ("csv", "json"):
                 reader = reader.schema(_DOC_SCHEMA)
             if fmt == "csv":
-                reader = reader.option("header", "true")
+                reader = (
+                    reader.option("header", "true")
+                    .option("nullValue", "\\N")
+                    .option("emptyValue", "")
+                    .option("multiLine", "true")
+                )
             back = reader.load(path).select(*_COLS)
             r = _doc_cksum(back).collect()[0]
             rows.append((fmt, r["n_rows"], r["checksum"]))

@@ -42,9 +42,9 @@ def _morton_sql(x: str, y: str, bits: int = _BITS) -> str:
     "q209_zorder_audit",
     f"""
     WITH pts AS (SELECT o_custkey % 1024 AS x,
-                        CAST(date_diff('day', DATE '1995-01-01',
-                                       CAST(o_orderdate AS DATE)) AS BIGINT)
-                          % 1024 AS y
+                        ((CAST(date_diff('day', DATE '1995-01-01',
+                                         CAST(o_orderdate AS DATE)) AS BIGINT)
+                          % 1024) + 1024) % 1024 AS y
                  FROM orders),
          keyed AS (SELECT x, y,
                           CAST(({_morton_sql('x', 'y')}) AS BIGINT) AS zkey
@@ -81,10 +81,14 @@ def q209_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the re-cluster."""
     pts = load_table(spark, sf_dir, "orders").select(
         (F.col("o_custkey") % 1024).alias("x"),
-        (
-            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
-            .cast("long")
-            % 1024
+        # pmod, not %: dates before the 1995-01-01 epoch would go
+        # negative under arithmetic remainder and quietly lose Morton
+        # locality (r3 ADVICE); both engines use the positive residue
+        F.pmod(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+            ).cast("long"),
+            F.lit(1024),
         ).alias("y"),
     )
     keyed = pts.select(

@@ -150,3 +150,23 @@ def test_markov_rows_normalize(spark, duck):
     pdf = q184_event_transitions(spark, "/root/testdata/sf0.01").toPandas()
     sums = pdf.groupby("src")["p"].sum()
     assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_kmeans_raises_on_short_input(spark):
+    # r3 ADVICE: a seed shortfall must fail loudly, never degrade to
+    # fewer clusters; also seeds come from the k smallest ids, not the
+    # literal vec_id < k, so non-contiguous id spaces work
+    import pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(3)
+    with pytest.raises(ValueError, match="need >= 8"):
+        kmeans_fixed(emb, k=8)
+
+
+def test_kmeans_seeding_survives_sparse_id_space(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # shift ids so none fall below k: the old vec_id < k filter found
+    # zero seeds here; ranked seeding must still produce k clusters
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    got = kmeans_fixed(shifted, k=4, iters=1)
+    assert got.count() == 4

@@ -70,3 +70,30 @@ def test_partitioned_read_prunes_to_one_directory(spark):
         assert pruned.count() == want
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_csv_roundtrip_preserves_empty_and_multiline_text(spark, tmp_path):
+    # r3 ADVICE: Spark CSV defaults read '' back as NULL and split
+    # newline-bearing records; q197's reader/writer options must keep
+    # both intact
+    df = spark.createDataFrame(
+        [(1, ""), (2, "line one\nline two"), (3, "plain")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "csvrt")
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .option("header", "true")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {1: "", 2: "line one\nline two", 3: "plain"}
