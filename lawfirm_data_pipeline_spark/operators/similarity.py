@@ -743,3 +743,47 @@ def rrf_fusion(
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
+
+
+def semantic_dedup_policy(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style keep/drop policy over an embedding corpus
+    [Abbas et al., 2023, arXiv:2303.09540]: bucket semantically with
+    sign-LSH (the scale stand-in for their k-means step — deterministic
+    and oracle-expressible), verify candidates with exact cosine, and
+    DROP every vector that has a lower-id near-duplicate (keep-lowest
+    is the deterministic representative rule).
+
+    Returns one row per input vector: (id, kept BOOLEAN, n_lower_dups)
+    — the curation decision table a training pipeline joins against
+    its corpus, not just the pair list (:func:`lsh_neardup_pairs` is
+    the underlying pair generator and carries the scale argument).
+    """
+    pairs = lsh_neardup_pairs(
+        vectors,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        dim=dim,
+    )
+    drops = pairs.groupBy(F.col("idb").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lower_dups")
+    )
+    return (
+        vectors.select(id_col)
+        .join(drops, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lower_dups").isNull().alias("kept"),
+            F.coalesce("n_lower_dups", F.lit(0).cast("long")).alias("n_lower_dups"),
+        )
+    )

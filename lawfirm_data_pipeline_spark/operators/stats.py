@@ -277,3 +277,64 @@ def impute_group_median_audit(
             6,
         ).alias("mean_cents_after"),
     ).select(group_col, "n_rows", "n_imputed", "med_cents", "mean_cents_after")
+
+
+def cuped_adjusted_means(per_user: DataFrame) -> DataFrame:
+    """CUPED variance-reduced treatment means [Deng et al., WSDM'13]:
+    adjust each arm's post-period mean with the pooled pre-period
+    covariate, ``theta = cov(pre, post) / var(pre)``.
+
+    ``per_user`` columns: (arm, pre_cents BIGINT, post_cents BIGINT) —
+    one row per experimental unit, metrics in integer cents.  Returns
+    per arm: (arm, n_users, raw_mean, adjusted_mean), means in currency
+    units rounded to 6.
+
+    Determinism discipline: every aggregate is an INTEGER sum
+    (n, Σpre, Σpost, Σpre², Σpre·post — pooled, and n/Σpre/Σpost per
+    arm); theta and the adjusted means are derived from those few
+    scalars in one final projection, so no float ever enters an
+    aggregation and the result is independent of partitioning — the
+    property that lets it hash-match a single-threaded oracle.
+    64-bit bound: |Σpre·post| <= n·max_cents²; at 1e9 users of 1e4-cent
+    metrics that is 1e17 < 2^63 — switch the two product sums to
+    DECIMAL(38,0) beyond that.
+    """
+    products = per_user.select(
+        "arm",
+        "pre_cents",
+        "post_cents",
+        (F.col("pre_cents") * F.col("pre_cents")).alias("pp"),
+        (F.col("pre_cents") * F.col("post_cents")).alias("po"),
+    )
+    pooled = products.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre_cents").cast("long").alias("sp"),
+        F.sum("pp").cast("long").alias("spp"),
+        F.sum("po").cast("long").alias("spo"),
+        F.sum("post_cents").cast("long").alias("so"),
+    )
+    arms = products.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("pre_cents").cast("long").alias("sp_a"),
+        F.sum("post_cents").cast("long").alias("so_a"),
+    )
+    # theta = (n·Σpre·post − Σpre·Σpost) / (n·Σpre² − (Σpre)²)
+    theta = (
+        F.col("n") * F.col("spo") - F.col("sp") * F.col("so")
+    ).cast("double") / (
+        F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    ).cast("double")
+    pre_mean_global = F.col("sp").cast("double") / F.col("n")
+    raw_mean = F.col("so_a").cast("double") / F.col("n_a")
+    pre_mean_arm = F.col("sp_a").cast("double") / F.col("n_a")
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            F.col("n_a").alias("n_users"),
+            F.round(raw_mean / 100.0, 6).alias("raw_mean"),
+            F.round(
+                (raw_mean - theta * (pre_mean_arm - pre_mean_global)) / 100.0, 6
+            ).alias("adjusted_mean"),
+        )
+    )

@@ -562,3 +562,34 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", group_col: str = "sourc
             6,
         ).alias("hapax_ratio"),
     )
+
+
+def keyword_tags(
+    docs,
+    keywords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dictionary tagging: per-doc sorted matched-term list + count for
+    every document hitting at least one dictionary term.
+
+    ``array_intersect`` of the (distinct) token array against a literal
+    keyword array — a pure JVM map stage inside codegen, no shuffle, no
+    Python.  This literal form serves dictionaries up to a few thousand
+    terms (they ride into every task as part of the plan); past that
+    the same semantics become a broadcast semi-join of exploded tokens
+    against a keyword table, which ``bloomjoin.bloom_semi_join`` already
+    covers — the two are the small/large regimes of one tagging op.
+    """
+    kw = F.array(*[F.lit(k) for k in sorted(set(keywords))])
+    t = tokenized(docs, text_col=text_col, id_col=id_col)
+    tags = F.array_sort(F.array_intersect(F.array_distinct("toks"), kw))
+    return (
+        t.select(F.col(id_col), tags.alias("tags"))
+        .filter(F.size("tags") > 0)
+        .select(
+            id_col,
+            F.array_join("tags", "|").alias("tags_str"),
+            F.size("tags").cast("long").alias("n_tags"),
+        )
+    )

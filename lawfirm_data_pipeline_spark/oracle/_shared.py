@@ -77,6 +77,34 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+# planted perturbed embedding copies (vec_id % 20 re-enters as +100000
+# with +0.1 on the first 4 coordinates) — shared by q37/q225
+PLANT_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 4 = 0
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_concat(list_transform((embedding::DOUBLE[])[1:4], x -> x + 0.1),
+                       (embedding::DOUBLE[])[5:])
+    FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def planted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    base = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "v")
+    perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.transform(F.slice("v", 1, 4), lambda x: x + 0.1),
+            F.slice(F.col("v"), 5, 10**6),
+        ).alias("v"),
+    )
+    return base.unionByName(perturbed)
+
 # Brute-force cosine top-10 over embeddings for the 8 fixed queries —
 # the oracle for every exhaustive-mode ANN gate (q38b, q69): identical
 # derivation to q36 at k=10.

@@ -54,30 +54,10 @@ def q36_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-# planted perturbed copies, shared derivation
-_PLANT_SQL = """
-    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 4 = 0
-    UNION ALL
-    SELECT vec_id + 100000,
-           list_concat(list_transform((embedding::DOUBLE[])[1:4], x -> x + 0.1),
-                       (embedding::DOUBLE[])[5:])
-    FROM embeddings WHERE vec_id % 20 = 0
-"""
-
-
-def _planted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "v", F.transform("embedding", lambda x: x.cast("double"))
-    )
-    base = emb.filter(F.col("vec_id") % 4 == 0).select("vec_id", "v")
-    perturbed = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.concat(
-            F.transform(F.slice("v", 1, 4), lambda x: x + 0.1),
-            F.slice(F.col("v"), 5, 10**6),
-        ).alias("v"),
-    )
-    return base.unionByName(perturbed)
+# planted perturbed copies: shared derivation now lives in _shared
+# (q225's SemDeDup policy reuses it without import-order side effects)
+from ._shared import PLANT_SQL as _PLANT_SQL  # noqa: E402
+from ._shared import planted_vectors as _planted_vectors  # noqa: E402
 
 
 @query(

@@ -1,0 +1,66 @@
+"""M61 wave unit tests: CUPED arithmetic, keyword tagging, SemDeDup
+policy invariants (oracle equivalence is covered by
+tests/test_oracle_queries.py for q224-q227)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lawfirm_data_pipeline_spark.operators.stats import cuped_adjusted_means
+from lawfirm_data_pipeline_spark.operators.text import keyword_tags
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cuped_matches_hand_computation(spark):
+    # users: (arm, pre, post); constructed so theta = 2 exactly
+    rows = [(0, 100, 250), (0, 200, 420), (1, 100, 260), (1, 200, 470)]
+    df = spark.createDataFrame(rows, "arm int, pre_cents long, post_cents long")
+    got = {r["arm"]: r for r in cuped_adjusted_means(df).collect()}
+    # pooled: n=4, sp=600, so=1400, spp=100000, spo=225000
+    # theta = (4*225000-600*1400)/(4*100000-600^2) = 60000/40000 = 1.5
+    # global pre mean = 150
+    # arm0: raw=335, pre_mean=150 -> adjusted = 335 - 1.5*0 = 335
+    # arm1: raw=365, pre_mean=150 -> adjusted = 365
+    assert got[0]["n_users"] == 2
+    assert abs(got[0]["adjusted_mean"] - 3.35) < 1e-9
+    assert abs(got[1]["adjusted_mean"] - 3.65) < 1e-9
+    # identical pre distributions -> adjustment leaves means untouched
+    assert got[0]["raw_mean"] == got[0]["adjusted_mean"]
+
+
+def test_cuped_removes_covariate_imbalance(spark):
+    # post = pre exactly (pure covariate effect, no treatment effect):
+    # CUPED must equalize the arms despite raw means differing
+    rows = [(0, 100, 100), (0, 120, 120), (1, 300, 300), (1, 320, 320)]
+    df = spark.createDataFrame(rows, "arm int, pre_cents long, post_cents long")
+    got = {r["arm"]: r for r in cuped_adjusted_means(df).collect()}
+    assert got[0]["raw_mean"] != got[1]["raw_mean"]
+    assert abs(got[0]["adjusted_mean"] - got[1]["adjusted_mean"]) < 1e-6
+
+
+def test_keyword_tags_sorted_and_filtered(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark joins the STREAM"), (2, "nothing relevant here"), (3, "merge merge merge")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["tags_str"], r["n_tags"]) for r in
+           keyword_tags(df, ["stream", "join", "spark", "merge"]).collect()}
+    assert got[1] == ("spark|stream", 2)  # 'joins' != 'join'; lowercased; sorted
+    assert got[3] == ("merge", 1)  # distinct tokens, not occurrences
+    assert 2 not in got  # zero-match docs filtered
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    from lawfirm_data_pipeline_spark.operators.similarity import semantic_dedup_policy
+    from lawfirm_data_pipeline_spark.oracle._shared import planted_vectors
+
+    got = semantic_dedup_policy(
+        planted_vectors(spark, SF), threshold=0.9, id_col="vec_id", vec_col="v"
+    )
+    rows = {r["vec_id"]: r for r in got.collect()}
+    # every planted copy (id >= 100000) has its lower-id original -> dropped
+    planted = [v for v in rows if v >= 100000]
+    assert planted and all(not rows[v]["kept"] for v in planted)
+    # originals of the planted copies are kept (they ARE the lowest id)
+    assert all(rows[v - 100000]["kept"] for v in planted)

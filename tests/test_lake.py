@@ -126,3 +126,85 @@ def test_schema_migration_chain(spark, tmp_path):
     # drop completes the DDL surface
     v2 = migrate_table(spark, d, [{"drop": "status"}])
     assert lake.read_latest(spark, d).columns == ["id", "title"] and v2 == 2
+
+
+# ------------------------------------------------------- catalog txns
+def test_catalog_multi_table_commit_is_all_or_nothing(spark, tmp_path):
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t = cat.transaction()
+    t.stage("a", spark.range(5).withColumnRenamed("id", "x"))
+    t.stage("b", spark.range(3).withColumnRenamed("id", "y"))
+    # nothing visible before commit
+    assert cat.snapshot() == (-1, {})
+    cid = t.commit()
+    assert cid == 0
+    snap = cat.snapshot()
+    assert cat.read(spark, "a", snap).count() == 5
+    assert cat.read(spark, "b", snap).count() == 3
+
+
+def test_catalog_conflicting_writer_aborts_cleanly(spark, tmp_path):
+    import pytest
+
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog, CommitConflict
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t0 = cat.transaction()
+    t0.stage("a", spark.range(5))
+    t0.commit()
+
+    # two writers race from the same base over the SAME table
+    t1 = cat.transaction()
+    t2 = cat.transaction()
+    t1.stage("a", spark.range(10))
+    t2.stage("a", spark.range(20))
+    t1.commit()
+    with pytest.raises(CommitConflict):
+        t2.commit()
+    # the loser's staged version is never visible
+    assert cat.read(spark, "a").count() == 10
+
+
+def test_catalog_disjoint_writers_both_commit_via_rebase(spark, tmp_path):
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t0 = cat.transaction()
+    t0.stage("a", spark.range(1))
+    t0.stage("b", spark.range(2))
+    t0.commit()
+
+    t1 = cat.transaction()
+    t2 = cat.transaction()
+    t1.stage("a", spark.range(11))
+    t2.stage("b", spark.range(22))
+    t1.commit()
+    t2.commit()  # rebases onto t1's head — disjoint tables, no conflict
+    snap = cat.snapshot()
+    assert cat.read(spark, "a", snap).count() == 11
+    assert cat.read(spark, "b", snap).count() == 22
+
+
+def test_catalog_snapshot_isolation_for_readers(spark, tmp_path):
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    t0 = cat.transaction()
+    t0.stage("a", spark.range(5))
+    t0.stage("b", spark.range(5))
+    t0.commit()
+    old = cat.snapshot()
+
+    t1 = cat.transaction()
+    t1.stage("a", spark.range(50))
+    t1.stage("b", spark.range(50))
+    t1.commit()
+    # a reader pinned to the old snapshot sees the OLD state of BOTH
+    # tables; a fresh snapshot sees the new state of both — never a mix
+    assert cat.read(spark, "a", old).count() == 5
+    assert cat.read(spark, "b", old).count() == 5
+    new = cat.snapshot()
+    assert cat.read(spark, "a", new).count() == 50
+    assert cat.read(spark, "b", new).count() == 50

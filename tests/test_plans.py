@@ -175,10 +175,16 @@ def test_neardup_lsh_gate_no_full_table_broadcast(spark):
 def test_ngram_jaccard_registered_path_is_df_capped(spark):
     """q32's candidate self-join runs on the df-capped shingle index: the
     plan carries the document-frequency aggregate + semi-join gate that
-    bounds hot-shingle blowup (and no broadcast/cartesian products)."""
-    from lawfirm_data_pipeline_spark.queries import QUERIES
+    bounds hot-shingle blowup (and no broadcast/cartesian products).
+    Pinned on the generator itself — the registered q32 serves the
+    session-cached localCheckpoint of this exact plan, whose lineage is
+    truncated."""
+    from lawfirm_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from lawfirm_data_pipeline_spark.oracle._shared import planted_corpus
 
-    plan = plan_of(QUERIES["q32_ngram_jaccard"](spark, SF))
+    plan = plan_of(
+        ngram_jaccard_pairs(planted_corpus(spark, SF), threshold=0.5, n=3, df_cap=64)
+    )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # df-cap gate: a LeftSemi join feeds the candidate self-join
