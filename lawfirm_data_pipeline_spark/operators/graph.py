@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 
 def connected_components(
@@ -81,6 +82,16 @@ def connected_components(
         )
 
     labels = universe.withColumn("label", F.col(node_col))
+    # the convergence check sums labels, so node ids must be numeric —
+    # fail loudly here instead of a mid-iteration cast error (string
+    # entities: map to a numeric surrogate first, e.g. min rowkey per
+    # name as q231 does)
+    if not isinstance(labels.schema["label"].dataType, NumericType):
+        raise TypeError(
+            "connected_components needs numeric node ids "
+            f"(got {labels.schema['label'].dataType.simpleString()}); "
+            "map string keys to a numeric surrogate first"
+        )
     prev_sum = None
     superseded: list[DataFrame] = []
     for i in range(max_iters):

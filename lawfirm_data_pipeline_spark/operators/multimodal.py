@@ -221,3 +221,38 @@ def repartition_by_bytes(media: DataFrame, target_partition_bytes: int = 128 << 
     n_rows = media.count()
     n_parts = max(1, (n_rows + rows_per_part - 1) // rows_per_part)
     return media.repartition(n_parts)
+
+
+def pool_frame_embeddings(
+    frames,
+    media_col: str = "media_id",
+    vec_col: str = "embedding",
+    fp: int = 1_000_000,
+):
+    """Sum-pool per-frame embeddings into one clip-level vector per
+    media item — the frame→clip reduction every video/audio embedding
+    pipeline runs after frame-level feature extraction.
+
+    Returns FLAT rows (media_id, pos, n_frames, pooled_micro): one row
+    per (media, dimension), ``pos`` 1-based, components summed in
+    ``fp``-scaled integer micro-units so the distributed sum is exact
+    and order-independent (mean-pool = pooled_micro / n_frames
+    downstream, kept rational here).  Plan: posexplode (one shuffle-free
+    map stage) + one combinable (media, pos) aggregation — at 100 TB
+    the groupBy key count is |media| x dim, each group ~frame-count
+    rows, no skew beyond the longest video.
+    """
+    from pyspark.sql import functions as F
+
+    exploded = frames.select(
+        F.col(media_col),
+        F.posexplode(vec_col).alias("pos0", "x"),
+    ).select(
+        media_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * fp).cast("long").alias("micro"),
+    )
+    return exploded.groupBy(media_col, "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("micro").cast("long").alias("pooled_micro"),
+    )

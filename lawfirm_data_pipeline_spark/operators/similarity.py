@@ -787,3 +787,42 @@ def semantic_dedup_policy(
             F.coalesce("n_lower_dups", F.lit(0).cast("long")).alias("n_lower_dups"),
         )
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k highest-cosine vectors with a DIFFERENT label — the negatives
+    closest to the decision boundary, which carry most of the gradient
+    signal [e.g. Robinson et al., ICLR'21 hard-negative sampling].
+
+    Same broadcast-query / corpus-scan / per-query-window shape as
+    :func:`brute_force_topk`; the label-mismatch predicate rides the
+    join condition so same-label rows never reach scoring.  At corpus
+    scale the candidate generator swaps to the LSH/IVF bucketed paths
+    exactly as for positives — mining is just top-k under a filter.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(label_col).alias("qlabel"),
+        _dvec(vec_col).alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col), F.col(label_col), _dvec(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = c.join(F.broadcast(q), F.col(label_col) != F.col("qlabel")).withColumn(
+        "score", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )

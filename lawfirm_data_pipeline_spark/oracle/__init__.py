@@ -58,6 +58,7 @@ from . import m60_psi  # noqa: F401  q223 (1)  — window closes at 50
 # New in round 4 (registered at the window edge so the round-5 rotation
 # picks them up first): catalog transactions + curation ops q224-q227.
 from . import m61_curation_txn  # noqa: F401
+from . import m62_er_privacy_multimodal  # noqa: F401
 
 from . import m26_linkage_ivm  # noqa: F401
 from . import m27_layout_paths  # noqa: F401
