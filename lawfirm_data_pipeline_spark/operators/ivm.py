@@ -64,3 +64,49 @@ def maintain_group_totals(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def maintain_join_totals(
+    view_old: DataFrame,
+    a_old: DataFrame,
+    a_ins: DataFrame,
+    b_old: DataFrame,
+    b_ins: DataFrame,
+    on: str,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Maintain a SUM/COUNT view over ``A ⋈ B`` under INSERTS to both
+    sides with the classic three delta terms [Gupta & Mumick]:
+
+        Δview = agg(ΔA ⋈ B_old) + agg(A_old ⋈ ΔB) + agg(ΔA ⋈ ΔB)
+
+    ``view_old`` is the materialized (group, n_rows, total) view of
+    A_old ⋈ B_old; the full old join is NEVER recomputed — each delta
+    term joins a delta against a stable snapshot (or delta×delta), so
+    work is O(|Δ| · fanout) plus the view size.  Contributions are
+    exact integers, so the maintained view is bit-identical to a
+    from-scratch aggregation over (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) — which
+    is exactly what the oracle recomputes.
+    """
+
+    def agg(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.join(b, on)
+            .groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(value_col).cast("long").alias("total"),
+            )
+        )
+
+    terms = (
+        view_old.select(group_col, "n_rows", "total")
+        .unionByName(agg(a_ins, b_old))
+        .unionByName(agg(a_old, b_ins))
+        .unionByName(agg(a_ins, b_ins))
+    )
+    return terms.groupBy(group_col).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("total").cast("long").alias("total"),
+    )

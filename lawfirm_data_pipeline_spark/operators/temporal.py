@@ -133,3 +133,71 @@ def range_join(
         & (F.unix_micros(F.col(f"{right_ts}_r")) > F.unix_micros(F.col(left_ts)) - w_us)
     )
     return l_exp.join(r_exp, on=[key, "__bkt"]).filter(cond).drop("__bkt")
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_id: str,
+    ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_us: int = 3_600_000_000,
+    right_payload: list[str] | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Nearest-in-time match within ±tolerance (the bidirectional as-of
+    variant: ``asof_join`` looks only backward).  For each left row,
+    the right row on the same key minimizing |left.ts - right.ts|,
+    dropped when nothing falls inside the tolerance window.
+
+    Scale shape: BAND-BUCKETED equi-join — both sides bucket their
+    timestamp by the tolerance (``b = unix_micros div tol``), the left
+    probes buckets {b-1, b, b+1} (any within-tolerance neighbor lands
+    there), and ranking runs per left row over the bounded candidate
+    set.  No range predicate ever reaches a join condition, so Catalyst
+    plans a plain shuffled equi-join at any scale; candidates per row
+    track event density within one tolerance window, not table size.
+
+    Determinism: rank orders by (gap_us, right ts, ``tie_break``) —
+    pass a unique right id whenever two right rows can share a
+    timestamp, same contract as ``asof_join``.  Returns (left_id, key,
+    left ts, asof_ts, gap_us, payload...).
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    tol = int(tolerance_us)
+    l_b = F.floor(F.unix_micros(F.col(ts)) / F.lit(tol)).cast("long")
+    r_b = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(tol)).cast("long")
+    l = left.select(
+        F.col(left_id), F.col(key), F.col(ts), F.explode(
+            F.array(l_b - 1, l_b, l_b + 1)
+        ).alias("__b"),
+    )
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__r_ts"),
+        r_b.alias("__b"),
+        *[F.col(c) for c in right_payload],
+    )
+    gap = F.abs(F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__r_ts")))
+    tie = F.col(tie_break) if tie_break else F.lit(0)
+    w = Window.partitionBy(left_id).orderBy(
+        F.col("__gap"), F.col("__r_ts"), tie
+    )
+    return (
+        l.join(r, [key, "__b"])
+        .withColumn("__gap", gap)
+        .filter(F.col("__gap") <= tol)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            left_id,
+            key,
+            ts,
+            F.col("__r_ts").alias("asof_ts"),
+            F.col("__gap").alias("gap_us"),
+            *right_payload,
+        )
+    )
