@@ -64,3 +64,25 @@ def test_semantic_dedup_drops_planted_copies(spark):
     assert planted and all(not rows[v]["kept"] for v in planted)
     # originals of the planted copies are kept (they ARE the lowest id)
     assert all(rows[v - 100000]["kept"] for v in planted)
+
+
+def test_cuped_partitioning_invariance(spark):
+    # integer-sums-only discipline: any repartitioning produces the
+    # bit-identical readout
+    from lawfirm_data_pipeline_spark.operators.stats import cuped_adjusted_means
+
+    rows = [(i % 2, (i * 37) % 500, (i * 91) % 700) for i in range(200)]
+    df = spark.createDataFrame(rows, "arm int, pre_cents long, post_cents long")
+    a = sorted(map(tuple, cuped_adjusted_means(df).collect()))
+    b = sorted(map(tuple, cuped_adjusted_means(df.repartition(17)).collect()))
+    assert a == b
+
+
+def test_frame_pooling_partitioning_invariance(spark):
+    from lawfirm_data_pipeline_spark.operators.multimodal import pool_frame_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    frames = emb.selectExpr("vec_id div 8 AS media_id", "embedding")
+    a = sorted(map(tuple, pool_frame_embeddings(frames).collect()))
+    b = sorted(map(tuple, pool_frame_embeddings(frames.repartition(13)).collect()))
+    assert a == b  # exact micro-unit sums: order/partitioning cannot move them

@@ -416,3 +416,46 @@ def test_q172_top10_is_bounded_heap(spark):
 
     plan = plan_of(q172_shipping_priority(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_nearest_is_equi_join_no_range_predicate(spark):
+    """The nearest-as-of band-bucket join must plan as a plain shuffled
+    or broadcast equi-join — no BroadcastNestedLoop/cartesian from a
+    range predicate reaching the join condition."""
+    from lawfirm_data_pipeline_spark.operators.temporal import asof_nearest
+
+    ev = load_table(spark, SF, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    plan = plan_of(
+        asof_nearest(
+            purchases, clicks, key="user_id", left_id="event_id",
+            tolerance_us=7_200_000_000, right_payload=["click_id"],
+            tie_break="click_id",
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_keyword_tags_is_shuffle_free_map_stage(spark):
+    """Dictionary tagging is a pure projection+filter over the scan —
+    no exchange anywhere in the plan."""
+    from lawfirm_data_pipeline_spark.operators.text import keyword_tags
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(keyword_tags(docs, ["spark", "join", "merge"]))
+    assert "Exchange" not in plan, plan
+
+
+def test_kmv_minima_use_take_ordered_not_global_sort(spark):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject — the
+    k-row reduction — never a full global Sort of the hashed corpus."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q239_kmv_union"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
