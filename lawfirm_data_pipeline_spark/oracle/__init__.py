@@ -61,6 +61,7 @@ from . import m61_curation_txn  # noqa: F401
 from . import m62_er_privacy_multimodal  # noqa: F401
 from . import m63_recovery_ivm_temporal  # noqa: F401
 from . import m64_sql_surface2  # noqa: F401
+from . import m65_subquery_surface  # noqa: F401
 
 from . import m26_linkage_ivm  # noqa: F401
 from . import m27_layout_paths  # noqa: F401

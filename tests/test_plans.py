@@ -459,3 +459,14 @@ def test_kmv_minima_use_take_ordered_not_global_sort(spark):
 
     plan = plan_of(QUERIES["q239_kmv_union"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_subquery_kit_decorrelates_to_joins(spark):
+    """q241's EXISTS/NOT EXISTS/IN/scalar subqueries must decorrelate:
+    the plan is semi/anti/outer joins over one supplier pass, never a
+    cartesian or per-row re-execution artifact."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q241_subquery_kit"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
