@@ -22,7 +22,12 @@ the bounded page loop are what this module pins.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def page_rows(seed: int, page: int) -> list[tuple[int, int, int, int]]:
@@ -55,6 +60,12 @@ class PagedDemoDataSource(DataSource):
             int(self.options.get("max_pages", 20)),
         )
 
+    def simpleStreamReader(self, schema) -> "PagedDemoStreamReader":
+        return PagedDemoStreamReader(
+            int(self.options.get("seeds", 8)),
+            int(self.options.get("max_pages", 20)),
+        )
+
 
 class PagedDemoReader(DataSourceReader):
     def __init__(self, seeds: int, max_pages: int) -> None:
@@ -70,6 +81,38 @@ class PagedDemoReader(DataSourceReader):
         seed = partition.value
         for page in range(min(n_pages(seed), self.max_pages)):
             yield from page_rows(seed, page)
+
+
+class PagedDemoStreamReader(SimpleDataSourceStreamReader):
+    """The same paged space as a STREAMING source (Spark 4
+    ``simpleStreamReader``): micro-batch N carries page N of every seed
+    that still has one — the page loop becomes the offset axis, so a
+    restarted query replays exactly the uncommitted pages
+    (``readBetweenOffsets`` is the recovery contract).  A real
+    deployment polls an external cursor the same way; the offset dict
+    is whatever token the remote paging API hands back."""
+
+    def __init__(self, seeds: int, max_pages: int) -> None:
+        self.seeds = seeds
+        self.cap = min(max(n_pages(s) for s in range(seeds)), max_pages)
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _page(self, page: int):
+        for s in range(self.seeds):
+            if page < n_pages(s):
+                yield from page_rows(s, page)
+
+    def read(self, start: dict):
+        page = start["page"]
+        if page >= self.cap:
+            return iter([]), start
+        return iter(list(self._page(page))), {"page": page + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for p in range(start["page"], end["page"]):
+            yield from self._page(p)
 
 
 def register(spark) -> None:
