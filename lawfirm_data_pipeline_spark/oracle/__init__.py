@@ -14,15 +14,18 @@ format / IO gates (q175/q176, q197/q198, q205-q207), streaming
 (q104, q110, q152), iterative graph (q126-q128, q156, q208, q221) —
 then the m18-m24 corpus/stats waves, closing with q223 at slot 50.
 
-Round 5 plan: front-load m26-m31 + m33-m38 + m40-m45 + m47 +
-m51-m57 + m59 (the remaining 50 never-checked queries, q129-q151,
-q157-q174, q177-q196, q199-q201, q209-q220, q222).  After round 5
-every query registered through round 3 has a driver CORRECTNESS row;
-round 6 windows go to round-4/5-era additions and regression re-checks.
-Until a query's round arrives, the local oracle suite
-(tests/test_oracle_queries.py) runs the identical comparison — every
-registered query is green at BOTH sf0.01 and sf0.1 (BASELINE.md
-two-scale records).
+Round 5 plan (updated for the round-4 additions m61-m66, q224-q243):
+front-load the 20 NEW queries first — they carry the fresh
+architectural risk (catalog transactions q224, streaming restart
+recovery q232, Python streaming source q242) — then m26-m31 + m33 +
+m34 (q129-q151, q157-q163): 20 + 27 + 3 = 50 exactly.  Round 6
+front-loads the remaining 45 never-checked (m35-m38, m40-m45, m47,
+m51-m57, m59: q164-q174, q177-q196, q199-q201, q209-q220, q222) +
+5 regression re-check slots.  After round 6 every registered query
+has a driver CORRECTNESS row.  Until a query's round arrives, the
+local oracle suite (tests/test_oracle_queries.py) runs the identical
+comparison — every registered query is green at BOTH sf0.01 and
+sf0.1 (BASELINE.md two-scale records).
 """
 
 # --- Round-4 window: slots 1-50, all first-ever driver rows ---------------
