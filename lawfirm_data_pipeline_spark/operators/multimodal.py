@@ -180,14 +180,17 @@ def audio_window_features_stub(media: DataFrame, window_ms: int = 250) -> DataFr
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """Real pixel decode — requires an image codec library.
-
-    Not fakeable without lying about pixel data; explicitly unimplemented
-    in this environment.
+    """Real pixel decode for compressed formats — requires a codec
+    library.  Not fakeable without lying about pixel data; explicitly
+    unimplemented for JPEG/PNG in this environment.  Uncompressed
+    24-bit BMP IS decoded for real with zero deps — see
+    ``decode_bmp_stats`` below (q244's value-gated path); a
+    libjpeg-backed kernel drops into the same mapInPandas shape.
     """
     raise NotImplementedError(
-        "pixel decode needs PIL/torchvision, not present in this container; "
-        "use image_features_stub for plumbing tests"
+        "JPEG/PNG decode needs PIL/torchvision, not present in this "
+        "container; decode_bmp_stats is the real-decode path (BMP), "
+        "image_features_stub the plumbing stub"
     )
 
 
@@ -255,4 +258,89 @@ def pool_frame_embeddings(
     return exploded.groupBy(media_col, "pos").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum("micro").cast("long").alias("pooled_micro"),
+    )
+
+
+# ---------------------------------------------------------------- BMP
+# A REAL decode path with zero external deps: 24-bit uncompressed BMP
+# is a fixed 54-byte header + bottom-up padded pixel rows, parseable
+# with stdlib struct. This upgrades one leg of the decode story from
+# "honest stub" to genuine binary decoding — the same mapInPandas
+# plumbing (schema, batching, binary column in / typed stats out) that
+# a libjpeg/ffmpeg kernel would use, exercised end to end.
+
+
+def synth_bmp_bytes(media_id: int) -> bytes:
+    """Deterministic 24-bit BMP: width 4 + id%5, height 3 + id%4,
+    pixel (x, y) BGR = ((id*7+x*3+y*5)%256, (id*11+x+2*y)%256,
+    (id*13+2*x+y)%256).  Pure integer math, so an oracle can derive
+    the decoded stats without decoding."""
+    import struct
+
+    w, h = 4 + media_id % 5, 3 + media_id % 4
+    row_pad = (-(w * 3)) % 4
+    img = bytearray()
+    for y in range(h - 1, -1, -1):  # BMP rows are bottom-up
+        for x in range(w):
+            img += bytes(
+                (
+                    (media_id * 7 + x * 3 + y * 5) % 256,
+                    (media_id * 11 + x + 2 * y) % 256,
+                    (media_id * 13 + 2 * x + y) % 256,
+                )
+            )
+        img += b"\x00" * row_pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return header + info + bytes(img)
+
+
+def synth_bmp_media(spark, n: int = 64) -> DataFrame:
+    """(media_id, payload BINARY) table of synthetic BMPs — the binary
+    ingestion shape (id + opaque bytes) a media lake lands."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(mid: pd.Series) -> pd.Series:
+        return mid.map(lambda i: synth_bmp_bytes(int(i)))
+
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), gen(F.col("id")).alias("payload")
+    )
+
+
+def decode_bmp_stats(media: DataFrame) -> DataFrame:
+    """REAL decode: parse each BMP payload (header fields + bottom-up
+    padded pixel rows) and emit (media_id, width, height, px_sum) with
+    ``px_sum`` = sum of every RGB byte.  Arrow-batched ``mapInPandas``
+    with columns pruned to (media_id, payload) before the boundary —
+    identical plumbing to any codec kernel; swap the body for
+    libjpeg/ffmpeg and nothing around it changes."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                raw = bytes(payload)
+                if raw[:2] != b"BM":
+                    raise ValueError(f"media {mid}: not a BMP")
+                off = struct.unpack_from("<I", raw, 10)[0]
+                w, h = struct.unpack_from("<ii", raw, 18)
+                bpp = struct.unpack_from("<H", raw, 28)[0]
+                if bpp != 24:
+                    raise ValueError(f"media {mid}: unsupported bpp {bpp}")
+                stride = w * 3 + ((-(w * 3)) % 4)
+                total = 0
+                for y in range(abs(h)):
+                    row = raw[off + y * stride : off + y * stride + w * 3]
+                    total += sum(row)
+                out.append((int(mid), int(w), int(abs(h)), int(total)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "px_sum"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, width long, height long, px_sum long"
     )

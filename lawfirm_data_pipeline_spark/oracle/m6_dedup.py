@@ -12,12 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
 from ..operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
-    ngram_jaccard_pairs,
     simhash_bits,
 )
 from ..queries import query

@@ -86,3 +86,31 @@ def test_frame_pooling_partitioning_invariance(spark):
     a = sorted(map(tuple, pool_frame_embeddings(frames).collect()))
     b = sorted(map(tuple, pool_frame_embeddings(frames.repartition(13)).collect()))
     assert a == b  # exact micro-unit sums: order/partitioning cannot move them
+
+
+def test_bmp_decode_handles_padding_and_bottom_up(spark):
+    # widths 4..8 exercise every row-padding case (stride % 4 in all
+    # residues); the decoder must also walk rows bottom-up correctly
+    from lawfirm_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_stats,
+        synth_bmp_bytes,
+        synth_bmp_media,
+    )
+
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["px_sum"])
+        for r in decode_bmp_stats(synth_bmp_media(spark, n=20)).collect()
+    }
+    import struct
+
+    for mid in range(20):
+        raw = synth_bmp_bytes(mid)
+        w, h = struct.unpack_from("<ii", raw, 18)
+        expected = sum(
+            ((mid * 7 + x * 3 + y * 5) % 256)
+            + ((mid * 11 + x + 2 * y) % 256)
+            + ((mid * 13 + 2 * x + y) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+        assert got[mid] == (w, h, expected), mid
