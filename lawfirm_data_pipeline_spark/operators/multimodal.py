@@ -344,3 +344,79 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         kernel, "media_id long, width long, height long, px_sum long"
     )
+
+
+# ---------------------------------------------------------------- WAV
+# Same real-decode upgrade for the audio leg: 16-bit PCM WAV is a
+# 44-byte RIFF header + raw little-endian samples — stdlib struct.
+
+
+def synth_wav_bytes(media_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: 8000 Hz, n = 64 + (id % 37)
+    samples, sample[i] = ((id * 131 + i * 17) % 4001) - 2000.  Pure
+    integer math so the oracle can derive decoded stats arithmetically."""
+    import struct
+
+    n = 64 + media_id % 37
+    samples = [((media_id * 131 + i * 17) % 4001) - 2000 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        8000, 16000, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def synth_wav_media(spark, n: int = 48) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(mid: pd.Series) -> pd.Series:
+        return mid.map(lambda i: synth_wav_bytes(int(i)))
+
+    return spark.range(n).select(
+        F.col("id").alias("media_id"), gen(F.col("id")).alias("payload")
+    )
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse the RIFF/fmt/data chunks and the PCM
+    samples; emit (media_id, sample_rate, n_samples, sample_sum,
+    peak) — peak = max absolute amplitude, the clipping check an audio
+    curation pass runs.  Arrow mapInPandas, columns pruned before the
+    boundary; an ffmpeg kernel for compressed codecs drops into the
+    same shape."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise ValueError(f"media {mid}: not a WAV")
+                rate = struct.unpack_from("<I", raw, 24)[0]
+                bits = struct.unpack_from("<H", raw, 34)[0]
+                if bits != 16:
+                    raise ValueError(f"media {mid}: unsupported bits {bits}")
+                nbytes = struct.unpack_from("<I", raw, 40)[0]
+                n = nbytes // 2
+                samples = struct.unpack_from(f"<{n}h", raw, 44)
+                out.append(
+                    (
+                        int(mid), int(rate), n,
+                        int(sum(samples)),
+                        int(max(abs(s) for s in samples)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_rate", "n_samples", "sample_sum", "peak"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel,
+        "media_id long, sample_rate long, n_samples long, sample_sum long, peak long",
+    )

@@ -114,3 +114,36 @@ def test_bmp_decode_handles_padding_and_bottom_up(spark):
             for y in range(h)
         )
         assert got[mid] == (w, h, expected), mid
+
+
+def test_record_stream_detects_truncated_frame(spark):
+    import pytest
+
+    from lawfirm_data_pipeline_spark.operators.ingest import parse_record_stream
+
+    # frame claims 100 bytes but carries 5 — the parser must fail
+    # loudly, never emit a desynchronized record
+    import struct
+
+    bad = struct.pack(">QI", 1, 100) + b"short"
+    files = spark.createDataFrame([(0, bytearray(bad))], "file_id long, blob binary")
+    with pytest.raises(Exception, match="truncated frame"):
+        parse_record_stream(files).collect()
+
+
+def test_gzip_roundtrip_is_lossless_on_crafted_text(spark):
+    from lawfirm_data_pipeline_spark.operators.ingest import (
+        gzip_compress_corpus,
+        gzip_decompress_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "héllo wörld"), (2, ""), (3, "a" * 10000)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_bytes"], r["digest"]) for r in
+           gzip_decompress_stats(gzip_compress_corpus(df)).collect()}
+    import hashlib
+
+    for did, text in [(1, "héllo wörld"), (2, ""), (3, "a" * 10000)]:
+        raw = text.encode("utf-8")
+        assert got[did] == (len(raw), hashlib.md5(raw).hexdigest())
