@@ -147,3 +147,26 @@ def test_gzip_roundtrip_is_lossless_on_crafted_text(spark):
     for did, text in [(1, "héllo wörld"), (2, ""), (3, "a" * 10000)]:
         raw = text.encode("utf-8")
         assert got[did] == (len(raw), hashlib.md5(raw).hexdigest())
+
+
+def test_bpe_encode_marker_semantics(spark):
+    # "the"->1 token, "then"->2 (the+n), "thin"->2 (th+in), "banana"
+    # -> b+an+an+a = 4 (merges scan left-to-right non-overlapping)
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(0, "the then thin banana")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("___bpe_probe")
+    from lawfirm_data_pipeline_spark.oracle.m69_bpe_shards import _MERGES
+    from pyspark.sql import functions as F
+
+    merged = F.col("norm")
+    for pat, rep in _MERGES:
+        merged = F.replace(merged, F.lit(pat), F.lit(rep))
+    got = (
+        df.select(F.array_join(F.split("text", " "), " ").alias("norm"))
+        .select((F.length(merged) - 3).alias("n_bpe"))
+        .collect()[0]["n_bpe"]
+    )
+    assert got == 1 + 2 + 2 + 4
