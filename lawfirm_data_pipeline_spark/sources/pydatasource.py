@@ -105,10 +105,15 @@ class PagedDemoStreamReader(SimpleDataSourceStreamReader):
                 yield from page_rows(s, page)
 
     def read(self, start: dict):
+        # two pages per micro-batch: still a real multi-batch stream
+        # (offsets advance incrementally, recovery replays a range) at
+        # half the per-trigger Python-worker round trips
         page = start["page"]
         if page >= self.cap:
             return iter([]), start
-        return iter(list(self._page(page))), {"page": page + 1}
+        upto = min(page + 2, self.cap)
+        rows = [r for p in range(page, upto) for r in self._page(p)]
+        return iter(rows), {"page": upto}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         for p in range(start["page"], end["page"]):
