@@ -32,7 +32,7 @@ charter calls for alongside dedup/ANN.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FP = 1_000_000  # micro fixed-point: float32 -> exact int64 components

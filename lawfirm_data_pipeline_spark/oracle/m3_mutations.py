@@ -15,7 +15,6 @@ from ..operators.mutations import (
     connect_or_create,
     dedup_insert,
     delete_cascade,
-    merge_update,
     update_many,
     upsert,
 )
