@@ -208,3 +208,25 @@ def test_catalog_snapshot_isolation_for_readers(spark, tmp_path):
     new = cat.snapshot()
     assert cat.read(spark, "a", new).count() == 50
     assert cat.read(spark, "b", new).count() == 50
+
+
+def test_exactly_once_sink_skips_replayed_batch(spark, tmp_path):
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+    from lawfirm_data_pipeline_spark.streaming.catalog_sink import (
+        exactly_once_totals_sink,
+    )
+
+    cat = Catalog(str(tmp_path / "cat"))
+    sink = exactly_once_totals_sink(spark, cat)
+    b0 = spark.createDataFrame([(1, 100), (1, 50), (2, 10)], "user_id long, cents long")
+    b1 = spark.createDataFrame([(1, 1), (3, 7)], "user_id long, cents long")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # at-least-once redelivery: must be a no-op
+    sink(b0, 0)  # and an older replay too
+    got = {r["user_id"]: (r["n_events"], r["total_cents"])
+           for r in cat.read(spark, "totals").collect()}
+    assert got == {1: (3, 151), 2: (1, 10), 3: (1, 7)}
+    # batch ids recorded atomically with the data
+    done = {r["batch_id"] for r in cat.read(spark, "_meta").collect()}
+    assert done == {0, 1}
