@@ -17,6 +17,8 @@ Operators:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints at runtime
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -593,3 +595,36 @@ def keyword_tags(
             F.size("tags").cast("long").alias("n_tags"),
         )
     )
+
+
+def unicode_normalize(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Full Unicode normalization — NFC compose, accent strip (NFD →
+    drop combining marks), lowercase, whitespace collapse — the
+    canonicalization pass a multilingual corpus runs before dedup.
+
+    This is a JUSTIFIED Python boundary: Spark has no NFC/NFD builtin,
+    so the kernel is an Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` (vs a row-at-a-time UDF: same semantics, ~10-100x
+    the throughput).  Everything around it — projection pruning before
+    the boundary, JVM whitespace collapse after — stays in codegen.
+    Semantics verified against DuckDB's independent
+    nfc_normalize/strip_accents implementation on planted non-ASCII
+    fixtures (q258).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def strip_marks(texts: pd.Series) -> pd.Series:
+        def one(s: str) -> str:
+            nfd = unicodedata.normalize(
+                "NFD", unicodedata.normalize("NFC", s)
+            )
+            return "".join(c for c in nfd if unicodedata.category(c) != "Mn")
+
+        return texts.map(one)
+
+    stripped = F.lower(strip_marks(F.col(text_col)))
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.select(F.col(id_col), collapsed.alias("norm"))
