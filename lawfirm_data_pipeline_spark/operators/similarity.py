@@ -826,3 +826,78 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
     )
+
+
+def pq_codes(
+    emb: DataFrame,
+    n_sub: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+    fp: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes [Jégou et al., PAMI'11]: split each
+    vector into ``n_sub`` subvectors, assign each to its nearest
+    subspace centroid, and emit the code word — the 64x-compression
+    backbone of every billion-vector ANN index.
+
+    Codebook = the subvectors of the ``n_centroids`` smallest-id
+    vectors (deterministic, oracle-derivable; swapping in Lloyd-trained
+    centroids changes quality, not mechanics or plan).  Distances are
+    exact integer micro-fixed-point squared L2, argmin ties break to
+    the lowest centroid — bit-identical under any partitioning.
+
+    Assignment runs in ONE Arrow kernel: a (rows x 16) int64 distance
+    matrix per subspace via numpy broadcasting — the
+    ``_bucket_keys_arrow`` lesson applies verbatim: 128 JVM
+    zip_with/aggregate folds per row blow past codegen limits and fall
+    back to interpretation (measured 4.8 s vs ~1 s at sf0.1), while
+    the codebook is broadcast once per worker as a (8, 16, 8) array.
+    Exact int64 arithmetic in numpy keeps bit-identity with the SQL
+    oracle.  Returns (id, code_str 's0-s1-…', err_micro2 = total
+    squared reconstruction error in micro^2 units).
+    """
+    sub_dim = dim // n_sub
+    vec = emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * fp).cast("long"),
+        ).alias("fp"),
+    )
+    seeds = (
+        vec.orderBy(id_col).limit(n_centroids).collect()
+    )  # bounded: codebook-sized, the same collect IVF/k-means training does
+    if len(seeds) != n_centroids:
+        raise ValueError(f"pq_codes: need >= {n_centroids} vectors")
+    codebook = [
+        [
+            [int(x) for x in r["fp"][s * sub_dim : (s + 1) * sub_dim]]
+            for r in sorted(seeds, key=lambda r: r[id_col])
+        ]
+        for s in range(n_sub)
+    ]
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.array(codebook, dtype=np.int64)  # (n_sub, n_centroids, sub_dim)
+
+    @pandas_udf("code_str string, err_micro2 long")
+    def assign(fps: pd.Series) -> pd.DataFrame:
+        m = np.asarray(list(fps), dtype=np.int64)  # (rows, dim)
+        codes = np.empty((m.shape[0], n_sub), dtype=np.int64)
+        err = np.zeros(m.shape[0], dtype=np.int64)
+        for s in range(n_sub):
+            sub = m[:, s * sub_dim : (s + 1) * sub_dim]
+            diff = sub[:, None, :] - cb[s][None, :, :]
+            dists = (diff * diff).sum(axis=2)  # (rows, n_centroids) int64
+            codes[:, s] = dists.argmin(axis=1)  # first min = lowest c on ties
+            err += dists.min(axis=1)
+        strs = ["-".join(str(c) for c in row) for row in codes]
+        return pd.DataFrame({"code_str": strs, "err_micro2": err})
+
+    return vec.select(
+        id_col, assign(F.col("fp")).alias("pq")
+    ).select(id_col, "pq.code_str", "pq.err_micro2")
