@@ -80,6 +80,7 @@ from . import m74_stl  # noqa: F401
 from . import m75_pq_schema  # noqa: F401
 from . import m76_pq_adc  # noqa: F401
 from . import m77_featurization  # noqa: F401
+from . import m78_masking_budget  # noqa: F401
 
 from . import m26_linkage_ivm  # noqa: F401
 from . import m27_layout_paths  # noqa: F401
