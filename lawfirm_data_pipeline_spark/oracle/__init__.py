@@ -14,16 +14,16 @@ format / IO gates (q175/q176, q197/q198, q205-q207), streaming
 (q104, q110, q152), iterative graph (q126-q128, q156, q208, q221) —
 then the m18-m24 corpus/stats waves, closing with q223 at slot 50.
 
-Round 5 plan (updated for the round-4 additions m61-m74, 37 new
-queries q224-q260): front-load the NEW queries first — they carry the
-fresh architectural risk (catalog transactions q224, streaming
-restart recovery q232, exactly-once catalog sink q257, Python
-streaming source q242, real binary decodes q244-q247, deletion
-vectors q259) — then m26-m28 (q129-q140, 12) + m53 (q212, 1):
-37 + 13 = 50 exactly.  Round 6 front-loads the next 50 of the
-backlog (m29-m31, m33-m38, m40-m45: q141-q151, q157-q174,
-q177-q196); round 7 closes with the remaining 14 (m47, m51, m52,
-m54-m57, m59: q199-q201, q209-q211, q213-q220, q222) + re-check
+Round 5 plan (final round-4 additions: m61-m78, 45 new queries
+q224-q268): front-load the NEW queries first — they carry the fresh
+architectural risk (catalog transactions q224, streaming restart
+recovery q232, exactly-once catalog sink q257, Python streaming
+source q242, real binary decodes q244-q247, deletion vectors q259,
+PQ/ADC q261/q263) — then m26 (q129-q132, 4) + m53 (q212, 1):
+45 + 5 = 50 exactly.  Round 6 front-loads the next 50 of the backlog
+(m27-m31, m33-m38, m40-m43: q133-q151, q157-q174, q177-q188);
+round 7 closes with the remaining 22 (m44, m45, m47, m51, m52,
+m54-m57, m59: q189-q201, q209-q211, q213-q220, q222) + re-check
 slots.  After round 7 every registered query has a driver
 CORRECTNESS row.  Until a query's round arrives, the
 local oracle suite (tests/test_oracle_queries.py) runs the identical
