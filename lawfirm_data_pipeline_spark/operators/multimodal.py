@@ -397,13 +397,30 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
                 raw = bytes(payload)
                 if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
                     raise ValueError(f"media {mid}: not a WAV")
-                rate = struct.unpack_from("<I", raw, 24)[0]
-                bits = struct.unpack_from("<H", raw, 34)[0]
+                # Walk the chunk list from offset 12 (4-byte id + 4-byte
+                # size each, word-aligned) instead of assuming the
+                # canonical 44-byte header — a valid WAV may carry LIST/
+                # fact chunks before 'data', which fixed offsets would
+                # silently decode as PCM garbage (r4 ADVICE).
+                rate = bits = None
+                data_off = nbytes = None
+                pos = 12
+                while pos + 8 <= len(raw):
+                    cid = raw[pos : pos + 4]
+                    csize = struct.unpack_from("<I", raw, pos + 4)[0]
+                    if cid == b"fmt ":
+                        rate = struct.unpack_from("<I", raw, pos + 12)[0]
+                        bits = struct.unpack_from("<H", raw, pos + 22)[0]
+                    elif cid == b"data":
+                        data_off, nbytes = pos + 8, csize
+                        break
+                    pos += 8 + csize + (csize & 1)
+                if rate is None or data_off is None:
+                    raise ValueError(f"media {mid}: missing fmt/data chunk")
                 if bits != 16:
                     raise ValueError(f"media {mid}: unsupported bits {bits}")
-                nbytes = struct.unpack_from("<I", raw, 40)[0]
                 n = nbytes // 2
-                samples = struct.unpack_from(f"<{n}h", raw, 44)
+                samples = struct.unpack_from(f"<{n}h", raw, data_off)
                 out.append(
                     (
                         int(mid), int(rate), n,

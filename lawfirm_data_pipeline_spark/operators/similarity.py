@@ -982,7 +982,16 @@ def pq_adc_topk(
             out[:, qi] = luts[qi][np.arange(n_sub)[None, :], codes].sum(1)
         return pd.Series(list(out))
 
-    scored = vec.select(id_col, F.posexplode(adc(F.col("fp"))).alias("query_id", "d"))
+    # posexplode yields the query's POSITION in the LUT stack (0..nq-1);
+    # map it back to the real seed id before self-exclusion — on any id
+    # space that isn't contiguous 0-based, comparing vec_id against the
+    # position would exclude the wrong row and leave each query's own
+    # vector in its top-k at distance 0 (r4 ADVICE).
+    qid_arr = F.array(*[F.lit(int(r[id_col])) for r in seeds[:n_queries]])
+    scored = (
+        vec.select(id_col, F.posexplode(adc(F.col("fp"))).alias("qpos", "d"))
+        .withColumn("query_id", F.element_at(qid_arr, F.col("qpos") + 1))
+    )
     w = Window.partitionBy("query_id").orderBy("d", id_col)
     return (
         scored.filter(F.col(id_col) != F.col("query_id"))

@@ -14,75 +14,59 @@ format / IO gates (q175/q176, q197/q198, q205-q207), streaming
 (q104, q110, q152), iterative graph (q126-q128, q156, q208, q221) —
 then the m18-m24 corpus/stats waves, closing with q223 at slot 50.
 
-Round 5 plan (final round-4 additions: m61-m78, 45 new queries
-q224-q268): front-load the NEW queries first — they carry the fresh
-architectural risk (catalog transactions q224, streaming restart
-recovery q232, exactly-once catalog sink q257, Python streaming
-source q242, real binary decodes q244-q247, deletion vectors q259,
-PQ/ADC q261/q263) — then m26 (q129-q132, 4) + m53 (q212, 1):
-45 + 5 = 50 exactly.  Round 6 front-loads the next 50 of the backlog
-(m27-m31, m33-m38, m40-m43: q133-q151, q157-q174, q177-q188);
-round 7 closes with the remaining 22 (m44, m45, m47, m51, m52,
-m54-m57, m59: q189-q201, q209-q211, q213-q220, q222) + re-check
-slots.  After round 7 every registered query has a driver
-CORRECTNESS row.  Until a query's round arrives, the
-local oracle suite (tests/test_oracle_queries.py) runs the identical
-comparison — every registered query is green at BOTH sf0.01 and
-sf0.1 (BASELINE.md two-scale records).
+ROUND 5 (this order) executes the r4 verdict's rotation plan with the
+two re-check slots swapped in (verdict #1): the 45 round-4 additions
+m61-m78 (q224-q268) go first — they carry the fresh architectural risk
+(catalog transactions q224, streaming restart recovery q232,
+exactly-once catalog sink q257, Python streaming source q242, real
+binary decodes q244-q247, deletion vectors q259, PQ/ADC q261/q263) —
+then m79_recheck pins q38 + q69b (the only two registry entries never
+driver-green; their recall-gate oracles landed in r4), then m53 (q212)
+and the head of m26 (q129/q130).  45 + 2 + 1 + 2 = 50 exactly;
+m26's q131/q132 are displaced to the round-6 front as the verdict
+directed.  Round 6 front-loads q131/q132 + the next 48 of the backlog
+(m27-m31, m33-m38, m40-m42: q133-q151, q157-q174, q177-q186);
+round 7 closes with the remaining (m43-m45, m47, m51, m52,
+m54-m57, m59: q187-q201, q209-q211, q213-q220, q222).  After round 7
+every registered query has a driver CORRECTNESS row.  Until a
+query's round arrives, the local oracle suite
+(tests/test_oracle_queries.py) runs the identical comparison — every
+registered query is green at BOTH sf0.01 and sf0.1 (BASELINE.md
+two-scale records).
 """
 
-# --- Round-4 window: slots 1-50, all first-ever driver rows ---------------
+# --- Round-5 window: slots 1-50 -------------------------------------------
 
-# Highest environment risk first: Spark-4 native surfaces (Python
-# DataSource, UDTF, VariantType), then lake/format/IO round-trips.
-from . import m48_spark4_native  # noqa: F401  q202-q204 (3)
-from . import m39_lake_gates  # noqa: F401  q175-q176 (2)
-from . import m46_formats  # noqa: F401  q197-q198 (2)
-from . import m49_mdm_timetravel  # noqa: F401  q205-q207 (3)
+# The 45 round-4 additions (q224-q268), first-ever driver rows.
+from . import m61_curation_txn  # noqa: F401  q224-q227 (4)
+from . import m62_er_privacy_multimodal  # noqa: F401  (4)
+from . import m63_recovery_ivm_temporal  # noqa: F401  (3)
+from . import m64_sql_surface2  # noqa: F401  (5)
+from . import m65_subquery_surface  # noqa: F401  (2)
+from . import m66_stream_source_geo  # noqa: F401  (2)
+from . import m67_bmp_decode  # noqa: F401  q244 (1)
+from . import m68_binary_ingest  # noqa: F401  (3)
+from . import m69_bpe_shards  # noqa: F401  (2)
+from . import m70_training_efficiency  # noqa: F401  (3)
+from . import m71_eval_fairness  # noqa: F401  (3)
+from . import m72_lake_integration  # noqa: F401  (2)
+from . import m73_unicode_dv  # noqa: F401  (2)
+from . import m74_stl  # noqa: F401  (1)
+from . import m75_pq_schema  # noqa: F401  (2)
+from . import m76_pq_adc  # noqa: F401  q263 (1)
+from . import m77_featurization  # noqa: F401  (3)
+from . import m78_masking_budget  # noqa: F401  (2)  — 45 so far
 
-# Streaming + estimate family (q152 stream-history dedup, q156 BFS).
-from . import m32_streams_estimates  # noqa: F401  q152-q156 (5)
+# Re-check slots: q38/q69b, the only entries never driver-green
+# (r4 verdict #1).  Thin delegates claim the dict position; the
+# canonical m6/m11 registrations later replace the value in place.
+from . import m79_recheck  # noqa: F401  q38, q69b (2)  — 47
 
-# Iterative graph family (triangle/pagerank + recursive/fixed-point).
-from . import m25_graph_metrics  # noqa: F401  q126-q128 (3)
+from . import m53_interval_join  # noqa: F401  q212 (1)  — 48
+from . import m26_linkage_ivm  # noqa: F401  q129, q130 close the window
+#   ... and q131/q132 land at slots 51/52 → round-6 front.
 
-# Corpus/stats waves m18-m24 (q97-q125; q104/q110 are streaming).
-from . import m18_corpus_pipeline  # noqa: F401  q97-q105 (9)
-from . import m19_frequency_index  # noqa: F401  q106-q110 (5)
-from . import m20_behavior  # noqa: F401  q111-q113 (3)
-from . import m21_integrity_lm  # noqa: F401  q114-q117 (4)
-from . import m22_sketch_stats  # noqa: F401  q118-q120 (3)
-from . import m23_drift_anomaly  # noqa: F401  q121-q123 (3)
-from . import m24_training_order  # noqa: F401  q124-q125 (2)
-
-# Remaining iterative/fixed-point singletons + round-3 closer.
-from . import m50_recursive  # noqa: F401  q208 (1)
-from . import m58_textrank  # noqa: F401  q221 (1)
-from . import m60_psi  # noqa: F401  q223 (1)  — window closes at 50
-
-# --- Past the window: round-5 rotation targets (never driver-checked) -----
-# New in round 4 (registered at the window edge so the round-5 rotation
-# picks them up first): catalog transactions + curation ops q224-q227.
-from . import m61_curation_txn  # noqa: F401
-from . import m62_er_privacy_multimodal  # noqa: F401
-from . import m63_recovery_ivm_temporal  # noqa: F401
-from . import m64_sql_surface2  # noqa: F401
-from . import m65_subquery_surface  # noqa: F401
-from . import m66_stream_source_geo  # noqa: F401
-from . import m67_bmp_decode  # noqa: F401
-from . import m68_binary_ingest  # noqa: F401
-from . import m69_bpe_shards  # noqa: F401
-from . import m70_training_efficiency  # noqa: F401
-from . import m71_eval_fairness  # noqa: F401
-from . import m72_lake_integration  # noqa: F401
-from . import m73_unicode_dv  # noqa: F401
-from . import m74_stl  # noqa: F401
-from . import m75_pq_schema  # noqa: F401
-from . import m76_pq_adc  # noqa: F401
-from . import m77_featurization  # noqa: F401
-from . import m78_masking_budget  # noqa: F401
-
-from . import m26_linkage_ivm  # noqa: F401
+# --- Past the window: round-6/7 rotation backlog --------------------------
 from . import m27_layout_paths  # noqa: F401
 from . import m28_robust_stats  # noqa: F401
 from . import m29_mlops_market  # noqa: F401
@@ -110,7 +94,25 @@ from . import m56_survival  # noqa: F401
 from . import m57_fraud_ltv  # noqa: F401
 from . import m59_reconciliation  # noqa: F401
 
-# --- Proven green in r1-r3 and unchanged: rotated to the back -------------
+# --- Proven green in r1-r4 and unchanged: rotated to the back -------------
+# (the full round-4 window — m48/m39/m46/m49/m32/m25/m18-m24/m50/m58/m60
+# — is driver-green as of CORRECTNESS_r04 and joins the r1-r3 families.)
+from . import m48_spark4_native  # noqa: F401
+from . import m39_lake_gates  # noqa: F401
+from . import m46_formats  # noqa: F401
+from . import m49_mdm_timetravel  # noqa: F401
+from . import m32_streams_estimates  # noqa: F401
+from . import m25_graph_metrics  # noqa: F401
+from . import m18_corpus_pipeline  # noqa: F401
+from . import m19_frequency_index  # noqa: F401
+from . import m20_behavior  # noqa: F401
+from . import m21_integrity_lm  # noqa: F401
+from . import m22_sketch_stats  # noqa: F401
+from . import m23_drift_anomaly  # noqa: F401
+from . import m24_training_order  # noqa: F401
+from . import m50_recursive  # noqa: F401
+from . import m58_textrank  # noqa: F401
+from . import m60_psi  # noqa: F401
 from . import m0_flagship  # noqa: F401
 from . import m1_query_layer  # noqa: F401
 from . import m2_relations  # noqa: F401

@@ -34,6 +34,21 @@ from ..queries import query
 from ._shared import _COS, LTOKS_SQL as _LTOKS, SHINGLES_SQL as _SHINGLES
 
 
+def guarded_max_source_bit(t: DataFrame) -> DataFrame:
+    """One-row ``max_s`` over column ``s``, raising in-plan when any
+    source index would overflow a 63-bit mask (r3 ADVICE: fail loudly,
+    never wrap shiftleft).  Split out so the guard is unit-testable
+    (tests/test_advice_regressions.py)."""
+    return t.agg(
+        F.when(F.max("s") < 63, F.max("s"))
+        .otherwise(
+            F.raise_error("q185 bit-mask overlap supports at most 63 sources")
+        )
+        .cast("int")
+        .alias("max_s")
+    )
+
+
 # -- q185: cross-source shingle containment matrix
 @query(
     "q185_source_overlap",
@@ -77,14 +92,7 @@ def q185_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 63rd+ source fails loudly instead of silently wrapping shiftleft /
     # dropping its pairs (r3 ADVICE: the old fixed sequence(0,19) would
     # under-count a 21st source while the oracle counted it)
-    smax = t.agg(
-        F.when(F.max("s") < 63, F.max("s"))
-        .otherwise(
-            F.raise_error("q185 bit-mask overlap supports at most 63 sources")
-        )
-        .cast("int")
-        .alias("max_s")
-    )
+    smax = guarded_max_source_bit(t)
     mask_counts = mask_counts.crossJoin(F.broadcast(smax))
     idxs = F.filter(
         F.sequence(F.lit(0), F.col("max_s")),

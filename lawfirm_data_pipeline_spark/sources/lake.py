@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -123,9 +124,12 @@ class Catalog:
     * ``_CATALOG/commit-<n>.json`` holds the FULL {table: version}
       snapshot — readers resolve every table from ONE commit file, so
       a multi-table commit is visible all-or-nothing;
-    * a commit is published by ``O_EXCL`` create of the next numbered
-      file — the filesystem arbitrates racing writers (object stores:
-      a conditional PUT), no lock server;
+    * a commit is published by hard-linking a fully-written temp file
+      onto the next numbered name (``os.link`` raises
+      ``FileExistsError`` like ``O_EXCL``) — the filesystem arbitrates
+      racing writers AND a visible commit file is always complete, so
+      readers can never observe a torn head (object stores: a
+      conditional PUT of the finished object), no lock server;
     * optimistic concurrency: a loser whose tables are DISJOINT from
       the winner's rebases onto the new head and retries; an overlap
       raises :class:`CommitConflict` and nothing it staged is ever
@@ -217,12 +221,24 @@ class Transaction:
             path = os.path.join(
                 self.catalog._log, f"commit-{attempt_base_id + 1}.json"
             )
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # lost the race — re-examine the new head
-            with os.fdopen(fd, "w") as f:
+            # Write the snapshot to a hidden temp file FIRST, then publish
+            # it with os.link — an exclusive primitive like O_EXCL, but the
+            # file is complete before it becomes visible, so a racing
+            # snapshot() can never json.load a torn commit head (object
+            # stores: a conditional PUT of the finished object).
+            tmp = os.path.join(
+                self.catalog._log, f".tmp-commit-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as f:
                 json.dump({"tables": tables}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race — re-examine the new head
+            os.unlink(tmp)
             # best-effort per-table pointer flips keep the single-table
             # API (read_latest) consistent with the catalog head
             for t, v in self._staged.items():

@@ -1,0 +1,154 @@
+"""Regression pins for the r3/r4 ADVICE findings (r4 verdict #8).
+
+Each test asserts the FIXED behavior directly so a silent regression
+fails like a wrong answer.  The r3 items already pinned elsewhere:
+CSV emptyValue/multiLine round-trip (test_formats.py), k-means
+short-seed-read raise (test_cluster_bloom.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- r3 ADVICE: m43 mask bound derives from data, >63 sources raise ------
+
+def test_m43_source_bit_guard_raises_past_63(spark):
+    from lawfirm_data_pipeline_spark.oracle.m43_governance_stats import (
+        guarded_max_source_bit,
+    )
+
+    ok = spark.createDataFrame([(0,), (5,), (62,)], "s int")
+    assert guarded_max_source_bit(ok).collect()[0]["max_s"] == 62
+    bad = spark.createDataFrame([(0,), (63,)], "s int")
+    with pytest.raises(Exception, match="at most 63 sources"):
+        guarded_max_source_bit(bad).collect()
+
+
+# --- r3 ADVICE: Morton y-residue must use pmod, not % --------------------
+
+def test_morton_date_residue_positive_before_epoch(spark):
+    """Dates before the 1995-01-01 epoch must map to the positive
+    residue (Python/DuckDB % semantics), never a negative remainder."""
+    df = spark.createDataFrame(
+        [("1994-12-31",), ("1992-03-01",), ("1996-07-04",)], "o_orderdate string"
+    )
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    got = {
+        r["o_orderdate"]: r["y"]
+        for r in df.select(
+            "o_orderdate", F.pmod(days.cast("long"), F.lit(1024)).alias("y")
+        ).collect()
+    }
+    import datetime
+
+    epoch = datetime.date(1995, 1, 1)
+    for s, y in got.items():
+        d = datetime.date.fromisoformat(s)
+        assert y == (d - epoch).days % 1024  # Python % is the positive residue
+        assert 0 <= y < 1024
+
+
+# --- r4 ADVICE: catalog commit files are complete when visible -----------
+
+def test_catalog_commit_file_visible_only_complete(spark, tmp_path):
+    """The commit path publishes via temp-file + os.link: a visible
+    commit-<n>.json is always complete JSON, hidden temp files are
+    never picked up by snapshot(), and no temp litter survives."""
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.range(5).withColumnRenamed("id", "k")
+    t = cat.transaction()
+    t.stage("a", df)
+    assert t.commit() == 0
+    # a stray in-flight temp file (crashed writer) must not break reads
+    open(os.path.join(cat._log, ".tmp-commit-deadbeef"), "w").write("{")
+    head_id, tables = cat.snapshot()
+    assert head_id == 0 and tables == {"a": 0}
+    # every visible commit file parses as complete JSON
+    import json
+
+    for f in os.listdir(cat._log):
+        if f.startswith("commit-"):
+            json.load(open(os.path.join(cat._log, f)))
+    # the successful commit left no temp litter of its own
+    assert [f for f in os.listdir(cat._log) if f.startswith(".tmp-")] == [
+        ".tmp-commit-deadbeef"
+    ]
+
+
+# --- r4 ADVICE: pq_adc_topk self-exclusion on non-contiguous ids ---------
+
+def test_pq_adc_self_exclusion_on_shifted_ids(spark):
+    """With vec_ids offset by +100000 the positional index != the real
+    id; the query's own vector must still be excluded (no distance-0
+    self rows) and query_id must be the real seed id."""
+    from lawfirm_data_pipeline_spark.io import load_table
+    from lawfirm_data_pipeline_spark.operators.similarity import pq_adc_topk
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") < 64)
+        .withColumn("vec_id", (F.col("vec_id") + 100000).cast("long"))
+    )
+    out = pq_adc_topk(emb, n_queries=4, k=5).collect()
+    qids = {r["query_id"] for r in out}
+    assert qids == {100000, 100001, 100002, 100003}
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+    # each query's own vector codes to itself -> ADC 0 with itself; a
+    # positional comparison would have left such a row in the top-k
+    assert all(
+        not (r["adc_micro2"] == 0 and r["vec_id"] == r["query_id"]) for r in out
+    )
+
+
+# --- r4 ADVICE: WAV decode walks the chunk list --------------------------
+
+def test_wav_decode_handles_extra_chunks(spark):
+    """A LIST chunk between fmt and data must not shift the PCM parse;
+    stats must equal the canonical-header twin."""
+    import struct
+
+    from lawfirm_data_pipeline_spark.operators.multimodal import (
+        decode_wav_stats,
+        synth_wav_bytes,
+    )
+
+    def with_list_chunk(raw: bytes) -> bytes:
+        # canonical layout: RIFF(12) fmt(8+16) data(8+n)
+        fmt = raw[12:36]
+        data = raw[36:]
+        lst = struct.pack("<4sI", b"LIST", 10) + b"INFOxxxxxx"
+        body = fmt + lst + data
+        return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+    base = [synth_wav_bytes(i) for i in range(6)]
+    rows = [(i, base[i]) for i in range(3)] + [
+        (i, with_list_chunk(base[i])) for i in range(3, 6)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["n_samples"], r["sample_sum"], r["peak"])
+           for r in decode_wav_stats(media).collect()}
+    # canonical twin for the LIST-chunk rows
+    plain = spark.createDataFrame(
+        [(i, base[i]) for i in range(6)], "media_id long, payload binary"
+    )
+    exp = {r["media_id"]: (r["n_samples"], r["sample_sum"], r["peak"])
+           for r in decode_wav_stats(plain).collect()}
+    assert got == exp
+
+
+def test_wav_decode_raises_without_data_chunk(spark):
+    import struct
+
+    from lawfirm_data_pipeline_spark.operators.multimodal import decode_wav_stats
+
+    hdr = struct.pack("<4sI4s", b"RIFF", 4, b"WAVE")
+    media = spark.createDataFrame([(0, hdr)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="missing fmt/data"):
+        decode_wav_stats(media).collect()

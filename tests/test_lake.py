@@ -227,6 +227,31 @@ def test_exactly_once_sink_skips_replayed_batch(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["total_cents"])
            for r in cat.read(spark, "totals").collect()}
     assert got == {1: (3, 151), 2: (1, 10), 3: (1, 7)}
-    # batch ids recorded atomically with the data
-    done = {r["batch_id"] for r in cat.read(spark, "_meta").collect()}
-    assert done == {0, 1}
+    # replay watermark recorded atomically with the data, O(1) rows
+    meta = cat.read(spark, "_meta").collect()
+    assert [r["max_batch_id"] for r in meta] == [1]
+
+
+def test_exactly_once_sink_meta_stays_bounded(spark, tmp_path):
+    """r4 verdict #3: 100 batches with interleaved replays must leave
+    ``_meta`` at one row (a high-watermark, not the full batch-id set)
+    and the totals exactly equal to a single pass."""
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+    from lawfirm_data_pipeline_spark.streaming.catalog_sink import (
+        exactly_once_totals_sink,
+    )
+
+    cat = Catalog(str(tmp_path / "cat"))
+    sink = exactly_once_totals_sink(spark, cat)
+    for bid in range(100):
+        b = spark.createDataFrame([(bid % 7, 10)], "user_id long, cents long")
+        sink(b, bid)
+        if bid % 3 == 0:
+            sink(b, bid)  # immediate redelivery of the same batch
+    meta = cat.read(spark, "_meta").collect()
+    assert [r["max_batch_id"] for r in meta] == [99]
+    got = {r["user_id"]: (r["n_events"], r["total_cents"])
+           for r in cat.read(spark, "totals").collect()}
+    import collections
+    exp = collections.Counter(bid % 7 for bid in range(100))
+    assert got == {u: (n, n * 10) for u, n in exp.items()}
