@@ -358,6 +358,175 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- PNG
+# The compressed-format leg (r4 verdict #4): PNG needs only stdlib
+# zlib — chunk walk with CRC32 verification, IDAT inflate, then the
+# spec's per-scanline filter reconstruction (None/Sub/Up/Average/
+# Paeth, RFC 2083 §6).  Unlike BMP's fixed-layout parse this decode
+# has real per-byte data dependencies (each reconstructed byte feeds
+# the next), i.e. the actual work a PNG library does.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor (RFC 2083 §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png_bytes(media_id: int) -> bytes:
+    """Deterministic 8-bit RGB PNG, same pixel formula as the BMP twin
+    (so one arithmetic oracle covers both codecs): width 4 + id%5,
+    height 3 + id%4, pixel (x, y) RGB = ((id*7+x*3+y*5)%256,
+    (id*11+x+2*y)%256, (id*13+2*x+y)%256).  Every scanline uses filter
+    (id + y) % 5, so all five filter types occur and the decoder's
+    reconstruction is exercised for real; ids % 3 == 0 split the
+    compressed stream across two IDAT chunks (the spec allows any
+    split) to pin multi-chunk reassembly."""
+    import struct
+    import zlib
+
+    w, h = 4 + media_id % 5, 3 + media_id % 4
+    bpp = 3
+    prior = bytes(w * bpp)
+    filtered = bytearray()
+    for y in range(h):
+        raw = bytes(
+            (media_id * (7, 11, 13)[c] + x * (3, 1, 2)[c] + y * (5, 2, 1)[c]) % 256
+            for x in range(w)
+            for c in range(3)
+        )
+        ft = (media_id + y) % 5
+        filtered.append(ft)
+        for i, v in enumerate(raw):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                v -= left
+            elif ft == 2:
+                v -= up
+            elif ft == 3:
+                v -= (left + up) >> 1
+            elif ft == 4:
+                v -= _paeth(left, up, ul)
+            filtered.append(v & 0xFF)
+        prior = raw
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    z = zlib.compress(bytes(filtered))
+    if media_id % 3 == 0 and len(z) > 1:
+        cut = len(z) // 2
+        idat = chunk(b"IDAT", z[:cut]) + chunk(b"IDAT", z[cut:])
+    else:
+        idat = chunk(b"IDAT", z)
+    return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idat + chunk(b"IEND", b"")
+
+
+def synth_png_media(spark, n: int = 64) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(mid: pd.Series) -> pd.Series:
+        return mid.map(lambda i: synth_png_bytes(int(i)))
+
+    return spark.range(n, numPartitions=_media_partitions(n)).select(
+        F.col("id").alias("media_id"), gen(F.col("id")).alias("payload")
+    )
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: walk the chunk list (verifying
+    every CRC32), reassemble + inflate the IDAT stream, reconstruct
+    each scanline per its filter byte, emit (media_id, width, height,
+    px_sum).  Unsupported shapes (non-8-bit, non-RGB, interlaced) and
+    corrupt CRCs raise loudly.  Same Arrow mapInPandas plumbing as the
+    BMP/WAV kernels."""
+    import struct
+    import zlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                raw = bytes(payload)
+                if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError(f"media {mid}: not a PNG")
+                pos, ihdr, idat = 8, None, bytearray()
+                while pos + 8 <= len(raw):
+                    ln = struct.unpack_from(">I", raw, pos)[0]
+                    typ = raw[pos + 4 : pos + 8]
+                    data = raw[pos + 8 : pos + 8 + ln]
+                    crc = struct.unpack_from(">I", raw, pos + 8 + ln)[0]
+                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"media {mid}: bad CRC in {typ!r}")
+                    if typ == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif typ == b"IDAT":
+                        idat += data
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln
+                if ihdr is None or not idat:
+                    raise ValueError(f"media {mid}: missing IHDR/IDAT")
+                w, h, depth, color, comp, filt, interlace = ihdr
+                if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                    raise ValueError(
+                        f"media {mid}: unsupported PNG shape "
+                        f"{(depth, color, comp, filt, interlace)}"
+                    )
+                stream = zlib.decompress(bytes(idat))
+                bpp, stride = 3, w * 3
+                if len(stream) != h * (stride + 1):
+                    raise ValueError(f"media {mid}: bad scanline stream length")
+                prior = bytearray(stride)
+                total = 0
+                for y in range(h):
+                    ft = stream[y * (stride + 1)]
+                    line = bytearray(
+                        stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                    )
+                    if ft == 1:
+                        for i in range(bpp, stride):
+                            line[i] = (line[i] + line[i - bpp]) & 0xFF
+                    elif ft == 2:
+                        for i in range(stride):
+                            line[i] = (line[i] + prior[i]) & 0xFF
+                    elif ft == 3:
+                        for i in range(stride):
+                            left = line[i - bpp] if i >= bpp else 0
+                            line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+                    elif ft == 4:
+                        for i in range(stride):
+                            left = line[i - bpp] if i >= bpp else 0
+                            ul = prior[i - bpp] if i >= bpp else 0
+                            line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+                    elif ft != 0:
+                        raise ValueError(f"media {mid}: bad filter {ft}")
+                    total += sum(line)
+                    prior = line
+                out.append((int(mid), int(w), int(h), int(total)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "px_sum"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, width long, height long, px_sum long"
+    )
+
+
 # ---------------------------------------------------------------- WAV
 # Same real-decode upgrade for the audio leg: 16-bit PCM WAV is a
 # 44-byte RIFF header + raw little-endian samples — stdlib struct.

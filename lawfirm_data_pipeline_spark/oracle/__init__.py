@@ -94,6 +94,11 @@ from . import m56_survival  # noqa: F401
 from . import m57_fraud_ltv  # noqa: F401
 from . import m59_reconciliation  # noqa: F401
 
+# New in round 5 — registered AFTER the r6 backlog so they join the
+# round-7 window without displacing the promised r6 coverage
+# (r4 verdict #2).
+from . import m80_png  # noqa: F401  q269 (1)
+
 # --- Proven green in r1-r4 and unchanged: rotated to the back -------------
 # (the full round-4 window — m48/m39/m46/m49/m32/m25/m18-m24/m50/m58/m60
 # — is driver-green as of CORRECTNESS_r04 and joins the r1-r3 families.)
