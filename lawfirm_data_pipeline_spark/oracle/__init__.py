@@ -98,6 +98,7 @@ from . import m59_reconciliation  # noqa: F401
 # round-7 window without displacing the promised r6 coverage
 # (r4 verdict #2).
 from . import m80_png  # noqa: F401  q269 (1)
+from . import m81_pipeline_composite  # noqa: F401  q270 (1)
 
 # --- Proven green in r1-r4 and unchanged: rotated to the back -------------
 # (the full round-4 window — m48/m39/m46/m49/m32/m25/m18-m24/m50/m58/m60

@@ -100,6 +100,7 @@ def locate_stage(
     queue: DataFrame,
     place_entries: DataFrame,
     extractor=default_places_extractor,
+    with_metrics: bool = True,
 ) -> StageResult:
     """Process every pending stage-1 queue row (status IS NULL).
 
@@ -132,11 +133,13 @@ def locate_stage(
     done = pending.select("id").withColumn("status", F.lit(True))
     new_queue = merge_update(queue, done, ["id"], ["status"])
 
-    n_pending = pending.count()
+    tables = {"google_place_url_to_scrape": new_queue, "place_entry": new_entries}
+    if not with_metrics:
+        return StageResult(tables=tables)
     return StageResult(
-        tables={"google_place_url_to_scrape": new_queue, "place_entry": new_entries},
+        tables=tables,
         metrics={
-            "locator_processed": n_pending,
+            "locator_processed": pending.count(),
             "locator_entries_added": new_entries.count() - place_entries.count(),
         },
     )
@@ -184,6 +187,7 @@ def scrape_stage(
     firm_service: DataFrame,
     bridge: DataFrame,
     llm_extract=default_llm_extract,
+    with_metrics: bool = True,
 ) -> StageResult:
     """Process every pending place entry: LLM-extract (A18 stub), skip
     US-phone and empty-services rows (A11/A12), create companies with
@@ -224,13 +228,16 @@ def scrape_stage(
     )
     new_entries = merge_update(place_entries, status_update, ["id"], ["status"])
 
+    tables = {
+        "place_entry": new_entries,
+        "company": merged_companies,
+        "firm_service": new_dim,
+        "company_to_firm_service": new_bridge,
+    }
+    if not with_metrics:
+        return StageResult(tables=tables)
     return StageResult(
-        tables={
-            "place_entry": new_entries,
-            "company": merged_companies,
-            "firm_service": new_dim,
-            "company_to_firm_service": new_bridge,
-        },
+        tables=tables,
         metrics={
             "scraper_processed": extracted.count(),
             "scraper_skipped": extracted.filter(skip).count(),
@@ -250,6 +257,7 @@ def sync_stage(
     crm_sync_event: DataFrame,
     place_entry: DataFrame,
     crm_duplicate_pred: Column | None = None,
+    with_metrics: bool = True,
 ) -> StageResult:
     """Process every never-synced company with an email (the A3 anti-join
     poll, syncCrm.ts:60-69).
@@ -308,13 +316,16 @@ def sync_stage(
     )
     new_events = nested_create_1to1(crm_sync_event, outcomes, "companyId")
 
+    tables = {
+        "company": new_company,
+        "company_to_firm_service": new_bridge,
+        "crm_sync_event": new_events,
+        "place_entry": new_place_entry,
+    }
+    if not with_metrics:
+        return StageResult(tables=tables)
     return StageResult(
-        tables={
-            "company": new_company,
-            "company_to_firm_service": new_bridge,
-            "crm_sync_event": new_events,
-            "place_entry": new_place_entry,
-        },
+        tables=tables,
         metrics={
             "crm_eligible": eligible.count(),
             "crm_deleted_no_services": no_services.count(),
