@@ -1,0 +1,118 @@
+"""sf1 spot-bench of the heaviest queries (r4 verdict #5).
+
+The driver ships sf0.001/0.01/0.1 only, so the one-decade scaling
+signal (sf0.01 → sf0.1) can hide quadratic creep between decades.
+This script materializes an sf1 replica — ten key-shifted copies of
+the sf0.1 tables, offsets chosen so referential integrity and modulo
+distributions survive (NOT the driver's generator; distributional
+twins, good for slope measurement, not for new correctness oracles) —
+then times the heaviest registry queries at sf0.1 AND sf1 and prints
+one JSON line with per-query times and the time-vs-sf slope
+(t_sf1 / t_sf0.1; linear-scan queries ≲ 10, constant-overhead
+queries ≈ 1, anything ≫ 10 is super-linear and a scale bug).
+
+Usage:  python bench_sf1.py            # materializes benchdata/sf1 on
+                                       # first run (~170 MB), then times
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from lawfirm_data_pipeline_spark.session import get_spark
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = os.path.join(_REPO, "benchdata", "sf1")
+
+# key columns shifted by copy_index * offset; offset per table chosen
+# >> max key so copies never collide and joins stay within one copy
+_SHIFTS = {
+    "customer": {"c_custkey": 10_000_000},
+    "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+    "lineitem": {
+        "l_orderkey": 100_000_000,
+        "l_partkey": 10_000_000,
+        "l_suppkey": 10_000_000,
+    },
+    "part": {"p_partkey": 10_000_000},
+    "supplier": {"s_suppkey": 10_000_000},
+    "events": {"event_id": 1_000_000_000, "user_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+    "nation": None,  # dimension: copy once
+    "region": None,
+}
+
+HEAVY = [
+    "q244_bmp_decode",
+    "q242_python_stream_source",
+    "q210_reshard_audit",
+    "q127_triangle_count",
+    "q146_negative_samples",
+    "q231_er_clusters",
+    "q259_deletion_vectors",
+    "q164_rec_precision",
+    "q128_pagerank",
+    "q224_multi_table_transaction",
+    "q270_pipeline_composite",
+]
+
+
+def materialize(spark, factor: int = 10) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for table, shifts in _SHIFTS.items():
+        dst = os.path.join(SF1, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(os.path.join(SF01, f"{table}.parquet"))
+        if shifts is None:
+            out = src
+        else:
+            copies = []
+            for k in range(factor):
+                c = src
+                for col, off in shifts.items():
+                    c = c.withColumn(
+                        col, (F.col(col) + F.lit(k * off)).cast(src.schema[col].dataType)
+                    )
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"materialized {table}", flush=True)
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark()
+    materialize(spark)
+    qs = entrymod.queries()
+    results: dict[str, dict[str, float]] = {}
+    for name in HEAVY:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        times = {}
+        for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            times[sf_label] = round(best, 3)
+        times["slope"] = round(times["sf1"] / max(times["sf0.1"], 1e-9), 2)
+        results[name] = times
+        print(f"{name}: {times}", flush=True)
+    print(json.dumps({"metric": "sf1_spot_bench", "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
