@@ -77,8 +77,11 @@ def q145_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
                  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-         u AS (SELECT DISTINCT user_id, user_id % 100 AS bkt FROM pos),
-         it AS (SELECT DISTINCT p_partkey AS item_id, p_partkey % 100 AS bkt FROM part),
+         nb AS (SELECT greatest(100, CAST(floor(count(*) / 20.0) AS BIGINT)) AS n
+                FROM (SELECT DISTINCT p_partkey FROM part)),
+         u AS (SELECT DISTINCT user_id, user_id % nb.n AS bkt FROM pos, nb),
+         it AS (SELECT DISTINCT p_partkey AS item_id, p_partkey % nb.n AS bkt
+                FROM part, nb),
          cand AS (SELECT u.user_id, it.item_id
                   FROM u JOIN it USING (bkt)
                   WHERE NOT EXISTS (SELECT 1 FROM pos
@@ -109,7 +112,7 @@ def q146_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hash_bucket_negatives(
-        pos, part.select(F.col("p_partkey").alias("item_id")), n_buckets=100, k=5
+        pos, part.select(F.col("p_partkey").alias("item_id")), k=5
     )
 
 

@@ -387,15 +387,25 @@ def test_prefix_jaccard_verify_is_candidate_bounded(spark):
 
 
 def test_negative_sampling_is_bucket_equi_join(spark):
+    import re
+
     from lawfirm_data_pipeline_spark.operators.sampling import hash_bucket_negatives
 
     pos = spark.range(100).select(
         F.col("id").alias("user_id"), (F.col("id") * 3 % 40).alias("item_id")
     )
     items = spark.range(200).select(F.col("id").alias("item_id"))
-    plan = plan_of(hash_bucket_negatives(pos, items))
-    # users x items must meet on the bucket key, never a cross join
+    # explicit bucket count: users x items must meet on the bucket key,
+    # never a cross join of the two big relations
+    plan = plan_of(hash_bucket_negatives(pos, items, n_buckets=10))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # auto-derived bucket count (the scale default): the ONLY nested-loop
+    # joins allowed are the two 1-row scalar broadcasts attaching the
+    # derived n_buckets; the candidate meet itself stays a bkt equi-join
+    auto = plan_of(hash_bucket_negatives(pos, items))
+    assert "CartesianProduct" not in auto
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", auto)) <= 2
+    assert re.search(r"keys(?: \[\d+\])?: \[bkt", auto)
 
 
 def test_q173_returnflag_pushed_to_scan_and_dims_broadcast(spark):
