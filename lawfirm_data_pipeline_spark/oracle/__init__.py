@@ -87,7 +87,6 @@ from . import m45_estimation  # noqa: F401
 from . import m47_windows_ooo  # noqa: F401
 from . import m51_zorder  # noqa: F401
 from . import m52_sharding  # noqa: F401
-from . import m53_interval_join  # noqa: F401
 from . import m54_linkpred_expect  # noqa: F401
 from . import m55_segmentation  # noqa: F401
 from . import m56_survival  # noqa: F401
@@ -104,6 +103,7 @@ from . import m83_matryoshka  # noqa: F401  q272 (1)
 from . import m84_governance2  # noqa: F401  q273-q274 (2)
 from . import m85_stream_sessions_wap  # noqa: F401  q275-q276 (2)
 from . import m86_backpressure_grouped  # noqa: F401  q277-q278 (2)
+from . import m87_tokenize_bucket_split  # noqa: F401  q279-q281 (3)
 
 # --- Proven green in r1-r4 and unchanged: rotated to the back -------------
 # (the full round-4 window — m48/m39/m46/m49/m32/m25/m18-m24/m50/m58/m60
