@@ -480,3 +480,38 @@ def test_subquery_kit_decorrelates_to_joins(spark):
     plan = plan_of(QUERIES["q241_subquery_kit"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_q271_single_lineitem_shuffle_and_broadcast_supplier(spark):
+    """The Q21-shape rewrite must scan lineitem, shuffle on l_orderkey
+    for the per-order aggregate + self-meet, and BROADCAST the supplier
+    dim — never a cartesian or a supplier-side shuffle join."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q271_waiting_suppliers"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # supplier joins via broadcast hash join (dim side)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q272_rankings_are_broadcast_query_heaps(spark):
+    """Both Matryoshka rankings cross the corpus with the BOUNDED query
+    side broadcast (nested-loop against 8 rows is the intended shape);
+    no shuffled cartesian of corpus x corpus may appear."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q272_matryoshka_audit"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # exactly two nested-loop joins (one per ranking), each building the
+    # broadcast (bounded 8-row) side — never a shuffled corpus x corpus
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 2, plan
+
+
+def test_q281_split_has_no_global_sort(spark):
+    """Stratified split ranks WITHIN strata — the plan partitions by
+    the stratum before sorting; a global Sort over all customers would
+    be the ntile anti-pattern."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q281_stratified_split"](spark, SF))
+    assert "hashpartitioning(c_mktsegment" in plan or "hashpartitioning(stratum" in plan
