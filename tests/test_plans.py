@@ -515,3 +515,13 @@ def test_q281_split_has_no_global_sort(spark):
 
     plan = plan_of(QUERIES["q281_stratified_split"](spark, SF))
     assert "hashpartitioning(c_mktsegment" in plan or "hashpartitioning(stratum" in plan
+
+
+def test_q284_fact_scan_is_dynamically_pruned(spark, tmp_path):
+    """The star join must push the dim filter into the fact scan as a
+    dynamicpruningexpression PartitionFilter — the DPP shape that keeps
+    a 100 TB fact table from being read whole."""
+    from lawfirm_data_pipeline_spark.oracle.m89_dpp_pseudonym import dpp_revenue
+
+    plan = plan_of(dpp_revenue(spark, SF, str(tmp_path / "fact")))
+    assert "dynamicpruningexpression" in plan, plan
