@@ -525,3 +525,25 @@ def test_q284_fact_scan_is_dynamically_pruned(spark, tmp_path):
 
     plan = plan_of(dpp_revenue(spark, SF, str(tmp_path / "fact")))
     assert "dynamicpruningexpression" in plan, plan
+
+
+def test_q287_join_carries_runtime_bloom_filter(spark):
+    """With the runtime-filter confs set, the fact side must probe a
+    bloom_filter_agg built from the selective dim side before its
+    shuffle (Spark's built-in runtime filter — the optimizer twin of
+    q183's hand-rolled Bloom semi-join)."""
+    from lawfirm_data_pipeline_spark.oracle.m90_groupedagg_bloom import (
+        _BLOOM_CONFS,
+        bloom_join_df,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        plan = plan_of(bloom_join_df(spark, SF))
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan
+    assert "might_contain" in plan, plan
