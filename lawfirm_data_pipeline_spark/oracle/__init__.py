@@ -24,14 +24,15 @@ then m79_recheck pins q38 + q69b (the only two registry entries never
 driver-green; their recall-gate oracles landed in r4), then m53 (q212)
 and the head of m26 (q129/q130).  45 + 2 + 1 + 2 = 50 exactly;
 m26's q131/q132 are displaced to the round-6 front as the verdict
-directed.  Round 6 front-loads q131/q132 + the next 48 of the backlog
-(m27-m31, m33-m38, m40-m42: q133-q151, q157-q174, q177-q186);
-round 7 closes with the remaining (m43-m45, m47, m51, m52,
-m54-m57, m59: q187-q201, q209-q211, q213-q220, q222).  After round 7
-every registered query has a driver CORRECTNESS row.  Until a
-query's round arrives, the local oracle suite
-(tests/test_oracle_queries.py) runs the identical comparison — every
-registered query is green at BOTH sf0.01 and sf0.1 (BASELINE.md
+directed.  With the 21 round-5 additions (m80-m91, q269-q289)
+registered AFTER the r6 backlog, the registry is 294 entries and the
+windows land exactly: round 6 = slots 51-100 (q131-q151, q157-q174,
+q177-q187); round 7 = slots 101-150 (q188-q201, q209-q211,
+q213-q220, q222, ALL of q269-q289, plus q175/q176 as harmless
+re-checks).  After round 7 every registered query has a driver
+CORRECTNESS row.  Until a query's round arrives, the local oracle
+suite (tests/test_oracle_queries.py) runs the identical comparison —
+every registered query is green at BOTH sf0.01 and sf0.1 (BASELINE.md
 two-scale records).
 """
 
