@@ -1,0 +1,199 @@
+"""M94 — round-5 wave 15: naive-Bayes language ID + exact AUC.
+
+q293 — multinomial naive Bayes, trained AND applied in one plan: the
+q28-era lang-id was an n-gram heuristic; this is the statistical
+classifier — per-(lang, token) add-one-smoothed likelihoods from the
+corpus's own labels, per-doc classification by argmax of summed
+log-likelihoods.  Numeric discipline is the established q58/q117
+pattern: every log input is an exact integer ratio, each term snaps to
+nano fixed point BEFORE the per-doc integer sum, so the argmax (and
+the confusion-matrix gate) is engine-exact.  Train = one (lang, token)
+combinable aggregate; apply = explode + broadcast model join + one
+per-doc aggregate.
+
+q294 — exact AUC via the rank statistic (Mann-Whitney): AUC =
+(Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), ties carrying average rank — kept
+exact by working in DOUBLED rank units (2×avg-rank is an integer even
+for odd tie runs).  One rank window over the score, two integer
+aggregates, one final division — the evaluation metric next to ECE
+(q253) and NDCG (q254), engine-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..queries import query
+from ._shared import LTOKS_SQL as _LTOKS
+
+
+@query(
+    "q293_naive_bayes_langid",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_LTOKS}) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+    model AS (
+        SELECT l.lang, v.tok,
+               CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(l.n + vs.v AS DOUBLE)) * 1000000000)
+                    AS BIGINT) AS nano_logp
+        FROM ltot l
+        CROSS JOIN vocab v
+        CROSS JOIN vsize vs
+        LEFT JOIN counts c ON c.lang = l.lang AND c.tok = v.tok
+    ),
+    scored AS (
+        SELECT t.doc_id, t.lang AS true_lang, m.lang AS cand,
+               CAST(sum(m.nano_logp) AS BIGINT) AS s
+        FROM toks t JOIN model m ON m.tok = t.tok
+        GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, cand AS pred_lang FROM (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY s DESC, cand) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q293_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-apply multinomial NB; output = the confusion matrix
+    (true_lang, predicted_lang, count), fully value-gated."""
+    from ..operators.text import tokenized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        tokenized(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.explode("toks").alias("tok"))
+    )
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = toks.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    ltot = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    model = (
+        ltot.crossJoin(vocab)
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["lang", "tok"], "left")
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("nano_logp"),
+        )
+    )
+    scored = (
+        toks.join(
+            model.select(F.col("lang").alias("cand"), "tok", "nano_logp"),
+            "tok",
+        )
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand")
+        .agg(F.sum("nano_logp").cast("long").alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "cand")
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
+    "q294_exact_auc",
+    """
+    WITH base AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+               CAST(round(o_totalprice * 100) AS BIGINT) % 10000 AS score
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    ranked AS (
+        SELECT y, score,
+               row_number() OVER (ORDER BY score, y) AS rn
+        FROM base
+    ),
+    tie_avg AS (
+        -- average rank per tied score group, in DOUBLED units (always
+        -- an integer): 2*avg = min_rn + max_rn
+        SELECT y, CAST(min(rn) OVER (PARTITION BY score)
+                       + max(rn) OVER (PARTITION BY score) AS BIGINT)
+                    AS rank2
+        FROM ranked
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN y = 1 THEN rank2 ELSE 0 END) AS BIGINT)
+                 AS sum_rank2_pos,
+               CAST(sum(y) AS BIGINT) AS npos,
+               CAST(sum(1 - y) AS BIGINT) AS nneg
+        FROM tie_avg
+    )
+    SELECT npos, nneg,
+           CAST(sum_rank2_pos - npos * (npos + 1) AS DOUBLE)
+             / CAST(2 * npos * nneg AS DOUBLE) AS auc
+    FROM agg
+    """,
+)
+def q294_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney AUC with exact tie handling in doubled-rank
+    integers; one window + one aggregate + one IEEE division (the
+    price-digit 'score' makes heavy ties, which is the hard case)."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+            (F.round(F.col("o_totalprice") * 100).cast("long") % 10000).alias(
+                "score"
+            ),
+        )
+    )
+    ranked = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("score", "y"))
+    )
+    ws = Window.partitionBy("score")
+    tie_avg = ranked.select(
+        "y",
+        (F.min("rn").over(ws) + F.max("rn").over(ws)).cast("long").alias("rank2"),
+    )
+    agg = tie_avg.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rank2")).otherwise(0))
+        .cast("long")
+        .alias("sum_rank2_pos"),
+        F.sum("y").cast("long").alias("npos"),
+        F.sum(1 - F.col("y")).cast("long").alias("nneg"),
+    )
+    return agg.select(
+        "npos",
+        "nneg",
+        (
+            (F.col("sum_rank2_pos") - F.col("npos") * (F.col("npos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("npos") * F.col("nneg")).cast("double")
+        ).alias("auc"),
+    )
