@@ -14,25 +14,24 @@ format / IO gates (q175/q176, q197/q198, q205-q207), streaming
 (q104, q110, q152), iterative graph (q126-q128, q156, q208, q221) —
 then the m18-m24 corpus/stats waves, closing with q223 at slot 50.
 
-ROUND 5 (this order) executes the r4 verdict's rotation plan with the
-two re-check slots swapped in (verdict #1): the 45 round-4 additions
-m61-m78 (q224-q268) go first — they carry the fresh architectural risk
-(catalog transactions q224, streaming restart recovery q232,
-exactly-once catalog sink q257, Python streaming source q242, real
-binary decodes q244-q247, deletion vectors q259, PQ/ADC q261/q263) —
-then m79_recheck pins q38 + q69b (the only two registry entries never
-driver-green; their recall-gate oracles landed in r4), then m53 (q212)
-and the head of m26 (q129/q130).  45 + 2 + 1 + 2 = 50 exactly;
-m26's q131/q132 are displaced to the round-6 front as the verdict
-directed.  With the 21 round-5 additions (m80-m91, q269-q289)
-registered AFTER the r6 backlog, the registry is 294 entries and the
-windows land exactly: round 6 = slots 51-100 (q131-q151, q157-q174,
-q177-q187); round 7 = slots 101-150 (q188-q201, q209-q211,
-q213-q220, q222, ALL of q269-q289, plus q175/q176 as harmless
-re-checks).  After round 7 every registered query has a driver
-CORRECTNESS row.  Until a query's round arrives, the local oracle
-suite (tests/test_oracle_queries.py) runs the identical comparison —
-every registered query is green at BOTH sf0.01 and sf0.1 (BASELINE.md
+ROUND 6 no longer relies on import order for the window: the
+``_ROTATION_FRONT`` list at the bottom of this module reorders the
+registry dicts explicitly after every import has run, so a future
+import reshuffle (or a helper import pulling a sibling module early)
+cannot silently change which 50 queries the driver checks — the r5
+verdict/advice flagged exactly that fragility in the m79 delegate
+trick.  Import order below is kept for history; the list is the law.
+
+ROUND 6 window (slots 1-50, all first-ever driver rows): q131-q151
+(m26 tail, m27-m31), q157-q174 (m33-m38), q177-q187 (m40-m43 head) —
+21 + 18 + 11 = 50 exactly, per the r5 verdict #1 and the README map.
+ROUND 7 (plan) takes the remaining 49 never-driver-checked entries —
+q188-q196, q199-q201, q209-q211, q213-q220, q222, q269, q271-q294
+(9+3+3+8+1+1+24) — plus one spare slot used as a q270 re-check; after
+round 7 every registered query has a driver CORRECTNESS row.  Until a
+query's round arrives, the local oracle suite
+(tests/test_oracle_queries.py) runs the identical comparison — every
+registered query is green at BOTH sf0.01 and sf0.1 (BASELINE.md
 two-scale records).
 """
 
@@ -152,3 +151,64 @@ from . import m14_curation  # noqa: F401
 from . import m15_scale_ops  # noqa: F401
 from . import m16_weburl  # noqa: F401
 from . import m17_retrieval_quality  # noqa: F401
+
+# --- Explicit driver-window rotation (round 6) -----------------------------
+# Applied AFTER all imports: reorders the registry dicts in place so the
+# first 50 entries of queries()/oracle_sql() are exactly the round-6
+# window, independent of import order.  Every name is asserted present
+# so a renamed query fails loudly at import time, and the two historical
+# thin-delegate slots (q38/q69b, r5 m79_recheck) are asserted to resolve
+# to their canonical modules rather than the placeholder delegates.
+
+_ROTATION_FRONT = [
+    # q131-q151: linkage/IVM tail, layout/paths, robust stats,
+    # mlops/market, fusion/sampling, corpus integrity (21)
+    "q131_skyline_parts", "q132_session_paths", "q133_prefix_jaccard",
+    "q134_state_intervals", "q135_zonemap_prune", "q136_attribution",
+    "q137_max_concurrency", "q138_mad_outliers", "q139_chisq_independence",
+    "q140_trend_slopes", "q141_split_leakage", "q142_association_rules",
+    "q143_token_fertility", "q144_time_to_convert", "q145_rank_fusion",
+    "q146_negative_samples", "q147_bpe_merges", "q148_zipf_fit",
+    "q149_vocab_stats", "q150_impute_audit", "q151_table_checksum",
+    # q157-q174: skew/layout, experiments, eval/chunking, engagement,
+    # distribution, decision support (18)
+    "q157_salted_join", "q158_twap", "q159_delta_bits", "q160_group_digests",
+    "q161_ab_test", "q162_selectivity_profile", "q163_rolling_correlation",
+    "q164_rec_precision", "q165_kfold_balance", "q166_cdc_chunking",
+    "q167_decayed_engagement", "q168_stickiness", "q169_rolling_median",
+    "q170_spend_deciles", "q171_spend_concentration", "q172_shipping_priority",
+    "q173_returned_items", "q174_customer_distribution",
+    # q177-q187: quality/bursts, mixture/card, cluster/bloom,
+    # governance stats head (11)
+    "q177_label_separation", "q178_cusum_bursts", "q179_epoch_repeat",
+    "q180_data_card", "q181_kmeans_clusters", "q182_winnow_overlap",
+    "q183_bloom_semijoin", "q184_event_transitions", "q185_source_overlap",
+    "q186_knn_label_noise", "q187_woe_binning",
+]
+assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
+
+
+def _apply_rotation() -> None:
+    from .. import queries as _registry
+
+    missing = [n for n in _ROTATION_FRONT if n not in _registry.QUERIES]
+    assert not missing, f"rotation names not registered: {missing}"
+    front = set(_ROTATION_FRONT)
+    for d in (_registry.QUERIES, _registry.ORACLE_SQL):
+        head = {k: d[k] for k in _ROTATION_FRONT if k in d}
+        tail = {k: v for k, v in d.items() if k not in front}
+        d.clear()
+        d.update(head)
+        d.update(tail)
+
+    # r5-advice guard: the m79 thin delegates must have been replaced by
+    # the canonical registrations (dict-overwrite keeps position only).
+    for name, canonical in (
+        ("q38_lsh_ann_topk", "m6_similarity"),
+        ("q69b_ivf_ann_nprobe", "m11_sql_kit"),
+    ):
+        mod = _registry.QUERIES[name].__module__
+        assert mod.endswith(canonical), f"{name} resolved to {mod}, not {canonical}"
+
+
+_apply_rotation()

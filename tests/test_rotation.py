@@ -1,0 +1,38 @@
+"""The driver checks the FIRST 50 registry entries each round; pin them.
+
+The round-6 window is q131-q151 + q157-q174 + q177-q187 (README map,
+r5 verdict #1).  ``oracle.__init__._ROTATION_FRONT`` enforces this
+explicitly after imports; these tests fail loudly if an import
+reshuffle, rename, or helper-import side effect perturbs the window.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as e
+from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT
+
+
+def test_round6_window_is_first_50():
+    names = list(e.queries())
+    assert names[:50] == _ROTATION_FRONT
+    assert names[0] == "q131_skyline_parts"
+    assert names[49] == "q187_woe_binning"
+
+
+def test_registry_size_frozen_at_299():
+    # Registration freeze (r5 verdict #3): the 100-query driver backlog
+    # fits exactly in rounds 6+7; new waves would push full coverage
+    # past r7.  Bump this ONLY together with the README rotation map.
+    assert len(e.queries()) == 299
+
+
+def test_recheck_delegates_resolved_to_canonical_modules():
+    qs = e.queries()
+    assert qs["q38_lsh_ann_topk"].__module__.endswith("m6_similarity")
+    assert qs["q69b_ivf_ann_nprobe"].__module__.endswith("m11_sql_kit")
+
+
+def test_every_window_query_has_oracle_sql():
+    sqls = e.oracle_sql()
+    missing = [n for n in _ROTATION_FRONT if n not in sqls]
+    assert not missing, f"window queries without SQL oracle: {missing}"
