@@ -217,23 +217,28 @@ def q283_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = users.select(
         (base_ts + F.make_interval(mins=F.col("slot").cast("int"))).alias("ts")
     )
-    pusher = spark.createDataFrame(
-        [("2030-01-01 11:00:00",)], "s string"
-    ).select(F.to_timestamp("s").alias("ts"))
+    # Single-row payload legs are built as JVM literal relations, NOT
+    # spark.createDataFrame: a Python local relation has
+    # defaultParallelism mostly-empty partitions, and coalesce(1) folds
+    # them into ONE task that pays a Python-worker roundtrip per parent
+    # partition (~4.5 s/write measured on local[32] — was most of this
+    # query's r5 in-sweep 16 s).
+    def ts_row(lit: str) -> DataFrame:
+        return spark.sql(f"SELECT timestamp'{lit}' AS ts")
+
+    pusher = ts_row("2030-01-01 11:00:00")
     late = users.select(
         (base_ts + F.make_interval(mins=F.col("slot").cast("int") + 1)).alias("ts")
     )
-    pusher2 = spark.createDataFrame(
-        [("2030-01-01 11:30:00",)], "s string"
-    ).select(F.to_timestamp("s").alias("ts"))
+    pusher2 = ts_row("2030-01-01 11:30:00")
 
     # the late-row filter consumes the watermark with a one-batch lag
-    # (measured: late rows in the batch RIGHT AFTER the pusher are not
-    # yet filtered), so a neutral middle file gives the watermark one
-    # batch to take effect before the late replay arrives
-    neutral = spark.createDataFrame(
-        [("2030-01-01 10:55:00",)], "s string"
-    ).select(F.to_timestamp("s").alias("ts"))
+    # (measured on Spark 4.1: late rows in the batch RIGHT AFTER the
+    # pusher are not yet filtered), so a neutral middle file gives the
+    # watermark one batch to take effect before the late replay
+    # arrives; the batch-count assertion below makes a Spark-side
+    # behavior change loud instead of a silent hash flip
+    neutral = ts_row("2030-01-01 10:55:00")
     scratch = os.path.join(_TMP_ROOT, f"wm_{uuid.uuid4().hex}")
     try:
         src = os.path.join(scratch, "src")
@@ -266,18 +271,39 @@ def q283_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("wstart"), F.col("w.end").alias("wend"), "n")
         )
         name = f"q283_wm_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        # 25 rows/batch: the session's 32 shuffle partitions mean 32
+        # state-store commits per micro-batch of pure overhead.  The
+        # value is baked into the checkpoint at stream start, so scope
+        # a small one to this query (same pattern as m18's salted agg).
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
-            q.awaitTermination()
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        # Contract with the lag note above: 3 file micro-batches (one
+        # per payload, maxFilesPerTrigger=1).  If a Spark version ever
+        # consumes the watermark without the one-batch lag (or batches
+        # files differently), fail HERE with the measured shape instead
+        # of surfacing as an unexplained hash mismatch downstream.
+        file_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(file_batches) != 3:
+            raise AssertionError(
+                "q283 expects exactly 3 file micro-batches (watermark "
+                f"one-batch-lag contract), got {len(file_batches)}: "
+                f"{[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
+            )
         out = (
             spark.table(name)
             # windows guaranteed closed by the batch-1 watermark (10:50);

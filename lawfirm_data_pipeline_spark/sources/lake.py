@@ -141,10 +141,35 @@ class Catalog:
     of data volume.
     """
 
+    # Stale uncommitted head files: a writer crashing between writing
+    # .tmp-commit-* and os.unlink leaves an orphan nothing else ever
+    # reclaims (r5 ADVICE).  A LIVE writer's tmp exists only for the
+    # instant between write and link/unlink, so anything older than
+    # this is a crash remnant.
+    _TMP_REAP_AGE_SEC = 600.0
+
     def __init__(self, root: str) -> None:
         self.root = root
         self._log = os.path.join(root, "_CATALOG")
         os.makedirs(self._log, exist_ok=True)
+        self._sweep_stale_tmp()
+
+    def _sweep_stale_tmp(self) -> list[str]:
+        import time
+
+        removed = []
+        cutoff = time.time() - self._TMP_REAP_AGE_SEC
+        for f in os.listdir(self._log):
+            if not f.startswith(".tmp-commit-"):
+                continue
+            p = os.path.join(self._log, f)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.unlink(p)
+                    removed.append(p)
+            except FileNotFoundError:
+                pass  # another sweeper won the race
+        return removed
 
     def _commit_ids(self) -> list[int]:
         return sorted(
@@ -238,6 +263,21 @@ class Transaction:
             except FileExistsError:
                 os.unlink(tmp)
                 continue  # lost the race — re-examine the new head
+            except OSError:
+                # Filesystem without hard-link support (some FUSE/NFS/
+                # object-store mounts, FAT): fall back to O_EXCL create
+                # + single write of the already-serialized head.  The
+                # torn-head window is one write() syscall — accepted on
+                # such filesystems (r5 ADVICE).
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    os.unlink(tmp)
+                    continue  # lost the race — re-examine the new head
+                with open(tmp, "rb") as src, os.fdopen(fd, "wb") as dst:
+                    dst.write(src.read())
+                    dst.flush()
+                    os.fsync(dst.fileno())
             os.unlink(tmp)
             # best-effort per-table pointer flips keep the single-table
             # API (read_latest) consistent with the catalog head
