@@ -3,9 +3,12 @@
 The driver ships sf0.001/0.01/0.1 only, so the one-decade scaling
 signal (sf0.01 → sf0.1) can hide quadratic creep between decades.
 This script materializes an sf1 replica — ten key-shifted copies of
-the sf0.1 tables, offsets chosen so referential integrity and modulo
-distributions survive (NOT the driver's generator; distributional
-twins, good for slope measurement, not for new correctness oracles) —
+the sf0.1 tables, offsets chosen so referential integrity survives and
+copies never collide.  Registry filter moduli (7, 11, 13, 29, 37, ...)
+do NOT all divide the offsets, so each copy selects a somewhat
+different row subset — distributions are only APPROXIMATELY preserved
+(r5 ADVICE).  That is fine for what this measures: slope of runtime in
+data volume (NOT the driver's generator; never a correctness oracle) —
 then times the heaviest registry queries at sf0.1 AND sf1 and prints
 one JSON line with per-query times and the time-vs-sf slope
 (t_sf1 / t_sf0.1; linear-scan queries ≲ 10, constant-overhead

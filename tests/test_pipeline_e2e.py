@@ -140,3 +140,21 @@ def test_full_pipeline_composes(tables):
     synced_new = ev.join(tables["crm_sync_event"], ["id"], "left_anti")
     joined = synced_new.join(co, synced_new.companyId == co.id)
     assert joined.filter(F.col("emailAddress").isNull()).count() == 0
+
+
+def test_a18_vocabulary_is_the_reference_enum():
+    """r5 verdict #8: the extraction stub constrains services to the
+    reference's FULL practice-area enum (scrapeWebsite.ts:22-152 — 127
+    distinct tags), and the services slice stays inside it."""
+    from lawfirm_data_pipeline_spark.pipeline.generate import (
+        LEGAL_TAGS,
+        TAG_SLICE_MOD,
+    )
+
+    assert len(LEGAL_TAGS) == 127
+    assert len(set(LEGAL_TAGS)) == 127
+    for probe in ("Aviation Law", "Wills", "Mis-Sold SIPPs", "EL/PL",
+                  "Data Protection & GDPR"):
+        assert probe in LEGAL_TAGS
+    # max slice start + max slice length stays within the vocabulary
+    assert TAG_SLICE_MOD - 1 + 4 == len(LEGAL_TAGS)
