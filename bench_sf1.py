@@ -63,6 +63,17 @@ HEAVY = [
     "q128_pagerank",
     "q224_multi_table_transaction",
     "q270_pipeline_composite",
+    # r5 verdict #4: every query >1.5 s in the r5 sweep that had no
+    # measured slope — the post-M91 heavies and the mid-registry tail.
+    "q292_gbdt_stumps",
+    "q293_naive_bayes_langid",
+    "q279_greedy_wordpiece",
+    "q280_bucketed_join_revenue",
+    "q282_incremental_minhash",
+    "q133_prefix_jaccard",
+    "q142_association_rules",
+    "q185_source_overlap",
+    "q186_knn_label_noise",
 ]
 
 
