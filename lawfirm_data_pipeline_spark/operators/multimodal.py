@@ -192,17 +192,18 @@ def audio_window_features_stub(media: DataFrame, window_ms: int = 250) -> DataFr
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """Real pixel decode for compressed formats — requires a codec
-    library.  Not fakeable without lying about pixel data; explicitly
-    unimplemented for JPEG/PNG in this environment.  Uncompressed
-    24-bit BMP IS decoded for real with zero deps — see
-    ``decode_bmp_stats`` below (q244's value-gated path); a
-    libjpeg-backed kernel drops into the same mapInPandas shape.
+    """Real pixel decode for formats needing an external codec library.
+    Not fakeable without lying about pixel data; explicitly
+    unimplemented for JPEG in this environment.  Zero-dep REAL decodes
+    that exist: uncompressed 24-bit BMP (``decode_bmp_stats``, q244)
+    and PNG — stdlib zlib inflate + Sub/Up/Average/Paeth scanline
+    reconstruction (``decode_png_stats``, q269); a libjpeg-backed
+    kernel drops into the same mapInPandas shape.
     """
     raise NotImplementedError(
-        "JPEG/PNG decode needs PIL/torchvision, not present in this "
-        "container; decode_bmp_stats is the real-decode path (BMP), "
-        "image_features_stub the plumbing stub"
+        "JPEG decode needs PIL/torchvision, not present in this "
+        "container; decode_bmp_stats (BMP) and decode_png_stats (PNG) "
+        "are the real-decode paths, image_features_stub the plumbing stub"
     )
 
 
