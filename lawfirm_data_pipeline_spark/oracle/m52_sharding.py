@@ -107,38 +107,55 @@ def q210_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sort by (pos, shard) — ties resolved identically to the oracle
         return sorted(vns)
 
-    def assign(n_shards: int, out_name: str) -> DataFrame:
-        # ring as ONE broadcast row of parallel arrays: the array is
-        # materialized on the build side, not rebuilt per key (the
-        # q183 literal-array lesson — per-row F.array(640 lits)
-        # measured 5.6 s for this query, this form 2.8 s)
-        vns = ring(n_shards)
-        ringdf = spark.createDataFrame(
-            [([p for p, _ in vns], [s for _, s in vns])],
-            "rpos array<long>, rshard array<int>",
-        )
+    # Both ring assignments in ONE pass: the 8-shard ring is exactly
+    # the shard<8 subset of the 9-shard ring (vnode hash depends only
+    # on (shard, v)), so one broadcast row carries both rings as
+    # parallel arrays and each key folds over each ring once — no
+    # second orders scan/distinct, no key-key join.  The wrap-around
+    # target (first vnode on the ring) is key-independent, so it rides
+    # as a driver-computed literal instead of a per-row array_min (the
+    # q183 literal-array lesson still applies: arrays materialize on
+    # the build side, never per row).
+    vns9 = ring(9)
+    vns8 = [t for t in vns9 if t[1] < 8]
+    wrap8, wrap9 = min(vns8)[1], min(vns9)[1]
+
+    # JVM literal relation, NOT createDataFrame: a Python-backed local
+    # relation re-pays ~2 s of Python-worker roundtrips on EVERY job
+    # that materializes it (32 mostly-empty pickled partitions); the
+    # SQL literal parses once and lives entirely JVM-side.
+    def _arr(vals: list[int], suffix: str) -> str:
+        return f"array({', '.join(str(v) + suffix for v in vals)})"
+
+    ringdf = spark.sql(
+        "SELECT "
+        + _arr([p for p, _ in vns8], "L") + " AS rpos8, "
+        + _arr([s for _, s in vns8], "") + " AS rshard8, "
+        + _arr([p for p, _ in vns9], "L") + " AS rpos9, "
+        + _arr([s for _, s in vns9], "") + " AS rshard9"
+    )
+
+    def clockwise(pos_col: str, shard_col: str, wrap_shard: int) -> F.Column:
         # min (pos, shard) among vnodes clockwise of the key; array_min
         # skips nulls, and the coalesce wraps around to the ring start
         cand = F.array_min(
             F.zip_with(
-                "rpos",
-                "rshard",
+                pos_col,
+                shard_col,
                 lambda p, s: F.when(
                     p >= F.col("pos"), F.struct(p.alias("p"), s.alias("s"))
                 ),
             )
         )
-        wrap = F.array_min(
-            F.zip_with("rpos", "rshard", lambda p, s: F.struct(p.alias("p"), s.alias("s")))
-        )
-        return kpos.crossJoin(F.broadcast(ringdf)).select(
-            "k", F.coalesce(cand["s"], wrap["s"]).alias(out_name)
-        )
+        return F.coalesce(cand["s"], F.lit(wrap_shard))
 
-    a8 = assign(8, "s8")
-    a9 = assign(9, "s9")
+    assigned = kpos.crossJoin(F.broadcast(ringdf)).select(
+        "k",
+        clockwise("rpos8", "rshard8", wrap8).alias("s8"),
+        clockwise("rpos9", "rshard9", wrap9).alias("s9"),
+    )
     ch = (
-        a8.join(a9, "k")
+        assigned
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum((F.col("s8") != F.col("s9")).cast("int")).cast("long").alias("moved"),

@@ -87,7 +87,15 @@ def q279_greedy_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").rlike(f"^[a-z]{{1,{_MAXLEN}}}$"))
         .distinct()
     )
-    vocab = spark.createDataFrame([(v,) for v in _VOCAB], "v string")
+    # JVM literal relation (not createDataFrame): this tiny dimension
+    # participates in every stage of the 12-join unroll, and a
+    # Python-backed local relation re-pays Python-worker roundtrips on
+    # each materialization.
+    vocab = spark.sql(
+        "SELECT explode(array("
+        + ", ".join(f"'{v}'" for v in _VOCAB)
+        + ")) AS v"
+    )
     pos = words.select(
         "w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
     )

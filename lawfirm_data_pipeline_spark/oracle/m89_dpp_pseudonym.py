@@ -42,6 +42,11 @@ def dpp_revenue(spark: SparkSession, sf_dir: str, fact_dir: str) -> DataFrame:
             "o_orderpriority"
         ).parquet(fact_dir)
     fact = spark.read.parquet(fact_dir)
+    # Deliberately a Python-backed createDataFrame, NOT a SQL VALUES
+    # literal: a foldable LocalRelation dim gets inlined by Catalyst
+    # and no dynamicpruningexpression is ever inserted (the plan pin in
+    # test_plans would fail) — the opaque relation is what makes this
+    # exercise REAL runtime DPP, like a dim table read from storage.
     dim = spark.createDataFrame(
         [("1-URGENT", 1), ("2-HIGH", 1), ("3-MEDIUM", 0),
          ("4-NOT SPECIFIED", 0), ("5-LOW", 0)],
