@@ -150,6 +150,7 @@ def run_stream_to_table(
     transform,
     table_name: str,
     output_mode: str = "complete",
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Drive a bounded streaming source through ``transform`` to a memory
     sink synchronously; returns the materialized result table.
@@ -157,14 +158,26 @@ def run_stream_to_table(
     This is the test/oracle harness for streaming queries: real
     ``readStream`` execution, deterministic completion via
     ``processAllAvailable``.
+
+    Every caller streams a few hundred grouped rows at most, but each
+    micro-batch pays a state-store commit PER shuffle partition, so the
+    session's core-count default (32) is pure overhead here — the value
+    is baked into the query at start, so scope a small one (results are
+    partitioning-independent; a real deployment sizes this to state
+    volume instead).
     """
-    q = (
-        transform(source_df_stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(table_name)
-        .start()
-    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            transform(source_df_stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(table_name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     try:
         q.processAllAvailable()
     finally:
