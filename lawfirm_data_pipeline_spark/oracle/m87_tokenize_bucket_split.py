@@ -26,6 +26,8 @@ across runs/engines, never a Bernoulli approximation.
 from __future__ import annotations
 
 import hashlib
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -156,8 +158,16 @@ def q280_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     if tables is None:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         lt, rt = f"b_orders_{tag}", f"b_lineitem_{tag}"
-        spark.sql(f"DROP TABLE IF EXISTS {lt}")
-        spark.sql(f"DROP TABLE IF EXISTS {rt}")
+        for t in (lt, rt):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            # a PREVIOUS session's warehouse dir survives its metastore:
+            # DROP is then a no-op but saveAsTable refuses the nonempty
+            # location — clear the stale managed-table dir explicitly
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            shutil.rmtree(
+                os.path.join(wh.removeprefix("file:"), t.lower()),
+                ignore_errors=True,
+            )
         write_bucketed(
             load_table(spark, sf_dir, "orders")
             .filter(F.col("o_orderstatus") == "O")
