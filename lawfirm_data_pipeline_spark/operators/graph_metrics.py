@@ -254,9 +254,13 @@ def pagerank_fixed(
     # unit and base terms are in-plan literals of the (already bounded)
     # node count — one integer reaches the driver, never a row set.
     unit = F.lit(PAGERANK_SCALE // n_nodes).cast("long")
+    # pin each round's |V|-row rank table: round k reads ranks_{k-1}
+    # TWICE (contrib build + rank update), so an unpinned chain
+    # re-evaluates early rounds 2^k times — materializing |V| rows per
+    # round is far cheaper than re-running the per-round join/agg tree
     ranks = deg.select(
         "u", "d", unit.alias("r"), (F.lit(15) * unit).cast("long").alias("base15")
-    )
+    ).localCheckpoint(eager=True)
     base = F.expr("base15 div 100")
     for _ in range(iters):
         # the rank table is |V| rows vs |E| edge rows — broadcast it so
@@ -283,6 +287,7 @@ def pagerank_fixed(
                 "base15",
                 (base + F.expr("(85 * coalesce(s, 0L)) div 100")).cast("long").alias("r"),
             )
+            .localCheckpoint(eager=True)
         )
     # no round(): x / 1e12 on an exactly-representable integer double is
     # IEEE-defined, so both engines produce bit-identical doubles; a
@@ -333,10 +338,15 @@ def bfs_distances(
             _maybe_broadcast(dist, n_nodes, broadcast_max_nodes),
             und["u"] == dist["node"],
         ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        # pin the ≤|V|-row distance table: round k reads dist_{k-1}
+        # twice (frontier join + union), so an unpinned chain
+        # re-evaluates early rounds 2^k times (same fix as
+        # pagerank_fixed's per-round rank pin)
         dist = (
             dist.unionByName(prop)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
         )
     return dist
 

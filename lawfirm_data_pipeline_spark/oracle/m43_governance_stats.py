@@ -80,7 +80,14 @@ def q185_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokenized(docs, id_col="source").select(
         F.substring("source", 4, 10).cast("int").alias("s"), "toks"
     )
-    p = t.select("s", F.explode(shingles_of(F.col("toks"), 3)).alias("sh")).distinct()
+    # the distinct (source, shingle) table feeds BOTH the per-source
+    # denominators and the mask build — materialize the tokenize +
+    # explode + distinct once instead of once per consumer
+    p = (
+        t.select("s", F.explode(shingles_of(F.col("toks"), 3)).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     d = p.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("nd"))
     masks = p.groupBy("sh").agg(
         F.bit_or(

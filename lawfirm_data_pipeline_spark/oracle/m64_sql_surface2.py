@@ -210,7 +210,15 @@ def q239_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three estimates, pinned true by the oracle."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    a = orders.select(F.col("o_custkey").cast("string").alias("v")).distinct()
+    # each distinct set feeds FOUR consumers (its sketch — itself read
+    # by both the estimate and the union sketch — plus the exact count
+    # and the exact union); materialize once instead of re-running the
+    # distinct shuffle per consumer
+    a = (
+        orders.select(F.col("o_custkey").cast("string").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     b = (
         li.filter(F.col("l_orderkey") % 2 == 0)
         .select(
@@ -219,6 +227,7 @@ def q239_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def minima(df: DataFrame) -> DataFrame:
@@ -245,7 +254,10 @@ def q239_kmv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
 
-    ma, mb = minima(a), minima(b)
+    # each sketch is read twice (estimate + union sketch) and is ≤ k
+    # rows — pin them too
+    ma = minima(a).localCheckpoint(eager=True)
+    mb = minima(b).localCheckpoint(eager=True)
     # union sketch = k smallest of the merged minima (dedup first: the
     # same value hashing into both sketches must count once)
     union_minima = ma.unionByName(mb).distinct().orderBy("h").limit(_K)

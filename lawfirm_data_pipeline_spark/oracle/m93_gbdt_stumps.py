@@ -176,6 +176,10 @@ def q292_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(d(F.col("SL")) / d(F.col("nL"))).cast("long").alias("leafL"),
                 F.floor(d(F.col("SR")) / d(F.col("nR"))).cast("long").alias("leafR"),
             )
+            # 1-row split decision, read twice (residual update + output
+            # row) — pin it so the bucket agg + window ranking behind it
+            # runs once per round, not twice
+            .localCheckpoint(eager=True)
         )
         cur = cur.crossJoin(F.broadcast(best)).select(
             "x1",
