@@ -547,3 +547,18 @@ def test_q287_join_carries_runtime_bloom_filter(spark):
             spark.conf.unset(k) if v is None else spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, plan
     assert "might_contain" in plan, plan
+
+
+def test_q279_wordpiece_walk_is_single_fold_no_iterative_joins(spark):
+    """The greedy-segmentation walk is ONE codegen'd aggregate fold over
+    the per-word match array — the only join in the plan is the
+    broadcast of the tiny vocab dimension.  The previous MAXLEN-join
+    unroll re-evaluated the match subtree per branch; a second join
+    appearing here means the walk regressed to iteration."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q279_greedy_wordpiece"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert _n_nodes(plan, "BroadcastHashJoin") + _n_nodes(
+        plan, "BroadcastNestedLoopJoin"
+    ) == 1, plan
