@@ -198,7 +198,12 @@ def scrape_stage(
     reference logs; successes true.
     """
     pending = place_entries.filter(F.col("status").isNull() & F.col("name").isNotNull())
-    extracted = llm_extract(pending)
+    # the extraction feeds THREE consumers (kept → companies, kept →
+    # service tags, and the status write-back) and each staged table is
+    # written — and therefore evaluated — separately; materialize the
+    # batch-sized extraction once instead of re-running the stub per
+    # table write
+    extracted = llm_extract(pending).localCheckpoint(eager=True)
 
     skip = is_us_phone(F.col("x_phone")) | (F.size("x_services") == 0)
     kept = extracted.filter(~skip)
@@ -278,11 +283,15 @@ def sync_stage(
         "id",
         "companyId",
     )
+    # the hydrated eligible set splits into the zero-services and
+    # with-services branches, which between them feed all four staged
+    # tables (each written — and evaluated — separately); materialize
+    # the anti-join + M:N hydration once
     hydrated = hydrate_many_to_many(
         eligible, bridge, firm_service,
         fact_key="id", bridge_fact_fk="A", bridge_dim_fk="B",
         dim_key="id", dim_value="name", array_col="services",
-    )
+    ).localCheckpoint(eager=True)
 
     no_services = hydrated.filter(F.size("services") == 0)
     with_services = hydrated.filter(F.size("services") > 0)
