@@ -222,6 +222,7 @@ def pagerank_fixed(
     deg: DataFrame | None = None,
     n_nodes: int | None = None,
     broadcast_max_nodes: int | None = None,
+    pin_rounds: bool = True,
 ) -> DataFrame:
     """PageRank with damping 0.85 over the undirected graph, ``iters``
     synchronous rounds, 64-bit pico fixed point throughout.
@@ -257,10 +258,17 @@ def pagerank_fixed(
     # pin each round's |V|-row rank table: round k reads ranks_{k-1}
     # TWICE (contrib build + rank update), so an unpinned chain
     # re-evaluates early rounds 2^k times — materializing |V| rows per
-    # round is far cheaper than re-running the per-round join/agg tree
-    ranks = deg.select(
-        "u", "d", unit.alias("r"), (F.lit(15) * unit).cast("long").alias("base15")
-    ).localCheckpoint(eager=True)
+    # round is far cheaper than re-running the per-round join/agg tree.
+    # ``pin_rounds=False`` keeps the full lineage visible for plan
+    # assertions (tests/test_plans.py inspects every round's join).
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if pin_rounds else df
+
+    ranks = _pin(
+        deg.select(
+            "u", "d", unit.alias("r"), (F.lit(15) * unit).cast("long").alias("base15")
+        )
+    )
     base = F.expr("base15 div 100")
     for _ in range(iters):
         # the rank table is |V| rows vs |E| edge rows — broadcast it so
@@ -278,7 +286,7 @@ def pagerank_fixed(
             .groupBy(F.col("v").alias("u"))
             .agg(F.sum("c").cast("long").alias("s"))
         )
-        ranks = (
+        ranks = _pin(
             ranks.select("u", "d", "base15")
             .join(contrib, "u", "left")
             .select(
@@ -287,7 +295,6 @@ def pagerank_fixed(
                 "base15",
                 (base + F.expr("(85 * coalesce(s, 0L)) div 100")).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
     # no round(): x / 1e12 on an exactly-representable integer double is
     # IEEE-defined, so both engines produce bit-identical doubles; a
@@ -307,6 +314,7 @@ def bfs_distances(
     und: DataFrame | None = None,
     n_nodes: int | None = None,
     broadcast_max_nodes: int | None = None,
+    pin_rounds: bool = True,
 ) -> DataFrame:
     """Minimum hop distance from a seed set, bounded at ``max_hops``
     synchronous frontier expansions: each round joins the undirected
@@ -341,13 +349,15 @@ def bfs_distances(
         # pin the ≤|V|-row distance table: round k reads dist_{k-1}
         # twice (frontier join + union), so an unpinned chain
         # re-evaluates early rounds 2^k times (same fix as
-        # pagerank_fixed's per-round rank pin)
+        # pagerank_fixed's per-round rank pin); ``pin_rounds=False``
+        # keeps lineage visible for plan assertions
         dist = (
             dist.unionByName(prop)
             .groupBy("node")
             .agg(F.min("dist").cast("long").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        if pin_rounds:
+            dist = dist.localCheckpoint(eager=True)
     return dist
 
 

@@ -325,7 +325,9 @@ def test_pagerank_round_join_broadcasts_ranks(spark):
     )
 
     li = load_table(spark, SF, "lineitem")
-    plan = plan_of(pagerank_fixed(copurchase_edges(li), iters=3))
+    # pin_rounds=False keeps the full 3-round lineage in one plan (the
+    # production default checkpoints each round, which truncates it)
+    plan = plan_of(pagerank_fixed(copurchase_edges(li), iters=3, pin_rounds=False))
     # |V|-row rank table broadcast into every round's edge join
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
@@ -342,9 +344,14 @@ def test_pagerank_large_graph_drops_broadcast(spark):
 
     li = load_table(spark, SF, "lineitem")
     plan = plan_of(
-        pagerank_fixed(copurchase_edges(li), iters=3, broadcast_max_nodes=0)
+        pagerank_fixed(
+            copurchase_edges(li), iters=3, broadcast_max_nodes=0, pin_rounds=False
+        )
     )
     assert "BroadcastHashJoin" not in plan, plan
+    # the shuffle fallback must actually join — a checkpoint-truncated
+    # plan would pass the absence assert vacuously
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
 
 
@@ -365,12 +372,17 @@ def test_bfs_broadcast_switches_on_node_count(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        small = plan_of(bfs_distances(edges, seeds, max_hops=2))
+        # pin_rounds=False keeps the per-round frontier joins visible
+        # (the production default checkpoints each round)
+        small = plan_of(bfs_distances(edges, seeds, max_hops=2, pin_rounds=False))
         assert "BroadcastHashJoin" in small, small
         large = plan_of(
-            bfs_distances(edges, seeds, max_hops=2, broadcast_max_nodes=0)
+            bfs_distances(
+                edges, seeds, max_hops=2, broadcast_max_nodes=0, pin_rounds=False
+            )
         )
         assert "BroadcastHashJoin" not in large, large
+        assert "SortMergeJoin" in large or "ShuffledHashJoin" in large, large
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
