@@ -74,6 +74,11 @@ HEAVY = [
     "q142_association_rules",
     "q185_source_overlap",
     "q186_knn_label_noise",
+    # r6: >1.5 s solo in the round-6 quiet measurements, no slope yet
+    "q221_textrank_keywords",
+    "q239_kmv_union",
+    "q181_kmeans_clusters",
+    "q38_lsh_ann_topk",
 ]
 
 

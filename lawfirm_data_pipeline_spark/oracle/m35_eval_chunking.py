@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.itemsets import basket_pairs
 from ..queries import query
 
 
@@ -58,7 +59,9 @@ def q164_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     recommendations per part (rank over the bounded per-part candidate
     list), precision scored with one left join against held-out
     co-occurrence — the offline eval a recommender ships with.  All
-    counts exact integers; precision is one division."""
+    counts exact integers; precision is one division.  Pair counts come
+    from the one-shuffle basket_pairs expansion (canonical x < y, both
+    orientations from one evaluation) instead of basket self-joins."""
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
@@ -67,19 +70,22 @@ def q164_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = items.filter(F.col("ok") % 10 != 0)
     test = items.filter(F.col("ok") % 10 == 0)
-    a, b = train.alias("a"), train.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("x"), F.col("b.pk").alias("y"))
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-    )
+
+    def both_ways(canon: DataFrame, *extra: str) -> DataFrame:
+        return canon.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("x"), F.col("y").alias("y"), *extra),
+                    F.struct(F.col("y").alias("x"), F.col("x").alias("y"), *extra),
+                )
+            ).alias("e")
+        ).select("e.*")
+
+    pairs = both_ways(basket_pairs(train), "w")
     w = Window.partitionBy("x").orderBy(F.desc("w"), "y")
     top3 = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
-    ta, tb = test.alias("ta"), test.alias("tb")
-    test_pairs = (
-        ta.join(tb, (F.col("ta.ok") == F.col("tb.ok")) & (F.col("ta.pk") != F.col("tb.pk")))
-        .select(F.col("ta.pk").alias("tx"), F.col("tb.pk").alias("ty"))
-        .distinct()
+    test_pairs = both_ways(basket_pairs(test).select("x", "y")).select(
+        F.col("x").alias("tx"), F.col("y").alias("ty")
     )
     hits = (
         top3.join(

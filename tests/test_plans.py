@@ -343,11 +343,20 @@ def test_pagerank_large_graph_drops_broadcast(spark):
     )
 
     li = load_table(spark, SF, "lineitem")
-    plan = plan_of(
-        pagerank_fixed(
-            copurchase_edges(li), iters=3, broadcast_max_nodes=0, pin_rounds=False
+    # disable Catalyst's stats-based auto-broadcast (as the BFS twin
+    # does): at sf0.01 the rank table's size ESTIMATE is under the
+    # threshold, but this test asserts what the dropped HINT contributes
+    # — at 100 TB stats would be over threshold, i.e. this same state
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            pagerank_fixed(
+                copurchase_edges(li), iters=3, broadcast_max_nodes=0, pin_rounds=False
+            )
         )
-    )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "BroadcastHashJoin" not in plan, plan
     # the shuffle fallback must actually join — a checkpoint-truncated
     # plan would pass the absence assert vacuously
