@@ -139,16 +139,28 @@ def _run_stage_as_stream(spark, scratch, cat, src_table, sink_fn, schema):
     _, tables = cat.snapshot()
     src_dir = os.path.join(scratch, src_table, f"v={tables[src_table]}")
     stream = spark.readStream.schema(schema).parquet(src_dir)
-    q = (
-        stream.writeStream.foreachBatch(sink_fn)
-        .option(
-            "checkpointLocation",
-            os.path.join(scratch, f"ckpt_{src_table}_{uuid.uuid4().hex[:8]}"),
+    # queue-state tables are a few thousand rows; the sink body's
+    # merge/dedup joins each pay per-task overhead per shuffle
+    # partition, so the session's core-count default (32) is pure
+    # overhead — scope a small count across the drain (the foreachBatch
+    # body plans its batch jobs while the stream runs, so the scope
+    # must cover awaitTermination, unlike the windows harness where
+    # the plan is fixed at start)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink_fn)
+            .option(
+                "checkpointLocation",
+                os.path.join(scratch, f"ckpt_{src_table}_{uuid.uuid4().hex[:8]}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
 
 @query(
