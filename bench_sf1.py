@@ -79,6 +79,24 @@ HEAVY = [
     "q239_kmv_union",
     "q181_kmeans_clusters",
     "q38_lsh_ann_topk",
+    # r6 close: every remaining >1.5 s in-sweep query without a slope row
+    # (four are real readStream gates — expected slope ≈ trigger overhead)
+    "q225_semantic_dedup",
+    "q38b_lsh_ann_exhaustive",
+    "q183_bloom_semijoin",
+    "q283_watermark_drop",
+    "q232_stream_restart_recovery",
+    "q276_write_audit_publish",
+    "q277_stream_backpressure",
+    "q104_stream_stream_join",
+    "q97_corpus_pipeline",
+    "q110_stateful_totals",
+    "q117_bigram_lm",
+    "q123_token_drift",
+    "q106_boilerplate_filter",
+    "q37_embedding_neardup",
+    "q125_pca_audit",
+    "q103_cross_source_overlap",
 ]
 
 
@@ -108,13 +126,18 @@ def materialize(spark, factor: int = 10) -> None:
 
 
 def main() -> None:
+    import sys
+
     import __spark_entry__ as entrymod
 
     spark = get_spark()
     materialize(spark)
     qs = entrymod.queries()
+    subset = set(sys.argv[1:])  # optional: time only the named queries
     results: dict[str, dict[str, float]] = {}
     for name in HEAVY:
+        if subset and name not in subset:
+            continue
         if name not in qs:
             continue
         fn = qs[name]
