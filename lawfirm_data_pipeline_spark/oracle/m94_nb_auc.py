@@ -87,8 +87,14 @@ def q293_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.select("tok").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
     ltot = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    # ltot is one row per language (bounded, ~tens) but sits behind an
+    # aggregate, so Catalyst has no size estimate and would plan the
+    # unhinted cross join as a CartesianProduct (both sides "unknown ->
+    # big").  Broadcasting the language totals makes it a
+    # BroadcastNestedLoopJoin over the large vocab side — the only
+    # shape that survives a 100 TB corpus vocabulary.
     model = (
-        ltot.crossJoin(vocab)
+        F.broadcast(ltot).crossJoin(vocab)
         .crossJoin(F.broadcast(vsize))
         .join(counts, ["lang", "tok"], "left")
         .select(

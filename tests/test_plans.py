@@ -583,3 +583,18 @@ def test_q279_wordpiece_walk_is_single_fold_no_iterative_joins(spark):
     assert _n_nodes(plan, "BroadcastHashJoin") + _n_nodes(
         plan, "BroadcastNestedLoopJoin"
     ) == 1, plan
+
+
+def test_q293_model_grid_has_no_cartesian_product(spark):
+    """The (lang x vocab) model grid crosses a tiny aggregate (one row
+    per language) with the full vocabulary.  ltot sits behind an
+    aggregate so Catalyst has no size estimate: unhinted, the inner
+    cross join planned as a CartesianProduct (found by the round-6
+    plan-lint census, tools/plan_lint.py) — quadratic partitions at a
+    100 TB vocabulary.  The broadcast hint pins the only scale-safe
+    shape: nested-loop with the bounded language side replicated."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q293_naive_bayes_langid"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
