@@ -353,6 +353,13 @@ def token_drift_kl(
     Scale: one tokenize+explode scan to (source, side, token) counts
     (map-side combined), a full-outer merge of the two sides'
     vocabularies per source, and an O(sources) output.
+
+    ``counts`` and ``merged`` are multi-consumer subtrees (two sides of
+    the full-outer, then the normalizer and the contribution path), and
+    exchange reuse does NOT dedupe them — the round-6 plan-lint census
+    measured the unpinned form re-tokenizing the corpus six times even
+    post-execution.  Both pin via localCheckpoint: they are aggregated
+    (source, token)-level tables, orders smaller than the corpus.
     """
     from . import text as TXm
 
@@ -362,14 +369,22 @@ def token_drift_kl(
         split.alias("is_a"),
         F.explode(TXm.tokens(F.lower(F.col(text_col)))).alias("w"),
     )
-    counts = tok.groupBy("src", "is_a", "w").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        tok.groupBy("src", "is_a", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     a = counts.filter("is_a").select("src", "w", F.col("c").alias("ca"))
     b = counts.filter(~F.col("is_a")).select("src", "w", F.col("c").alias("cb"))
-    merged = a.join(b, ["src", "w"], "full_outer").select(
-        "src",
-        "w",
-        F.coalesce("ca", F.lit(0)).alias("ca"),
-        F.coalesce("cb", F.lit(0)).alias("cb"),
+    merged = (
+        a.join(b, ["src", "w"], "full_outer")
+        .select(
+            "src",
+            "w",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .localCheckpoint(eager=True)
     )
     per_src = merged.groupBy("src").agg(
         F.sum("ca").alias("na"),

@@ -631,10 +631,15 @@ def containment_pairs(
     idx = _shingle_index(docs, text_col, id_col, n).cache()
     sizes = idx.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
+    # the candidate self-join is the expensive stage and the direction
+    # union consumes its result twice — exchange reuse does not dedupe
+    # the repeated subtree (round-6 scan census), so pin the
+    # candidate-pair-sized table rather than run the join twice
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
         .groupBy(F.col("a.did").alias("da"), F.col("b.did").alias("db"))
         .agg(F.count(F.lit(1)).alias("common"))
+        .localCheckpoint(eager=True)
     )
     # both directions from the one unordered-common table
     directed = common.select(
@@ -703,6 +708,11 @@ def prefix_filter_jaccard_pairs(
             + F.lit(1)
         )
         .select("did", "sh")
+        # the prefix table is self-joined below: unpinned, the df-rank
+        # window and its two joins run once per side (round-6 scan
+        # census).  It is a small fraction of the index by design —
+        # pin it instead of deriving it twice.
+        .localCheckpoint(eager=True)
     )
     pa, pb = prefix.alias("a"), prefix.alias("b")
     cands = (

@@ -39,7 +39,10 @@ def maintain_group_totals(
     repo-wide exact-cents discipline — float sums would make the
     maintained and recomputed views drift by summation order).
     """
-    changed = table_diff(old, new, keys).select(*keys)
+    # the changed-key set is delta-sized by IVM's own premise and is
+    # consumed by both the retract and apply semi-joins — uncached, the
+    # full old-vs-new diff join ran once per consumer (round-6 census)
+    changed = table_diff(old, new, keys).select(*keys).cache()
     base = old.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("dn"),
         F.sum(cents_col).cast("long").alias("dc"),

@@ -98,15 +98,24 @@ def heavy_hitters(
     k = int(2.0 / phi) + 1
     cands = misra_gries_candidates(docs, k, text_col, id_col)
 
+    # Recount pass: ONE corpus explode yields both the exact candidate
+    # counts and the total token count — non-candidates collapse into a
+    # single NULL group (their identity is irrelevant, only their mass
+    # enters n_total).  The naive form ran a third full tokenize pass
+    # just for the total (round-6 census).
     toks = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
-    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
-    counts = (
-        toks.join(F.broadcast(cands), "token")
-        .groupBy("token")
+    per = (
+        toks.join(F.broadcast(cands.withColumn("__hit", F.lit(1))), "token", "left")
+        .groupBy(
+            F.when(F.col("__hit") == 1, F.col("token")).alias("token")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
     )
+    total = per.groupBy().agg(F.sum("cnt").alias("n_total"))
     return (
-        counts.crossJoin(F.broadcast(total))
+        per.filter(F.col("token").isNotNull())
+        .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))
         .select("token", "cnt")
     )

@@ -182,9 +182,14 @@ def chisq_independence(
     INTEGERS — the repo-wide trick that makes a float statistic
     partition-order independent.
     """
-    cells = df.groupBy(
-        F.col(row_col).alias("r"), F.col(col_col).alias("c")
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    # the |R|x|C| contingency table feeds four consumers (marginals,
+    # totals, densified grid); uncached, each re-ran the corpus groupBy
+    # (round-6 census: 4 full scans for one tiny aggregate)
+    cells = (
+        df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .cache()
+    )
     rows = cells.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
     cols = cells.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
     tot = cells.agg(

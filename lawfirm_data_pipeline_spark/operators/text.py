@@ -188,8 +188,14 @@ def tfidf_topk(docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id")
     from pyspark.sql import Window
 
     toks = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
-    term_counts = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc"))
-    doc_lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # term_counts feeds three consumers (doc lengths, document
+    # frequencies, the tf join); cached, the corpus tokenizes exactly
+    # once.  doc_lens derives algebraically from it (sum of per-term
+    # counts = token count) instead of re-exploding the corpus.
+    term_counts = (
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc")).cache()
+    )
+    doc_lens = term_counts.groupBy(id_col).agg(F.sum("tc").alias("dl"))
     df_counts = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))

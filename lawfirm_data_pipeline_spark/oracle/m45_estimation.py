@@ -276,15 +276,20 @@ def q196_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is sketch-sized.  This is the quality metric a CBO's estimator
     ships with — q140's stats audit checks what Spark's CBO stores,
     this checks what such stats can actually predict."""
+    # both per-key count tables are key-cardinality-sized and consumed
+    # by 3-4 downstream branches each; uncached, every branch re-ran
+    # the fact-table aggregate (round-6 census: lineitem scanned 5x)
     a = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_suppkey").alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+        .cache()
     )
     b = (
         load_table(spark, sf_dir, "supplier")
         .groupBy(F.col("s_suppkey").alias("key"))
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+        .cache()
     )
     truth = a.join(b, "key").agg(
         F.sum(F.col("ca") * F.col("cb")).cast("long").alias("actual")

@@ -138,12 +138,19 @@ def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q44_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT/EXCEPT compile to semi/anti joins after aggregate-dedup —
-    the same shuffle key either way, so the union of both branches reuses
-    one exchange per side under AQE."""
+    """INTERSECT/EXCEPT compile to semi/anti joins after aggregate-dedup.
+    Each branch consumes both distinct key-sets, and exchange reuse does
+    NOT dedupe the repeated subtrees (round-6 census: 4 orders scans +
+    4 distinct shuffles) — cache the two custkey-sized sets instead."""
     orders = load_table(spark, sf_dir, "orders")
-    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
-    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey").distinct().cache()
+    )
+    high = (
+        orders.filter(F.col("o_orderpriority") == "2-HIGH")
+        .select("o_custkey").distinct().cache()
+    )
     both = urgent.intersect(high).select(F.lit("both").alias("tag"), "o_custkey")
     only = urgent.exceptAll(high).select(F.lit("urgent_only").alias("tag"), "o_custkey")
     return both.unionByName(only)

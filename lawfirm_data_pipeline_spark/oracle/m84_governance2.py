@@ -183,7 +183,14 @@ def q274_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_NBUCKETS - 1),
         ).alias("bucket"),
     )
-    g = base.groupBy("grp", "bucket").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # the grp x bucket histogram is tiny and feeds four consumers
+    # (group totals, global totals, grand total, densified grid) — cache
+    # it so customer scans once (round-6 census: 4 scans uncached)
+    g = (
+        base.groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .cache()
+    )
     gt = g.groupBy("grp").agg(F.sum("n").alias("gn"))
     glob = g.groupBy("bucket").agg(F.sum("n").alias("bn"))
     tn = glob.agg(F.sum("bn").alias("tn"))

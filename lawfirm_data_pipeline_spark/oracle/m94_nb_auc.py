@@ -81,10 +81,19 @@ def q293_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", F.explode("toks").alias("tok"))
     )
-    counts = toks.groupBy("lang", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # counts is the model's multi-consumer root (vocab, ltot, and the
+    # smoothing join all read it) and exchange reuse does not dedupe the
+    # repeated subtree: unpinned, the plan re-tokenized the corpus ~4x
+    # (round-6 scan census).  Pin the aggregated (lang, tok) table —
+    # orders smaller than the corpus — and derive everything model-side
+    # from it; the corpus is then tokenized exactly twice (model build +
+    # scoring), which beats checkpointing a corpus-scale token table.
+    counts = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    vocab = toks.select("tok").distinct()
+    vocab = counts.select("tok").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
     ltot = counts.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
     # ltot is one row per language (bounded, ~tens) but sits behind an
