@@ -598,3 +598,49 @@ def test_q293_model_grid_has_no_cartesian_product(spark):
     plan = plan_of(QUERIES["q293_naive_bayes_langid"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_census_token_drift_reads_pinned_tables_only(spark):
+    """q123's counts + merged vocabulary are localCheckpointed: the
+    returned plan must contain NO parquet scan — the corpus tokenize
+    runs exactly once, inside the pin build.  Unpinned, the plan
+    re-tokenized the corpus six times (round-6 scan census)."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["q123_token_drift"](spark, SF))
+    assert "Scan parquet" not in plan, plan
+
+
+def test_census_nb_langid_two_corpus_passes(spark):
+    """q293 pins the (lang, tok) model root; the only remaining corpus
+    reads are the scoring tokenize and the label join — exactly two
+    parquet scans (was ~10 plan references pre-pin).  Counted on the
+    executedPlan string — explain("formatted") lists every scan twice
+    (tree + node details)."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["q293_naive_bayes_langid"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_census_multi_consumer_aggregates_are_cached(spark):
+    """The round-6 census fixes cache each tiny multi-consumer
+    aggregate (contingency cells, histograms, distinct key-sets,
+    per-key counts, IVM changed keys, heavy-hitter recounts): every
+    fixed query's plan must read an InMemoryTableScan — removing the
+    cache() silently restores the scan-per-consumer shape."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+
+    for name in (
+        "q139_chisq_independence",
+        "q46_tfidf_topk",
+        "q44_set_ops",
+        "q274_t_closeness",
+        "q196_join_card_estimate",
+        "q107_heavy_hitters",
+        "q130_ivm_totals",
+        "q282_incremental_minhash",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF))
+        assert "InMemoryTableScan" in plan, name
