@@ -36,3 +36,37 @@ def test_every_window_query_has_oracle_sql():
     sqls = e.oracle_sql()
     missing = [n for n in _ROTATION_FRONT if n not in sqls]
     assert not missing, f"window queries without SQL oracle: {missing}"
+
+
+def test_window_spends_slots_on_never_green_queries():
+    """Rotation-freshness guard: every window slot must target a query
+    with NO green driver row in any on-disk CORRECTNESS_r0*.json —
+    except slots listed in _RECHECK_SLOTS (deliberate re-checks, per
+    the README map).  At the start of a new round this test fails
+    loudly if the previous round's window was left pinned, which is
+    exactly the 'forgot to advance the rotation' failure mode that
+    would silently stall the driver-green backlog."""
+    import glob
+    import json
+    import os
+
+    _RECHECK_SLOTS: set[str] = set()  # r7 plan: {"q270_pipeline_composite"}
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                green.add(name)
+    assert green, "no CORRECTNESS files found — guard cannot run"
+    stale = [n for n in _ROTATION_FRONT if n in green and n not in _RECHECK_SLOTS]
+    assert not stale, (
+        f"{len(stale)} window slots target already-driver-green queries "
+        f"(advance _ROTATION_FRONT per the README map): {stale[:10]}"
+    )
