@@ -47,22 +47,35 @@ def main() -> None:
     spark = get_spark(app_name="determinism_check")
     passes: list[dict[str, str]] = []
     errs: dict[str, str] = {}
-    for sp in ("7", "32"):
+    # axis 1: shuffle partition count (reduce-side routing/order)
+    # axis 2: input split size (map-side scan partitioning/order —
+    #         1m splits every multi-row-group file differently)
+    for sp, mpb in (("7", "128m"), ("32", "128m"), ("32", "1m")):
         spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
         hashes: dict[str, str] = {}
         for name, fn in QUERIES.items():
             try:
                 hashes[name] = result_hash(fn(spark, SF_DIR))
             except Exception as e:  # noqa: BLE001 — census must finish
-                errs[name] = f"sp={sp}: {type(e).__name__}: {e}"
+                errs[name] = f"sp={sp},mpb={mpb}: {type(e).__name__}: {e}"
         passes.append(hashes)
-        print(f"# pass sp={sp}: {len(hashes)} hashed", file=sys.stderr, flush=True)
-    a, b = passes
-    diff = sorted(n for n in a.keys() & b.keys() if a[n] != b[n])
+        print(
+            f"# pass sp={sp} mpb={mpb}: {len(hashes)} hashed",
+            file=sys.stderr,
+            flush=True,
+        )
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    base = passes[0]
+    diff = sorted(
+        n
+        for n in set.intersection(*[set(p) for p in passes])
+        if any(p[n] != base[n] for p in passes[1:])
+    )
     out = {
         "metric": "partitioning_determinism",
-        "n_queries": len(a.keys() | b.keys()),
+        "n_queries": len(set.union(*[set(p) for p in passes])),
         "mismatched": diff,
         "errors": errs,
         "sf_dir": SF_DIR,
