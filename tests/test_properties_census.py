@@ -1,0 +1,112 @@
+"""Hypothesis invariants for the round-6 census-reshaped operators.
+
+* prefix-filter COMPLETENESS: `prefix_filter_jaccard_pairs` must find
+  EXACTLY the pairs a brute-force shingle-set Jaccard finds, on
+  arbitrary token soups — this exercises the integer-ceil prefix-length
+  math (a float ceil would silently shrink recall) and, post-census,
+  the pinned prefix table;
+* token-drift KL: non-negative on arbitrary corpora (Gibbs), exactly
+  zero when the two populations carry identical text multisets —
+  exercises the pinned counts/merged tables end to end.
+
+Few, small examples — boundary shapes (docs shorter than the shingle
+width, all-identical docs, single-source corpora), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lawfirm_data_pipeline_spark.operators.curation import token_drift_kl
+from lawfirm_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+def _shingles(text: str, n: int = 3) -> frozenset[str]:
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) < n:
+        return frozenset()
+    return frozenset(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_prefix_filter_equals_bruteforce(spark, docs):
+    num, den = 1, 2  # tau = 0.5 — low enough that pairs actually occur
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["ida"], r["idb"])
+        for r in prefix_filter_jaccard_pairs(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+    sh = {i: _shingles(t) for i, t in enumerate(docs)}
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            common = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            # the operator's gate is den*common >= num*union over docs
+            # that HAVE shingles on both sides (empty sets never index)
+            if sh[a] and sh[b] and den * common >= num * union:
+                want.add((a, b))
+    assert got == want
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_token_drift_kl_zero_on_identical_populations(spark, texts):
+    # even/odd doc ids carry the SAME text multiset -> both populations
+    # have identical token distributions -> KL must be exactly 0
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, "s", t))
+        rows.append((2 * i + 1, "s", t))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_drift_kl(df).collect()
+    assert len(out) == 1 and out[0]["kl"] == 0.0
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6).map(" ".join),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_token_drift_kl_nonnegative(spark, rows):
+    # KL between two add-one-smoothed distributions over the merged
+    # per-source vocabulary is >= 0 (Gibbs); the fixed-point snap can
+    # dent that by at most one pico-unit per term
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    for r in token_drift_kl(df).collect():
+        assert r["kl"] >= -1e-6, r
