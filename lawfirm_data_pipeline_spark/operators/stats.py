@@ -144,10 +144,13 @@ def mad_outliers(
     with approx_percentile + a tolerance gate, the exact form is the
     oracle-friendly twin.
     """
+    # |groups|-row table; dev is consumed twice (MAD derivation + final
+    # flag pass — inherent multi-pass over row-level data), and an
+    # uncached med re-ran its grouped percentile per consumption
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({cents_col}, 0.5)").alias("med_cents"),
         F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    ).cache()
     # med/mad tables are |groups| rows — broadcast both join-backs so
     # the event stream never reshuffles on the group key twice
     dev = df.join(F.broadcast(med), group_col).withColumn(

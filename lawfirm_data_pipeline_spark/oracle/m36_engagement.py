@@ -95,7 +95,10 @@ def q168_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     7x|pairs| rows, combinable, and needs no distinct-over-window
     support.  Warm-up days (incomplete trailing week) are excluded."""
     events = load_table(spark, sf_dir, "events")
-    du = events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    # the (day, user) distinct pairs are the compressed activity table
+    # (orders smaller than events) and feed four consumers — cached, the
+    # events scan + distinct shuffle run once (round-6 census: 4x)
+    du = events.select(F.to_date("ts").alias("d"), "user_id").distinct().cache()
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     j = days.alias("g").join(

@@ -152,9 +152,12 @@ def q178_cusum_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     burst flags when the max excursion exceeds one full mean-day * n
     (= sum, in the scaled units)."""
     events = load_table(spark, sf_dir, "events")
+    # the etype x day grid is tiny and consumed by the totals and the
+    # CUSUM chain (which is itself read twice: max excursion + peak
+    # pick) — cached, events scans once (round-6 census: 4x)
     daily = events.groupBy(
         F.col("event_type").alias("etype"), F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).cache()
     tot = daily.groupBy("etype").agg(
         F.sum("y").cast("long").alias("sm"), F.count(F.lit(1)).cast("long").alias("n")
     )

@@ -240,10 +240,12 @@ def q187_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         "ev",
     )
+    # 10-row bin table, two consumers (totals + final) — uncached, the
+    # second re-ran the whole scan+bin pass (round-6 census: orders 4x)
     g = b.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("ev").cast("int")).cast("long").alias("n_event"),
-    )
+    ).cache()
     t = g.agg(
         F.sum("n_event").alias("te"), (F.sum("n") - F.sum("n_event")).alias("tn")
     )

@@ -79,10 +79,13 @@ def q223_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         "is_ref",
     )
+    # the 10-row bin table feeds the totals row AND the final select:
+    # uncached, the second consumer re-ran the whole scan+bin pass
+    # (round-6 census: events scanned 4x)
     g = b.groupBy("bin").agg(
         F.sum(F.col("is_ref").cast("int")).cast("long").alias("n_ref"),
         F.sum((~F.col("is_ref")).cast("int")).cast("long").alias("n_cur"),
-    )
+    ).cache()
     t = g.agg(
         F.sum("n_ref").cast("long").alias("tr"),
         F.sum("n_cur").cast("long").alias("tc"),
