@@ -160,6 +160,32 @@ from . import m17_retrieval_quality  # noqa: F401
 # thin-delegate slots (q38/q69b, r5 m79_recheck) are asserted to resolve
 # to their canonical modules rather than the placeholder delegates.
 
+# ROUND-7 WINDOW (pre-staged; activate by replacing _ROTATION_FRONT with
+# this list at r7 open — tests/test_rotation.py's freshness guard fails
+# loudly if the r6 list is left pinned).  Exactly the 50 queries with no
+# green driver row once r6 lands: q188-q196 (9), q199-q201 (3),
+# q209-q211 (3), q213-q220 (8), q222, q269, q271-q294 (24), and q270
+# (present in the r5 window plan but never recorded — it takes the
+# spare slot the README map reserved for its re-check):
+# q188_jackknife_ci q189_dow_seasonality q190_ses_backtest
+# q191_k_anonymity q192_benford_audit q193_neyman_allocation
+# q194_capture_recapture q195_readability q196_join_card_estimate
+# q199_event_velocity q200_grouping_sets q201_watermark_audit
+# q209_zorder_audit q210_reshard_audit q211_salt_planner
+# q213_link_prediction q214_expectations q215_rfm_segments
+# q216_abc_classification q217_km_churn q218_position_attribution
+# q219_duplicate_payments q220_cohort_ltv q222_order_reconciliation
+# q269_png_decode q270_pipeline_composite q271_waiting_suppliers
+# q272_matryoshka_audit q273_entropy_fd_profile q274_t_closeness
+# q275_stream_session_windows q276_write_audit_publish
+# q277_stream_backpressure q278_grouped_ols_slopes q279_greedy_wordpiece
+# q280_bucketed_join_revenue q281_stratified_split
+# q282_incremental_minhash q283_watermark_drop
+# q284_dynamic_partition_pruning q285_pseudonymized_join
+# q286_grouped_agg_trimmed_mean q287_runtime_bloom_join
+# q288_parameterized_sql q289_observed_metrics q290_fd_majority_repair
+# q291_scd2_temporal_join q292_gbdt_stumps q293_naive_bayes_langid
+# q294_exact_auc
 _ROTATION_FRONT = [
     # q131-q151: linkage/IVM tail, layout/paths, robust stats,
     # mlops/market, fusion/sampling, corpus integrity (21)
