@@ -80,11 +80,8 @@ def q272_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("fp").alias("qfp")
     )
 
-    def topk(d: int) -> DataFrame:
-        scored = vecs.join(F.broadcast(qs)).filter(
-            F.col("vec_id") != F.col("query_id")
-        )
-        dist = F.aggregate(
+    def dist(d: int):
+        return F.aggregate(
             F.zip_with(
                 F.slice("fp", 1, d),
                 F.slice("qfp", 1, d),
@@ -93,31 +90,30 @@ def q272_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        w = Window.partitionBy("query_id").orderBy(dist.alias("d"), F.col("vec_id"))
-        return (
-            scored.withColumn("d", dist)
-            .withColumn(
-                "rank",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy("d", "vec_id")
-                ),
-            )
-            .filter(F.col("rank") <= _K)
-            .select("query_id", "vec_id")
-        )
 
-    f10 = topk(64)
-    t10 = topk(_D_TRUNC).withColumnRenamed("vec_id", "t_vec_id")
+    # ONE candidate pass: both distances from the same joined row, both
+    # rankings as two window sorts over the SAME query_id partitioning
+    # (one exchange), and the overlap is "both ranks <= K" — no second
+    # corpus scan and no top-10 x top-10 self-join (round-6 census: the
+    # per-width topk form scanned embeddings 4x).
+    scored = (
+        vecs.join(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d_full", dist(64))
+        .withColumn("d_trunc", dist(_D_TRUNC))
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wq.orderBy("d_full", "vec_id")).alias("r_full"),
+        F.row_number().over(wq.orderBy("d_trunc", "vec_id")).alias("r_trunc"),
+    )
     return (
-        f10.join(
-            t10,
-            (f10["query_id"] == t10["query_id"])
-            & (f10["vec_id"] == t10["t_vec_id"]),
-            "left",
-        )
-        .groupBy(f10["query_id"])
+        ranked.filter(F.col("r_full") <= _K)
+        .groupBy("query_id")
         .agg(
             F.lit(_K).cast("long").alias("k"),
-            F.count(t10["t_vec_id"]).cast("long").alias("n_common"),
+            F.sum((F.col("r_trunc") <= _K).cast("int")).cast("long").alias("n_common"),
         )
     )

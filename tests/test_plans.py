@@ -516,16 +516,20 @@ def test_q271_single_lineitem_shuffle_and_broadcast_supplier(spark):
 
 
 def test_q272_rankings_are_broadcast_query_heaps(spark):
-    """Both Matryoshka rankings cross the corpus with the BOUNDED query
-    side broadcast (nested-loop against 8 rows is the intended shape);
-    no shuffled cartesian of corpus x corpus may appear."""
+    """The Matryoshka candidate pass crosses the corpus ONCE with the
+    BOUNDED query side broadcast (nested-loop against 8 rows is the
+    intended shape); both rankings ride that single pass as two window
+    sorts over the same query_id partitioning (round-6 census rewrite —
+    the per-width topk form joined twice).  No shuffled cartesian of
+    corpus x corpus may appear."""
     from lawfirm_data_pipeline_spark.queries import QUERIES
 
     plan = plan_of(QUERIES["q272_matryoshka_audit"](spark, SF))
     assert "CartesianProduct" not in plan
-    # exactly two nested-loop joins (one per ranking), each building the
-    # broadcast (bounded 8-row) side — never a shuffled corpus x corpus
-    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 2, plan
+    # exactly ONE nested-loop join building the broadcast (bounded
+    # 8-row) side — never a shuffled corpus x corpus, never a second
+    # corpus pass
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
 
 
 def test_q281_split_has_no_global_sort(spark):
