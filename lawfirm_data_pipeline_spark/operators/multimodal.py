@@ -345,6 +345,16 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
                 if bpp != 24:
                     raise ValueError(f"media {mid}: unsupported bpp {bpp}")
                 stride = w * 3 + ((-(w * 3)) % 4)
+                # Python slicing is silent on short reads: a truncated
+                # payload would sum a partial pixel array into a wrong
+                # px_sum instead of failing (found by the round-6 decode
+                # fuzz).  Loud-fail up front like the PNG/WAV paths do.
+                need = off + abs(h) * stride
+                if len(raw) < need:
+                    raise ValueError(
+                        f"media {mid}: truncated pixel array "
+                        f"({len(raw)} < {need} bytes)"
+                    )
                 total = 0
                 for y in range(abs(h)):
                     row = raw[off + y * stride : off + y * stride + w * 3]
@@ -466,6 +476,7 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
                 if raw[:8] != b"\x89PNG\r\n\x1a\n":
                     raise ValueError(f"media {mid}: not a PNG")
                 pos, ihdr, idat = 8, None, bytearray()
+                seen_iend = False
                 while pos + 8 <= len(raw):
                     ln = struct.unpack_from(">I", raw, pos)[0]
                     typ = raw[pos + 4 : pos + 8]
@@ -478,10 +489,17 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
                     elif typ == b"IDAT":
                         idat += data
                     elif typ == b"IEND":
+                        seen_iend = True
                         break
                     pos += 12 + ln
                 if ihdr is None or not idat:
                     raise ValueError(f"media {mid}: missing IHDR/IDAT")
+                if not seen_iend:
+                    # a stream cut after the last IDAT still carries all
+                    # pixel data, but IEND is mandatory (RFC 2083 §4.3)
+                    # and its absence means the payload was truncated —
+                    # loud-fail (round-6 decode fuzz)
+                    raise ValueError(f"media {mid}: missing IEND (truncated)")
                 w, h, depth, color, comp, filt, interlace = ihdr
                 if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
                     raise ValueError(
