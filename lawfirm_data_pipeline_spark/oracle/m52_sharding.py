@@ -120,39 +120,39 @@ def q210_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vns8 = [t for t in vns9 if t[1] < 8]
     wrap8, wrap9 = min(vns8)[1], min(vns9)[1]
 
+    # Each ring entry packs to ONE long, pos*16 + shard (shard <= 8
+    # fits in 4 bits; pos < 2^32 keeps the product < 2^36).  The
+    # packing preserves (pos, shard) order, so "first vnode clockwise"
+    # is array_min over a filtered LONG array — plain integer compares
+    # in codegen.  The previous zip_with form allocated a struct per
+    # ring entry per key (~1,100 per key across both rings), which
+    # dominated the sf1 profile (15.3 s, the heaviest sf1 query).
+    #
     # JVM literal relation, NOT createDataFrame: a Python-backed local
     # relation re-pays ~2 s of Python-worker roundtrips on EVERY job
     # that materializes it (32 mostly-empty pickled partitions); the
     # SQL literal parses once and lives entirely JVM-side.
-    def _arr(vals: list[int], suffix: str) -> str:
-        return f"array({', '.join(str(v) + suffix for v in vals)})"
+    def _packed(vns: list[tuple[int, int]]) -> str:
+        return f"array({', '.join(str(p * 16 + s) + 'L' for p, s in vns)})"
 
     ringdf = spark.sql(
         "SELECT "
-        + _arr([p for p, _ in vns8], "L") + " AS rpos8, "
-        + _arr([s for _, s in vns8], "") + " AS rshard8, "
-        + _arr([p for p, _ in vns9], "L") + " AS rpos9, "
-        + _arr([s for _, s in vns9], "") + " AS rshard9"
+        + _packed(vns8) + " AS ring8, "
+        + _packed(vns9) + " AS ring9"
     )
 
-    def clockwise(pos_col: str, shard_col: str, wrap_shard: int) -> F.Column:
-        # min (pos, shard) among vnodes clockwise of the key; array_min
-        # skips nulls, and the coalesce wraps around to the ring start
+    def clockwise(ring_col: str, wrap_shard: int) -> F.Column:
+        # min packed entry clockwise of the key; the coalesce wraps
+        # around to the ring start (key-independent driver literal)
         cand = F.array_min(
-            F.zip_with(
-                pos_col,
-                shard_col,
-                lambda p, s: F.when(
-                    p >= F.col("pos"), F.struct(p.alias("p"), s.alias("s"))
-                ),
-            )
+            F.filter(ring_col, lambda c: c >= F.col("pos") * 16)
         )
-        return F.coalesce(cand["s"], F.lit(wrap_shard))
+        return F.coalesce(cand % 16, F.lit(wrap_shard)).cast("int")
 
     assigned = kpos.crossJoin(F.broadcast(ringdf)).select(
         "k",
-        clockwise("rpos8", "rshard8", wrap8).alias("s8"),
-        clockwise("rpos9", "rshard9", wrap9).alias("s9"),
+        clockwise("ring8", wrap8).alias("s8"),
+        clockwise("ring9", wrap9).alias("s9"),
     )
     ch = (
         assigned
