@@ -208,3 +208,73 @@ def test_compile_where_matches_kleene_mirror(spark, where):
     rows = [{"id": i, "a": a, "s": s} for i, a, s in _ROWS]
     want = sorted(r["id"] for r in rows if eval_where(r, where) is True)
     assert got == want, where
+
+
+# --- orderBy ---------------------------------------------------------------
+
+_DIRS = st.sampled_from(["asc", "desc"])
+_SPECS = _DIRS | st.fixed_dictionaries(
+    {"sort": _DIRS}, optional={"nulls": st.sampled_from(["first", "last"])}
+)
+
+
+@SLOW
+@given(
+    order=st.lists(
+        st.tuples(st.sampled_from(["a", "s"]), _SPECS),
+        min_size=1,
+        max_size=3,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_compile_order_by_matches_mirror(spark, order):
+    """Prisma orderBy (asc/desc shorthand + explicit nulls placement)
+    against a Python sort mirror.  Spark defaults: asc -> nulls first,
+    desc -> nulls last (matching Prisma's SQL generation)."""
+    from lawfirm_data_pipeline_spark.predicates import compile_order_by
+
+    order_by = [{f: s} for f, s in order]
+    df = spark.createDataFrame(_ROWS, "id long, a long, s string")
+    got = [r["id"] for r in df.orderBy(*compile_order_by(order_by), "id").collect()]
+
+    def keys(row):
+        out = []
+        for f, s in order:
+            sort = s if isinstance(s, str) else s["sort"]
+            nulls = None if isinstance(s, str) else s.get("nulls")
+            v = row[f]
+            null_rank_first = 0 if v is None else 1
+            null_rank_last = 1 if v is None else 0
+            if nulls == "first":
+                nr = null_rank_first
+            elif nulls == "last":
+                nr = null_rank_last
+            else:  # Spark/Prisma default: asc=nulls first, desc=nulls last
+                nr = null_rank_first if sort == "asc" else null_rank_last
+            if v is None:
+                out.append((nr, 0))
+            else:
+                # invert for desc on the value only, never the null rank
+                out.append((nr, _Neg(v) if sort == "desc" else _Key(v)))
+        out.append(row["id"])
+        return out
+
+    class _Key:
+        def __init__(self, v):
+            self.v = v
+
+        def __lt__(self, o):
+            return self.v < o.v
+
+        def __eq__(self, o):
+            return self.v == o.v
+
+    class _Neg(_Key):
+        def __lt__(self, o):
+            return self.v > o.v
+
+    rows = [{"id": i, "a": a, "s": s} for i, a, s in _ROWS]
+    # mixed (nr, key-object) tuples: nr differs -> int compare decides;
+    # nr equal and 0 (both null) -> second elements are equal ints
+    want = [r["id"] for r in sorted(rows, key=keys)]
+    assert got == want, order_by
