@@ -168,8 +168,12 @@ def asof_nearest(
         c for c in right.columns if c not in (key, right_ts)
     ]
     tol = int(tolerance_us)
-    l_b = F.floor(F.unix_micros(F.col(ts)) / F.lit(tol)).cast("long")
-    r_b = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(tol)).cast("long")
+    # tolerance 0 = exact-timestamp match only; the gap filter below
+    # already enforces it, so only the bucket divisor needs clamping
+    # (unix_micros div 0 is a divide-by-zero — round-6 as-of fuzz)
+    bucket_w = max(tol, 1)
+    l_b = F.floor(F.unix_micros(F.col(ts)) / F.lit(bucket_w)).cast("long")
+    r_b = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(bucket_w)).cast("long")
     l = left.select(
         F.col(left_id), F.col(key), F.col(ts), F.explode(
             F.array(l_b - 1, l_b, l_b + 1)
