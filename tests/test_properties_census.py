@@ -110,3 +110,39 @@ def test_token_drift_kl_nonnegative(spark, rows):
     )
     for r in token_drift_kl(df).collect():
         assert r["kl"] >= -1e-6, r
+
+
+@SLOW
+@given(
+    toks=st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40),
+    size=st.integers(2, 12),
+    overlap_frac=st.floats(0, 0.9),
+)
+def test_chunk_tokens_covers_exactly_with_stated_overlap(spark, toks, size, overlap_frac):
+    """Chunking invariants vs a sequential mirror on arbitrary
+    (size, overlap) shapes: chunk i starts at i*stride; every token
+    appears; concatenating chunks with the first `overlap` tokens
+    dropped from chunks 1.. reconstructs the document exactly."""
+    from lawfirm_data_pipeline_spark.operators.text import chunk_tokens
+
+    overlap = min(int(size * overlap_frac), size - 1)
+    stride = size - overlap
+    text = " ".join(toks)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = df.select(chunk_tokens("text", size=size, overlap=overlap).alias("c"))
+    chunks = [
+        (c["chunk_idx"], c["chunk"].split(" ") if c["chunk"] else [])
+        for c in out.first()["c"]
+    ]
+    if not toks:
+        assert chunks == []
+        return
+    assert [i for i, _ in chunks] == list(range(len(chunks)))
+    for i, body in chunks:
+        assert body == toks[i * stride : i * stride + size], (i, size, overlap)
+    rebuilt = list(chunks[0][1])
+    for _, body in chunks[1:]:
+        rebuilt.extend(body[overlap:])
+    assert rebuilt == toks, (size, overlap)
+    # no chunk is pure overlap of the previous one (progress guaranteed)
+    assert all(len(b) > 0 for _, b in chunks)
