@@ -146,3 +146,48 @@ def test_chunk_tokens_covers_exactly_with_stated_overlap(spark, toks, size, over
     assert rebuilt == toks, (size, overlap)
     # no chunk is pure overlap of the previous one (progress guaranteed)
     assert all(len(b) > 0 for _, b in chunks)
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=25,
+    ),
+    chain=st.integers(0, 60),
+)
+def test_connected_components_equals_union_find(spark, edges, chain):
+    """CC vs a union-find mirror on random edge lists PLUS an attached
+    long path (the adversarial diameter case: one-hop-per-round
+    propagation silently mislabeled any path longer than max_iters
+    before the round-6 pointer-jump fix)."""
+    from lawfirm_data_pipeline_spark.operators.graph import connected_components
+
+    all_edges = list(edges) + [(100 + i, 100 + i + 1) for i in range(chain)]
+    if not all_edges:
+        return
+    df = spark.createDataFrame(all_edges, "ida long, idb long")
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in all_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[find(n)] for n in parent}
+    assert got == want
