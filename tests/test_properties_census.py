@@ -191,3 +191,30 @@ def test_connected_components_equals_union_find(spark, edges, chain):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {n: comp_min[find(n)] for n in parent}
     assert got == want
+
+
+@SLOW
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    epoch=st.integers(0, 5),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+def test_epoch_shuffle_is_partition_stable_permutation(spark, keys, epoch, n_shards):
+    """(shard, pos) must be a bijection onto the input keys — no row
+    lost or duplicated, positions dense 1..|shard| within each shard —
+    and identical under a different partitioning (the training-order
+    reproducibility the operator exists for)."""
+    from lawfirm_data_pipeline_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = epoch_shuffle(df, epoch=epoch, n_shards=n_shards).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(keys)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    again = epoch_shuffle(
+        df.repartition(7), epoch=epoch, n_shards=n_shards
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
