@@ -133,12 +133,13 @@ def main() -> None:
     spark = get_spark()
     materialize(spark)
     qs = entrymod.queries()
-    subset = set(sys.argv[1:])  # optional: time only the named queries
+    # optional args: time exactly the NAMED queries (any registry entry,
+    # not just the HEAVY list); no args = the standing HEAVY list
+    names = sys.argv[1:] or HEAVY
     results: dict[str, dict[str, float]] = {}
-    for name in HEAVY:
-        if subset and name not in subset:
-            continue
+    for name in names:
         if name not in qs:
+            print(f"# skipping unknown query {name}", flush=True)
             continue
         fn = qs[name]
         times = {}
