@@ -5,7 +5,7 @@ Reference parity: the reference delegates these invariants to Postgres
 DDL — unique indexes on ``PlaceEntry.url`` / ``Company.name`` /
 ``FirmService.name`` / ``CrmSyncEvent.companyId`` and FK constraints
 with RESTRICT/CASCADE (`src/db/migrations/20260102130331_init/
-migration.sql:79-103`), plus a 128-value enum vocabulary for service
+migration.sql:79-103`), plus a 127-value enum vocabulary for service
 tags (`scrapeWebsite.ts:22-152`).  A lake engine has no enforcing
 store, so the SAME invariants become audit queries a pipeline runs
 after every write (SURVEY.md §4 "uniqueness must be maintained by

@@ -34,8 +34,20 @@ def basket_pairs(
     Replaces the classic basket self-join (two exchange inputs + a join
     probe for the same output) — measured ~15% faster at sf0.1 and
     strictly fewer exchanges.  Per-basket work is C(basket, 2) either
-    way; the array holds ``basket`` items where the join materialized
-    C(basket, 2) rows, so skewed baskets cost less here, not more.
+    way; the SHUFFLE carries ``basket`` items where the join exchanged
+    C(basket, 2) rows, so skew costs less network here.
+
+    Memory bound (r6 ADVICE): the pair STRUCT ARRAY for one basket is
+    materialized inside a single row before the explode, so a
+    mega-basket's C(basket, 2) blowup lands in ONE task's memory where
+    the self-join spread it across partitions — e.g. a 100k-item
+    basket is ~5e9 structs in one task, an OOM.  The form assumes
+    baskets bounded at ~10^3–10^4 items (orders: tens of lines; here
+    C(1e4, 2) = 5e7 structs ≈ low-GiB, inside a 100 TB executor's task
+    budget).  Above that, pre-split oversized baskets into salted
+    sub-baskets (pairs within a sub-basket stay exact; cross-salt
+    pairs need a second mirrored pass) or fall back to the self-join
+    for the heavy tail only.
     """
     adj = items.groupBy(F.col(basket_col)).agg(
         F.sort_array(F.collect_set(F.col(item_col))).alias("ps")

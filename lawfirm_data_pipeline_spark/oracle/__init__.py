@@ -152,73 +152,66 @@ from . import m15_scale_ops  # noqa: F401
 from . import m16_weburl  # noqa: F401
 from . import m17_retrieval_quality  # noqa: F401
 
-# --- Explicit driver-window rotation (round 6) -----------------------------
+# --- Explicit driver-window rotation (round 7) -----------------------------
 # Applied AFTER all imports: reorders the registry dicts in place so the
-# first 50 entries of queries()/oracle_sql() are exactly the round-6
-# window, independent of import order.  Every name is asserted present
-# so a renamed query fails loudly at import time, and the two historical
-# thin-delegate slots (q38/q69b, r5 m79_recheck) are asserted to resolve
-# to their canonical modules rather than the placeholder delegates.
-
-# ROUND-7 WINDOW (pre-staged; activate by replacing _ROTATION_FRONT with
-# this list at r7 open — tests/test_rotation.py's freshness guard fails
-# loudly if the r6 list is left pinned).  Exactly the 50 queries with no
-# green driver row once r6 lands: q188-q196 (9), q199-q201 (3),
-# q209-q211 (3), q213-q220 (8), q222, q269, q271-q294 (24), and q270
-# (present in the r5 window plan but never recorded — it takes the
-# spare slot the README map reserved for its re-check):
-# q188_jackknife_ci q189_dow_seasonality q190_ses_backtest
-# q191_k_anonymity q192_benford_audit q193_neyman_allocation
-# q194_capture_recapture q195_readability q196_join_card_estimate
-# q199_event_velocity q200_grouping_sets q201_watermark_audit
-# q209_zorder_audit q210_reshard_audit q211_salt_planner
-# q213_link_prediction q214_expectations q215_rfm_segments
-# q216_abc_classification q217_km_churn q218_position_attribution
-# q219_duplicate_payments q220_cohort_ltv q222_order_reconciliation
-# q269_png_decode q270_pipeline_composite q271_waiting_suppliers
-# q272_matryoshka_audit q273_entropy_fd_profile q274_t_closeness
-# q275_stream_session_windows q276_write_audit_publish
-# q277_stream_backpressure q278_grouped_ols_slopes q279_greedy_wordpiece
-# q280_bucketed_join_revenue q281_stratified_split
-# q282_incremental_minhash q283_watermark_drop
-# q284_dynamic_partition_pruning q285_pseudonymized_join
-# q286_grouped_agg_trimmed_mean q287_runtime_bloom_join
-# q288_parameterized_sql q289_observed_metrics q290_fd_majority_repair
-# q291_scd2_temporal_join q292_gbdt_stumps q293_naive_bayes_langid
-# q294_exact_auc
+# first 50 entries of queries()/oracle_sql() are exactly the round-7
+# window, independent of import order.  Every name is checked present
+# with an explicit raise (not assert — python -O must not disable the
+# guard) so a renamed query fails loudly at import time, and the two
+# historical thin-delegate slots (q38/q69b, r5 m79_recheck) are checked
+# to resolve to their canonical modules rather than the placeholder
+# delegates.
+#
+# ROUND-7 WINDOW: exactly the 50 registered queries with no green
+# driver row after r6 landed (r6 verdict task #1): q188-q196 (9),
+# q199-q201 (3), q209-q211 (3), q213-q220 (8), q222, q269, q270
+# (present in the r5 window *plan* but never recorded), and
+# q271-q294 (24).  Once CORRECTNESS_r07 lands green, every registered
+# query has a driver row; r8+ windows become re-check quotas
+# (_RECHECK_SLOTS in tests/test_rotation.py).
 _ROTATION_FRONT = [
-    # q131-q151: linkage/IVM tail, layout/paths, robust stats,
-    # mlops/market, fusion/sampling, corpus integrity (21)
-    "q131_skyline_parts", "q132_session_paths", "q133_prefix_jaccard",
-    "q134_state_intervals", "q135_zonemap_prune", "q136_attribution",
-    "q137_max_concurrency", "q138_mad_outliers", "q139_chisq_independence",
-    "q140_trend_slopes", "q141_split_leakage", "q142_association_rules",
-    "q143_token_fertility", "q144_time_to_convert", "q145_rank_fusion",
-    "q146_negative_samples", "q147_bpe_merges", "q148_zipf_fit",
-    "q149_vocab_stats", "q150_impute_audit", "q151_table_checksum",
-    # q157-q174: skew/layout, experiments, eval/chunking, engagement,
-    # distribution, decision support (18)
-    "q157_salted_join", "q158_twap", "q159_delta_bits", "q160_group_digests",
-    "q161_ab_test", "q162_selectivity_profile", "q163_rolling_correlation",
-    "q164_rec_precision", "q165_kfold_balance", "q166_cdc_chunking",
-    "q167_decayed_engagement", "q168_stickiness", "q169_rolling_median",
-    "q170_spend_deciles", "q171_spend_concentration", "q172_shipping_priority",
-    "q173_returned_items", "q174_customer_distribution",
-    # q177-q187: quality/bursts, mixture/card, cluster/bloom,
-    # governance stats head (11)
-    "q177_label_separation", "q178_cusum_bursts", "q179_epoch_repeat",
-    "q180_data_card", "q181_kmeans_clusters", "q182_winnow_overlap",
-    "q183_bloom_semijoin", "q184_event_transitions", "q185_source_overlap",
-    "q186_knn_label_noise", "q187_woe_binning",
+    # q188-q196: governance/estimation (9)
+    "q188_jackknife_ci", "q189_dow_seasonality", "q190_ses_backtest",
+    "q191_k_anonymity", "q192_benford_audit", "q193_neyman_allocation",
+    "q194_capture_recapture", "q195_readability", "q196_join_card_estimate",
+    # q199-q201: velocity/grouping-sets/watermark audit (3)
+    "q199_event_velocity", "q200_grouping_sets", "q201_watermark_audit",
+    # q209-q211: placement/layout audits (3)
+    "q209_zorder_audit", "q210_reshard_audit", "q211_salt_planner",
+    # q213-q220: graph/expectations/segmentation/survival/fraud (8)
+    "q213_link_prediction", "q214_expectations", "q215_rfm_segments",
+    "q216_abc_classification", "q217_km_churn", "q218_position_attribution",
+    "q219_duplicate_payments", "q220_cohort_ltv",
+    # q222: reconciliation (1)
+    "q222_order_reconciliation",
+    # q269-q294: round-5/6 additions — PNG decode, pipeline composite,
+    # Matryoshka, privacy, streaming, OLS, WordPiece, bucketing,
+    # splits, incremental MinHash, watermark, DPP, bloom join,
+    # parameterized SQL, observed metrics, FD repair, SCD-2, GBDT,
+    # NB langid, exact AUC (26)
+    "q269_png_decode", "q270_pipeline_composite", "q271_waiting_suppliers",
+    "q272_matryoshka_audit", "q273_entropy_fd_profile", "q274_t_closeness",
+    "q275_stream_session_windows", "q276_write_audit_publish",
+    "q277_stream_backpressure", "q278_grouped_ols_slopes",
+    "q279_greedy_wordpiece", "q280_bucketed_join_revenue",
+    "q281_stratified_split", "q282_incremental_minhash",
+    "q283_watermark_drop", "q284_dynamic_partition_pruning",
+    "q285_pseudonymized_join", "q286_grouped_agg_trimmed_mean",
+    "q287_runtime_bloom_join", "q288_parameterized_sql",
+    "q289_observed_metrics", "q290_fd_majority_repair",
+    "q291_scd2_temporal_join", "q292_gbdt_stumps",
+    "q293_naive_bayes_langid", "q294_exact_auc",
 ]
-assert len(_ROTATION_FRONT) == 50, len(_ROTATION_FRONT)
+if len(_ROTATION_FRONT) != 50:
+    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
 
 
 def _apply_rotation() -> None:
     from .. import queries as _registry
 
     missing = [n for n in _ROTATION_FRONT if n not in _registry.QUERIES]
-    assert not missing, f"rotation names not registered: {missing}"
+    if missing:
+        raise RuntimeError(f"rotation names not registered: {missing}")
     front = set(_ROTATION_FRONT)
     for d in (_registry.QUERIES, _registry.ORACLE_SQL):
         head = {k: d[k] for k in _ROTATION_FRONT if k in d}
@@ -234,7 +227,8 @@ def _apply_rotation() -> None:
         ("q69b_ivf_ann_nprobe", "m11_sql_kit"),
     ):
         mod = _registry.QUERIES[name].__module__
-        assert mod.endswith(canonical), f"{name} resolved to {mod}, not {canonical}"
+        if not mod.endswith(canonical):
+            raise RuntimeError(f"{name} resolved to {mod}, not {canonical}")
 
 
 _apply_rotation()

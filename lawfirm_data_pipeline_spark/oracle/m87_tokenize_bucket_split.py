@@ -172,7 +172,14 @@ def q280_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     tables = _BUCKETED_TABLE_CACHE.get(key)
     if tables is None:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # Tag folds the applicationId in (r6 ADVICE): a pure md5(sf_dir)
+        # tag made two concurrent sessions sharing the warehouse dir
+        # DROP/rmtree each other's live tables mid-query.  Per-session
+        # names keep concurrency safe; the stale-dir rmtree below still
+        # reclaims leftovers from crashed sessions that shared OUR tag
+        # (same app id restart), and distinct-session leftovers are
+        # plain warehouse garbage, not correctness hazards.
+        tag = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:8]
         lt, rt = f"b_orders_{tag}", f"b_lineitem_{tag}"
         for t in (lt, rt):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

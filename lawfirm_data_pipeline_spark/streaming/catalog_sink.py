@@ -87,11 +87,30 @@ def exactly_once_totals_sink(
         # check then see one consistent catalog state even if another
         # writer commits between here and txn.commit().
         tables = txn.base
+        # n_buckets is part of the stream identity (r6 ADVICE): the
+        # sentinel -1 encodes "unsharded" so the column is non-null and
+        # a None<->B switch is detectable, not just B<->B'.
+        nb_now = -1 if n_buckets is None else int(n_buckets)
         if "_meta" in tables:
             row = txn.read(spark, "_meta").collect()[0].asDict()
             max_done = row["max_batch_id"]
-            # pre-identity catalogs lack the column; treat as same-stream
+            # pre-identity catalogs lack the columns; treat as matching
             known = row.get("stream_id", stream_id)
+            nb_known = row.get("n_buckets", nb_now)
+            if nb_known is not None and int(nb_known) != nb_now:
+                # Checked BEFORE the replay skip: restarting with a
+                # different sharding layout remaps users to different
+                # totals_b* tables while old rows stay behind, so
+                # read_sharded_totals would return multiple partial
+                # rows per user (or drop the legacy 'totals' table).
+                raise StreamIdentityError(
+                    f"catalog totals were committed with n_buckets="
+                    f"{'None' if nb_known == -1 else nb_known} but the "
+                    f"sink was configured with n_buckets="
+                    f"{'None' if nb_now == -1 else nb_now}; resharding "
+                    "in place would strand previously-committed rows "
+                    "in the old layout"
+                )
             if batch_id <= max_done:
                 if known != stream_id:
                     raise StreamIdentityError(
@@ -121,9 +140,13 @@ def exactly_once_totals_sink(
                 part = bucketed.filter(F.col("bucket") == k).drop("bucket")
                 existing = txn.read(spark, name) if name in tables else None
                 txn.stage(name, _merge(existing, part))
+        # Parameterized (r6 ADVICE): stream_id is caller data — a quote
+        # in it must not break (or inject into) the statement.
         meta = spark.sql(
-            f"SELECT '{stream_id}' AS stream_id, "
-            f"CAST({int(batch_id)} AS BIGINT) AS max_batch_id"
+            "SELECT :sid AS stream_id, "
+            "CAST(:bid AS BIGINT) AS max_batch_id, "
+            "CAST(:nb AS BIGINT) AS n_buckets",
+            args={"sid": stream_id, "bid": int(batch_id), "nb": nb_now},
         )
         txn.stage("_meta", meta)
         txn.commit()

@@ -376,6 +376,63 @@ def test_sink_rejects_fresh_checkpoint_against_existing_catalog(spark, tmp_path)
     assert [(r["n_events"], r["total_cents"]) for r in got] == [(2, 10)]
 
 
+def test_sink_rejects_n_buckets_change_against_existing_catalog(spark, tmp_path):
+    """r6 ADVICE (medium): n_buckets is part of the stream identity.
+    Restarting the sink with a different n_buckets (or switching
+    None<->B) would remap users to different totals_b* tables while
+    old rows stay behind, so read_sharded_totals would return multiple
+    partial rows per user — fail loudly instead."""
+    import pytest
+
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+    from lawfirm_data_pipeline_spark.streaming.catalog_sink import (
+        StreamIdentityError,
+        exactly_once_totals_sink,
+    )
+
+    b = spark.sql("SELECT CAST(1 AS BIGINT) user_id, CAST(5 AS BIGINT) cents")
+
+    # sharded -> different shard count
+    cat = Catalog(str(tmp_path / "cat1"))
+    exactly_once_totals_sink(spark, cat, stream_id="s", n_buckets=4)(b, 0)
+    with pytest.raises(StreamIdentityError, match="n_buckets"):
+        exactly_once_totals_sink(spark, cat, stream_id="s", n_buckets=8)(b, 1)
+
+    # unsharded -> sharded (and back) — even on a REPLAYED batch id
+    cat2 = Catalog(str(tmp_path / "cat2"))
+    exactly_once_totals_sink(spark, cat2, stream_id="s")(b, 0)
+    with pytest.raises(StreamIdentityError, match="n_buckets"):
+        exactly_once_totals_sink(spark, cat2, stream_id="s", n_buckets=2)(b, 0)
+    with pytest.raises(StreamIdentityError, match="n_buckets"):
+        exactly_once_totals_sink(spark, cat2, stream_id="s", n_buckets=2)(b, 1)
+
+    # the matching layout still works and replays still skip
+    sink = exactly_once_totals_sink(spark, cat2, stream_id="s")
+    sink(b, 0)  # replay: no-op
+    sink(b, 1)
+    got = cat2.read(spark, "totals").collect()
+    assert [(r["n_events"], r["total_cents"]) for r in got] == [(2, 10)]
+
+
+def test_sink_meta_survives_quoted_stream_id(spark, tmp_path):
+    """r6 ADVICE (low): stream_id is caller data; a single quote in it
+    must not break the _meta statement (previously interpolated into a
+    SQL literal)."""
+    from lawfirm_data_pipeline_spark.sources.lake import Catalog
+    from lawfirm_data_pipeline_spark.streaming.catalog_sink import (
+        exactly_once_totals_sink,
+    )
+
+    cat = Catalog(str(tmp_path / "cat"))
+    sid = "o'brien's stream -- ; DROP TABLE totals"
+    sink = exactly_once_totals_sink(spark, cat, stream_id=sid)
+    b = spark.sql("SELECT CAST(1 AS BIGINT) user_id, CAST(5 AS BIGINT) cents")
+    sink(b, 0)
+    meta = cat.read(spark, "_meta").collect()
+    assert [r["stream_id"] for r in meta] == [sid]
+    assert [r["max_batch_id"] for r in meta] == [0]
+
+
 def test_commit_falls_back_when_hard_links_unsupported(spark, tmp_path, monkeypatch):
     """r5 ADVICE: os.link raising OSError (FUSE/NFS/FAT mounts) must not
     break commits — the O_EXCL fallback path publishes the head."""

@@ -1,9 +1,11 @@
 """The driver checks the FIRST 50 registry entries each round; pin them.
 
-The round-6 window is q131-q151 + q157-q174 + q177-q187 (README map,
-r5 verdict #1).  ``oracle.__init__._ROTATION_FRONT`` enforces this
-explicitly after imports; these tests fail loudly if an import
-reshuffle, rename, or helper-import side effect perturbs the window.
+The round-7 window is the driver-green backlog's final tranche:
+q188-q196 + q199-q201 + q209-q211 + q213-q220 + q222 + q269-q294
+(README map, r6 verdict #1).  ``oracle.__init__._ROTATION_FRONT``
+enforces this explicitly after imports; these tests fail loudly if an
+import reshuffle, rename, or helper-import side effect perturbs the
+window.
 """
 
 from __future__ import annotations
@@ -12,11 +14,11 @@ import __spark_entry__ as e
 from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT
 
 
-def test_round6_window_is_first_50():
+def test_round7_window_is_first_50():
     names = list(e.queries())
     assert names[:50] == _ROTATION_FRONT
-    assert names[0] == "q131_skyline_parts"
-    assert names[49] == "q187_woe_binning"
+    assert names[0] == "q188_jackknife_ci"
+    assert names[49] == "q294_exact_auc"
 
 
 def test_registry_size_frozen_at_299():
@@ -50,7 +52,11 @@ def test_window_spends_slots_on_never_green_queries():
     import json
     import os
 
-    _RECHECK_SLOTS: set[str] = set()  # r7 plan: {"q270_pipeline_composite"}
+    # q270 sat in the r5 window *plan* but no driver row was ever
+    # recorded (r6 verdict, §2.A note), so it is a first-check slot,
+    # not a re-check; the set stays empty this round.  r8+: spend
+    # freed slots re-verifying the oldest green rows (r6 verdict #7).
+    _RECHECK_SLOTS: set[str] = set()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green: set[str] = set()
