@@ -100,10 +100,26 @@ HEAVY = [
 ]
 
 
-def materialize(spark, factor: int = 10) -> None:
-    os.makedirs(SF1, exist_ok=True)
+SF3 = os.path.join(_REPO, "benchdata", "sf3")
+
+# r6 verdict #4: one measured decade (sf0.1 -> sf1) can hide an n^1.5
+# term a second measurement point cannot — for the slope>2.4 tail we
+# add an sf3 replica (30 shifted copies) and check the sf1 -> sf3
+# ratio against the shape bound: linear => ~3, n^1.5 => ~5.2, n^2 => 9.
+STEEP = [
+    "q127_triangle_count",
+    "q210_reshard_audit",
+    "q110_stateful_totals",
+    "q146_negative_samples",
+    "q164_rec_precision",
+]
+
+
+def materialize(spark, root: str | None = None, factor: int = 10) -> None:
+    root = root or SF1
+    os.makedirs(root, exist_ok=True)
     for table, shifts in _SHIFTS.items():
-        dst = os.path.join(SF1, f"{table}.parquet")
+        dst = os.path.join(root, f"{table}.parquet")
         if os.path.exists(dst):
             continue
         src = spark.read.parquet(os.path.join(SF01, f"{table}.parquet"))
@@ -130,12 +146,23 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
+    argv = sys.argv[1:]
+    sf3_mode = "--sf3" in argv
+    if sf3_mode:
+        argv = [a for a in argv if a != "--sf3"]
+
     spark = get_spark()
     materialize(spark)
     qs = entrymod.queries()
     # optional args: time exactly the NAMED queries (any registry entry,
-    # not just the HEAVY list); no args = the standing HEAVY list
-    names = sys.argv[1:] or HEAVY
+    # not just the HEAVY list); no args = the standing HEAVY list, or
+    # with --sf3 the STEEP list timed at sf1 AND sf3 for the
+    # second-decade slope (r6 verdict #4).
+    names = argv or (STEEP if sf3_mode else HEAVY)
+    tiers = [("sf0.1", SF01), ("sf1", SF1)]
+    if sf3_mode:
+        materialize(spark, SF3, factor=30)
+        tiers.append(("sf3", SF3))
     results: dict[str, dict[str, float]] = {}
     for name in names:
         if name not in qs:
@@ -143,7 +170,7 @@ def main() -> None:
             continue
         fn = qs[name]
         times = {}
-        for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        for sf_label, sf_dir in tiers:
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -152,6 +179,11 @@ def main() -> None:
                 best = el if best is None else min(best, el)
             times[sf_label] = round(best, 3)
         times["slope"] = round(times["sf1"] / max(times["sf0.1"], 1e-9), 2)
+        if sf3_mode:
+            # 3x data: linear => ~3, n^1.5 => ~5.2, n^2 => ~9
+            times["slope_sf1_sf3"] = round(
+                times["sf3"] / max(times["sf1"], 1e-9), 2
+            )
         results[name] = times
         print(f"{name}: {times}", flush=True)
     print(json.dumps({"metric": "sf1_spot_bench", "queries": results}))

@@ -83,6 +83,9 @@ def q232_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             try:
                 q.processAllAvailable()
+                from ..streaming.plan_capture import capture
+
+                capture(q, "recovery_drain")
             finally:
                 q.stop()
 

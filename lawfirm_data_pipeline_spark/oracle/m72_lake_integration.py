@@ -139,6 +139,9 @@ def q257_stream_catalog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         try:
             q.processAllAvailable()
+            from ..streaming.plan_capture import capture
+
+            capture(q, "exactly_once_totals")
         finally:
             q.stop()
         # simulate an at-least-once redelivery of the final micro-batch

@@ -159,6 +159,9 @@ def _run_stage_as_stream(spark, scratch, cat, src_table, sink_fn, schema):
             .start()
         )
         q.awaitTermination()
+        from ..streaming.plan_capture import capture
+
+        capture(q, f"pipeline_stage_{src_table}")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 

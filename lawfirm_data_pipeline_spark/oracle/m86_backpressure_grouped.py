@@ -98,6 +98,9 @@ def q277_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        from ..streaming.plan_capture import capture
+
+        capture(q, "backpressure")
         n_files = sum(
             1
             for f in os.listdir(src_dir)

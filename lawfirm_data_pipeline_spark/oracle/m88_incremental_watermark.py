@@ -308,6 +308,9 @@ def q283_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             try:
                 q.awaitTermination()
+                from ..streaming.plan_capture import capture
+
+                capture(q, "watermark_drop")
             finally:
                 q.stop()
         finally:

@@ -62,6 +62,9 @@ def run_queue_stream(
     if synchronous:
         try:
             q.processAllAvailable()
+            from .plan_capture import capture
+
+            capture(q, "queue_poll")
         finally:
             q.stop()
         return None

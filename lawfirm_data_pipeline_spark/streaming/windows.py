@@ -180,6 +180,9 @@ def run_stream_to_table(
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     try:
         q.processAllAvailable()
+        from .plan_capture import capture
+
+        capture(q, table_name)
     finally:
         q.stop()
     return spark.table(table_name)

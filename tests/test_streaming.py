@@ -134,3 +134,24 @@ def test_retry_with_backoff():
     assert len(calls) == 3
     with pytest.raises(RuntimeError):
         retry_with_backoff(lambda: (_ for _ in ()).throw(RuntimeError("hard")), retries=1, base_delay=0.001)
+
+
+def test_streaming_harnesses_capture_executed_plans(spark):
+    """r6 verdict #6: the plan-lint census was blind to streaming
+    queries.  Every harness now records the last trigger's executed
+    plan via streaming.plan_capture, so the census can audit streams
+    post-run.  Drive one real memory-sink stream and assert a plan
+    (with the streaming state operator in it) plus lastProgress landed
+    in the buffer."""
+    from lawfirm_data_pipeline_spark.queries import QUERIES
+    from lawfirm_data_pipeline_spark.streaming import plan_capture
+
+    plan_capture.drain()
+    QUERIES["q22_stream_tumbling_window"](spark, SF).collect()
+    captured = plan_capture.drain()
+    assert captured, "stream ran but captured no executed plan"
+    label, plan, progress = captured[0]
+    assert "StateStore" in plan or "HashAggregate" in plan, plan[:500]
+    assert progress is None or "batchId" in progress
+    # drained: a second drain is empty (census isolation between queries)
+    assert plan_capture.drain() == []
