@@ -20,7 +20,15 @@ can hide:
 * ``BatchEvalPython`` — row-at-a-time Python UDF in the plan; every
   Python hot path in this repo must be Arrow-batched.
 * exchange count per query — informational histogram; outliers (> 12
-  shuffles in one plan) get listed for manual review.
+  shuffles in one plan) get listed under ``review`` for manual reading,
+  NOT under ``flagged`` (the count is a string count over the plan
+  text, which includes ReusedExchange nodes and cached/pinned-table
+  lineage printing, so deep trees overstate physical shuffles — the
+  high-count queries carry sketch/band/prefix aggregates through those
+  exchanges, not the corpus, and their measured sf1 slopes are ~1;
+  SCALE.md "Round-6 plan-lint census").  Only CartesianProduct,
+  BatchEvalPython, unbounded BNLJ, plan errors, and missing stream
+  captures fail the exit code.
 
 Streaming queries (real readStream harnesses) can't be planned without
 running the stream.  Since r7 they are EXECUTED here instead (r6
@@ -295,10 +303,7 @@ def main() -> None:
             flags.setdefault(name, []).append(f"plan-error: {type(e).__name__}: {e}")
             continue
         probs = _string_checks(plan) + _check_bnlj(plan)
-        n_ex = plan.count("Exchange ") + plan.count("Exchange\n")
-        exchanges[name] = n_ex
-        if n_ex > 12:
-            probs.append(f"exchange-count {n_ex}")
+        exchanges[name] = plan.count("Exchange ") + plan.count("Exchange\n")
         if probs:
             flags[name] = probs
     out = {
@@ -307,6 +312,11 @@ def main() -> None:
         "n_skipped_streaming": len(skipped),
         "n_stream_plans_captured": n_stream_plans,
         "flagged": flags,
+        "review": {
+            name: f"exchange-count {n}"
+            for name, n in exchanges.items()
+            if n > 12
+        },
         "max_exchanges": max(exchanges.values(), default=0),
         "top_exchanges": dict(
             sorted(exchanges.items(), key=lambda kv: -kv[1])[:10]
