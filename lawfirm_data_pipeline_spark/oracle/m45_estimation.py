@@ -22,10 +22,11 @@ rotation note in ``oracle/__init__.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.ranking import top_k_ranked
 from ..queries import query
 
 
@@ -294,9 +295,8 @@ def q196_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = a.join(b, "key").agg(
         F.sum(F.col("ca") * F.col("cb")).cast("long").alias("actual")
     )
-    w = Window.orderBy(F.col("ca").desc(), F.col("key"))
-    atop = a.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _TOPK
+    atop = top_k_ranked(
+        a, _TOPK, [F.col("ca").desc(), F.col("key")], "rn"
     ).select("key", "ca")
     astats = a.agg(
         F.sum("ca").cast("long").alias("tot"), F.count(F.lit(1)).cast("long").alias("nk")

@@ -16,10 +16,11 @@ rotation note in ``oracle/__init__.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.ranking import global_running_sum
 from ..queries import query
 
 _QS = [0.2, 0.4, 0.6, 0.8]
@@ -136,8 +137,9 @@ def q216_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t = p.agg(F.sum("rev").cast("long").alias("total"))
-    w = Window.orderBy(F.col("rev").desc(), "part")
-    cum = p.withColumn("cum", F.sum("rev").over(w).cast("long"))
+    cum = global_running_sum(
+        p, "rev", [F.col("rev").desc(), F.col("part")], "cum"
+    ).withColumn("cum", F.col("cum").cast("long"))
     c = cum.crossJoin(F.broadcast(t)).withColumn(
         "cls",
         F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")

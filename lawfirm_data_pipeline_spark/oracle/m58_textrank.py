@@ -16,11 +16,12 @@ rotation note in ``oracle/__init__.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.graph_metrics import pagerank_fixed
+from ..operators.ranking import top_k_ranked
 from ..operators.text import tokenized
 from ..queries import query
 
@@ -120,9 +121,9 @@ def q221_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pr = pagerank_fixed(edges, iters=3)
-    w = Window.orderBy(F.col("rank_fp").desc(), F.col("word"))
-    return (
-        pr.select(F.col("node").alias("word"), "rank_fp")
-        .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _TOPK)
-    )
+    return top_k_ranked(
+        pr.select(F.col("node").alias("word"), "rank_fp"),
+        _TOPK,
+        [F.col("rank_fp").desc(), F.col("word")],
+        "rnk",
+    ).withColumn("rnk", F.col("rnk").cast("long"))

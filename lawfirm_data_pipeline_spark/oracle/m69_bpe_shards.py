@@ -21,10 +21,11 @@ driver rows with the round-5 rotation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.ranking import global_row_number
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
 
@@ -123,13 +124,19 @@ def q248_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q249_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted round-robin (LPT-flavored) shard layout: rank by size
     desc, deal rank % 8 — near-optimal makespan balance for data-loader
-    shards, vs q85's contiguous byte ranges.  One global rank window +
-    one combinable aggregate; at 100 TB the rank comes from the same
-    two-phase distributed ranking the packing ops use, and the
-    max-min spread column is the balance SLO a loader monitors."""
+    shards, vs q85's contiguous byte ranges.  The rank is
+    ``ranking.global_row_number`` (two-phase distributed scan, never a
+    single-task window) + one combinable aggregate; the max-min spread
+    column is the balance SLO a loader monitors."""
     docs = load_table(spark, sf_dir, "documents")
-    rk = F.row_number().over(Window.orderBy(F.col("n_chars").desc(), "doc_id")) - 1
-    s = docs.select((rk % 8).cast("long").alias("shard"), "n_chars")
+    ranked = global_row_number(
+        docs.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        "_rk",
+    )
+    s = ranked.select(
+        ((F.col("_rk") - 1) % 8).cast("long").alias("shard"), "n_chars"
+    )
     g = s.groupBy("shard").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),

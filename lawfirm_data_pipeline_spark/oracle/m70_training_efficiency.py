@@ -16,10 +16,11 @@ driver rows with the round-5 rotation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.ranking import global_row_number
 from ..operators.text import tokens
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
@@ -171,23 +172,21 @@ def q252_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-sorted order: per batch the cost is max_len × rows, waste is
     the padding share — the number that justifies (or kills) a sorted
     bucketing pass before training.  Both layouts derive from rank
-    windows; at 100 TB the rank comes from the same two-phase
-    distributed ranking the packing ops use, and the comparison runs
-    in one plan over one scan."""
+    windows; the ranks come from ``ranking.global_row_number`` — the
+    two-phase distributed scan (range shuffle + per-partition offsets),
+    never a single-task global window."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    arrival = docs.select(
+    arrival = global_row_number(docs, [F.col("doc_id")], "_rk").select(
         F.lit("arrival").alias("strategy"),
         "n_chars",
-        ((F.row_number().over(Window.orderBy("doc_id")) - 1) / _BATCH)
-        .cast("long")
-        .alias("batch"),
+        ((F.col("_rk") - 1) / _BATCH).cast("long").alias("batch"),
     )
-    slen = docs.select(
+    slen = global_row_number(
+        docs, [F.col("n_chars"), F.col("doc_id")], "_rk"
+    ).select(
         F.lit("sorted").alias("strategy"),
         "n_chars",
-        ((F.row_number().over(Window.orderBy("n_chars", "doc_id")) - 1) / _BATCH)
-        .cast("long")
-        .alias("batch"),
+        ((F.col("_rk") - 1) / _BATCH).cast("long").alias("batch"),
     )
     per_batch = (
         arrival.unionByName(slen)

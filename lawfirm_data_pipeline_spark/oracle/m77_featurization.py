@@ -16,10 +16,11 @@ driver rows with the round-5 rotation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.ranking import top_k_ranked
 from ..queries import query
 
 
@@ -82,10 +83,9 @@ def q264_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(dot).alias("best"))
     )
     scored = pair.groupBy("doc_id").agg(F.sum("best").cast("long").alias("maxsim"))
-    w = Window.orderBy(F.col("maxsim").desc(), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        top_k_ranked(scored, 10, [F.col("maxsim").desc(), F.col("doc_id")], "rank")
+        .withColumn("rank", F.col("rank").cast("int"))
         .select("doc_id", "maxsim", "rank")
     )
 

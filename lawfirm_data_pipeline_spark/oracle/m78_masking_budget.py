@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..operators.ranking import global_running_sum
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
 
@@ -141,18 +142,19 @@ _BUDGET = 20_000
 def q268_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the highest-quality documents until the token budget is
     spent: rank by (hash-derived) quality desc, running token sum,
-    cut at the budget — one window, one aggregate; the final mixture
-    trim every corpus build ends with.  At 100 TB the running sum uses
-    the same two-phase distributed prefix sum as the packing ops."""
+    cut at the budget — the final mixture trim every corpus build ends
+    with.  The running sum is ``ranking.global_running_sum`` — the
+    two-phase distributed prefix sum (range shuffle + per-partition
+    offsets), never a single-task global window."""
     docs = load_table(spark, sf_dir, "documents")
     q = F.conv(
         F.substring(F.md5(F.concat(F.lit("q|"), F.col("doc_id"))), 1, 8), 16, 10
     ).cast("long") % 1000
-    w = Window.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    r = docs.select("doc_id", "n_chars", q.alias("q")).withColumn(
-        "cum", F.sum("n_chars").over(w)
+    r = global_running_sum(
+        docs.select("doc_id", "n_chars", q.alias("q")),
+        "n_chars",
+        [F.col("q").desc(), F.col("doc_id")],
+        "cum",
     )
     kept = r.filter(F.col("cum") <= _BUDGET)
     return kept.agg(

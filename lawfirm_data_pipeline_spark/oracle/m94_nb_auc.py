@@ -14,9 +14,10 @@ per-doc aggregate.
 q294 — exact AUC via the rank statistic (Mann-Whitney): AUC =
 (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), ties carrying average rank — kept
 exact by working in DOUBLED rank units (2×avg-rank is an integer even
-for odd tie runs).  One rank window over the score, two integer
-aggregates, one final division — the evaluation metric next to ECE
-(q253) and NDCG (q254), engine-exact.
+for odd tie runs).  One combinable groupBy(score), rank algebra on the
+distinct-score aggregate via the two-phase prefix sum, one final
+division — the evaluation metric next to ECE (q253) and NDCG (q254),
+engine-exact at any row count.
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import load_table
+from ..operators.ranking import global_running_sum
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
 
@@ -175,8 +177,14 @@ def q293_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q294_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney AUC with exact tie handling in doubled-rank
-    integers; one window + one aggregate + one IEEE division (the
-    price-digit 'score' makes heavy ties, which is the hard case)."""
+    integers.  The oracle ranks ROWS; here the same doubled ranks come
+    from the per-SCORE aggregate: a tied group's ranks are contiguous,
+    so min_rn + max_rn = 2*cum_before + n_s + 1 — one combinable
+    groupBy(score) over the scan, then all rank algebra on the
+    distinct-score table (ranking.global_running_sum two-phase prefix
+    sum; never a row-scale single-task window), one IEEE division at
+    the end.  Heavy ties (price digits mod 10^4) are the hard case the
+    doubled-integer form keeps exact."""
     base = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
@@ -187,20 +195,33 @@ def q294_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    ranked = base.withColumn(
-        "rn", F.row_number().over(Window.orderBy("score", "y"))
+    return exact_auc(base)
+
+
+def exact_auc(base: DataFrame) -> DataFrame:
+    """(npos, nneg, auc) from a frame of (y ∈ {0,1}, score): the exact
+    tie-averaged Mann-Whitney statistic, distributed (fuzz-gated vs a
+    brute-force pairwise mirror in tests/test_auc_fuzz.py)."""
+    per = base.groupBy("score").agg(
+        F.sum("y").cast("long").alias("npos_s"),
+        F.count(F.lit(1)).cast("long").alias("n_s"),
     )
-    ws = Window.partitionBy("score")
-    tie_avg = ranked.select(
-        "y",
-        (F.min("rn").over(ws) + F.max("rn").over(ws)).cast("long").alias("rank2"),
+    cum = global_running_sum(
+        per, "n_s", [F.col("score")], "cum_before", exclusive=True
     )
-    agg = tie_avg.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("rank2")).otherwise(0))
-        .cast("long")
-        .alias("sum_rank2_pos"),
-        F.sum("y").cast("long").alias("npos"),
-        F.sum(1 - F.col("y")).cast("long").alias("nneg"),
+    # rank2 (= min_rn + max_rn of the tied group) applies to every row
+    # in the group; positives contribute npos_s of them
+    agg = cum.select(
+        (
+            F.col("npos_s")
+            * (2 * F.col("cum_before") + F.col("n_s") + 1)
+        ).alias("r2p"),
+        "npos_s",
+        (F.col("n_s") - F.col("npos_s")).alias("nneg_s"),
+    ).agg(
+        F.sum("r2p").cast("long").alias("sum_rank2_pos"),
+        F.sum("npos_s").cast("long").alias("npos"),
+        F.sum("nneg_s").cast("long").alias("nneg"),
     )
     return agg.select(
         "npos",

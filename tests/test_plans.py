@@ -11,6 +11,7 @@ from __future__ import annotations
 import io
 from contextlib import redirect_stdout
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lawfirm_data_pipeline_spark.io import load_table
@@ -738,3 +739,48 @@ def test_plan_lint_registry_bnlj_builds_all_bounded(spark):
     ):
         plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert lint._check_bnlj(plan) == [], (name, lint._check_bnlj(plan))
+
+
+def test_plan_lint_flags_row_scale_global_window(spark):
+    """r7 ranking-census negative test: an unpartitioned window straight
+    over a fact scan executes as ONE task — the lint must flag it."""
+    lint = _plan_lint_mod()
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    w = Window.orderBy("l_quantity", "l_orderkey")
+    df = li.withColumn("rk", F.row_number().over(w))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    probs = lint._check_global_window(plan)
+    assert probs and "single-task" in probs[0], (probs, plan)
+
+
+def test_plan_lint_accepts_bounded_global_windows(spark):
+    """Positive cases: a global window over an AGGREGATE (per-key grid)
+    and over a top-k head are bounded by construction; a PARTITIONED
+    window over raw rows is parallel — none may be flagged."""
+    lint = _plan_lint_mod()
+    li = load_table(spark, SF, "lineitem")
+
+    per = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    w1 = Window.orderBy(F.col("q").desc(), "l_returnflag")
+    p1 = (
+        per.withColumn("cum", F.sum("q").over(w1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert lint._check_global_window(p1) == [], p1
+
+    head = li.select("l_orderkey", "l_quantity").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey"
+    ).limit(7)
+    w2 = Window.orderBy(F.col("l_quantity").desc(), "l_orderkey")
+    p2 = (
+        head.withColumn("rk", F.row_number().over(w2))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert lint._check_global_window(p2) == [], p2
+
+    w3 = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    p3 = (
+        li.withColumn("rk", F.row_number().over(w3))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert lint._check_global_window(p3) == [], p3

@@ -233,12 +233,58 @@ def _check_bnlj(plan: str) -> list[str]:
     return probs
 
 
+_WINDOW_NODE = re.compile(r"\bWindow \[")
+# Nodes that bound the row count flowing into a window: any aggregate
+# (grid/per-key tables), an explicit limit (top-k), or literal local
+# data.  A global window fed ONLY by scans/projections/filters is the
+# single-task sort the ranking ops exist to avoid.
+_BOUNDING_NODE = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|GlobalLimit"
+    r"|TakeOrderedAndProject|CollectLimit|LocalTableScan|OneRowRelation"
+)
+
+
+def _check_global_window(plan: str) -> list[str]:
+    """Flag every UNPARTITIONED Window whose input is not provably
+    row-bounded (r7: the ranking.py census rule).
+
+    A physical ``Window`` line prints ``Window [exprs], [part], [order]``
+    when partitioned and ``Window [exprs], [order]`` when global —
+    Spark executes the latter as ONE partition.  Global windows are
+    fine over bounded inputs (per-domain aggregates, weekly grids,
+    top-k heads, the ranking ops' <=P-row totals) — so accept when the
+    window's subtree shows a bounding node (aggregate / limit / local
+    data) before any FileScan / pinned-RDD leaf, and flag the rest:
+    those sort raw rows through a single task.
+    """
+    lines = plan.splitlines()
+    probs: list[str] = []
+    for i, ln in enumerate(lines):
+        if not _WINDOW_NODE.search(ln):
+            continue
+        # count top-level bracket groups after the node name
+        body = ln.split("Window ", 1)[1] if "Window " in ln else ln
+        groups = re.findall(r"\[[^\[\]]*(?:\[[^\]]*\][^\[\]]*)*\]", body)
+        if len(groups) >= 3:
+            continue  # partitioned
+        sub = _subtree_at(lines, i)
+        below = sub.split("\n", 1)[1] if "\n" in sub else ""
+        has_leaf = re.search(r"FileScan|Scan ExistingRDD", below)
+        if has_leaf and not _BOUNDING_NODE.search(below):
+            probs.append(
+                "unpartitioned Window over unbounded input (single-task "
+                "sort): " + ln.strip()[:120]
+            )
+    return probs
+
+
 def _string_checks(plan: str) -> list[str]:
     probs = []
     if "CartesianProduct" in plan:
         probs.append("CartesianProduct")
     if re.search(r"\bBatchEvalPython\b", plan):
         probs.append("BatchEvalPython (row-at-a-time Python)")
+    probs.extend(_check_global_window(plan))
     return probs
 
 
