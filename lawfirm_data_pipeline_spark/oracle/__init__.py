@@ -205,6 +205,40 @@ _ROTATION_FRONT = [
 if len(_ROTATION_FRONT) != 50:
     raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
 
+# PRE-STAGED ROUND-8 WINDOW (r6 verdict #7): once CORRECTNESS_r07 lands
+# green, every registered query has a driver row and windows become
+# RE-CHECK quotas — oldest green rows first.  This list is the 50
+# stalest by (last green driver round, registry number): the 33
+# r1-green and 17 r2-green queries.  The r8 opener swaps it into
+# _ROTATION_FRONT and sets tests/test_rotation.py::_RECHECK_SLOTS to
+# the same set (they are deliberate re-checks, not first checks).
+# tests/test_rotation.py::test_prestaged_r8_window_is_the_stalest_greens
+# recomputes the list from the on-disk CORRECTNESS files.
+_ROTATION_NEXT_R8 = [
+    "q01_pricing_summary", "q02_filter_predicates", "q03_string_predicates",
+    "q04_pagination", "q04b_cursor_pagination", "q05_distinct",
+    "q06_aggregate", "q07_groupby_having", "q08_tristate_queue",
+    "q08b_not_null_semantics", "q09_hydration_join", "q10_relation_some",
+    "q11_relation_none_anti", "q12_relation_every", "q13_mn_hydration",
+    "q14_topk_per_group", "q14b_running_window", "q15_upsert",
+    "q16_dedup_insert", "q17_connect_or_create", "q18_update_delete_queue",
+    "q19_delete_cascade", "q20_scalar_kit", "q21_json_filters",
+    "q22_stream_tumbling_window", "q23_sliding_window", "q24_session_window",
+    "q25_stream_dedup", "q26_text_stats", "q27_token_counts",
+    "q28_lang_id", "q29_fingerprint", "q30_quality_score",
+    "q31_exact_dedup", "q32_ngram_jaccard", "q33_minhash_signatures",
+    "q34_lsh_candidates", "q35_simhash", "q36_cosine_topk",
+    "q37_embedding_neardup", "q38b_lsh_ann_exhaustive",
+    "q39_multimodal_frames", "q40_multimodal_features", "q55_raw_sql",
+    "q59_profile", "q60_window_misc", "q61_datetime_kit",
+    "q73_order_by_relation_count", "q74_filtered_include",
+    "q75_transaction_commit",
+]
+if len(_ROTATION_NEXT_R8) != 50:
+    raise RuntimeError(
+        f"pre-staged r8 window must hold 50 slots, got {len(_ROTATION_NEXT_R8)}"
+    )
+
 
 def _apply_rotation() -> None:
     from .. import queries as _registry

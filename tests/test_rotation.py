@@ -76,3 +76,41 @@ def test_window_spends_slots_on_never_green_queries():
         f"{len(stale)} window slots target already-driver-green queries "
         f"(advance _ROTATION_FRONT per the README map): {stale[:10]}"
     )
+
+
+def test_prestaged_r8_window_is_the_stalest_greens():
+    """The pre-staged r8 re-check window (oracle._ROTATION_NEXT_R8)
+    must be exactly the 50 stalest driver-green queries by (last green
+    round, registry number) — recomputed here from the on-disk
+    CORRECTNESS files so the list cannot silently rot.  Queries whose
+    only rows arrive with r7+ can never displace the r1/r2-era heads,
+    so the list is stable across the r7 landing."""
+    import glob
+    import json
+    import os
+    import re
+
+    from lawfirm_data_pipeline_spark.oracle import _ROTATION_NEXT_R8
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r0*(\d+)", os.path.basename(path)).group(1))
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+
+    def qnum(n: str) -> int:
+        return int(re.match(r"q(\d+)", n).group(1))
+
+    stale = sorted(last, key=lambda n: (last[n], qnum(n), n))[:50]
+    assert sorted(_ROTATION_NEXT_R8) == sorted(stale), (
+        sorted(set(_ROTATION_NEXT_R8) - set(stale)),
+        sorted(set(stale) - set(_ROTATION_NEXT_R8)),
+    )
