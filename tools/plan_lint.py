@@ -262,11 +262,18 @@ def _check_global_window(plan: str) -> list[str]:
     for i, ln in enumerate(lines):
         if not _WINDOW_NODE.search(ln):
             continue
-        # count top-level bracket groups after the node name
+        # count top-level bracket groups after the node name.  Three
+        # groups = [exprs], [partition], [order] — partitioned.  TWO
+        # groups are ambiguous: a partitioned-unordered window prints
+        # [exprs], [partition] while a global-ordered one prints
+        # [exprs], [order] — only the latter is single-task, and only
+        # an order spec carries sort directions.
         body = ln.split("Window ", 1)[1] if "Window " in ln else ln
         groups = re.findall(r"\[[^\[\]]*(?:\[[^\]]*\][^\[\]]*)*\]", body)
         if len(groups) >= 3:
             continue  # partitioned
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[-1]):
+            continue  # partitioned, no ordering
         sub = _subtree_at(lines, i)
         below = sub.split("\n", 1)[1] if "\n" in sub else ""
         has_leaf = re.search(r"FileScan|Scan ExistingRDD", below)
