@@ -23,9 +23,12 @@ the textbook two-phase distributed scan:
    single-partition); broadcast-join the offsets back.
 
 Cost at any scale: one shuffle into ~uniform buckets + one broadcast of
-a 256-row table.  Reference parity: the reference has no packing stage
-(it trains nothing); this is charter scope from the training-data
-pipeline mandate (SURVEY.md §6).
+a 256-row table.  For NON-uniform order keys (revenue ranks, quality
+scores) use ``operators/ranking.py`` — same two-phase scan with a
+sampled ``repartitionByRange`` instead of the free md5-prefix buckets
+(one extra shuffle, any key distribution).  Reference parity: the
+reference has no packing stage (it trains nothing); this is charter
+scope from the training-data pipeline mandate (SURVEY.md §6).
 """
 
 from __future__ import annotations
