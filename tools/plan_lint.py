@@ -19,16 +19,21 @@ can hide:
   to broadcast it at test scale.
 * ``BatchEvalPython`` — row-at-a-time Python UDF in the plan; every
   Python hot path in this repo must be Arrow-batched.
-* exchange count per query — informational histogram; outliers (> 12
-  shuffles in one plan) get listed under ``review`` for manual reading,
-  NOT under ``flagged`` (the count is a string count over the plan
-  text, which includes ReusedExchange nodes and cached/pinned-table
-  lineage printing, so deep trees overstate physical shuffles — the
-  high-count queries carry sketch/band/prefix aggregates through those
-  exchanges, not the corpus, and their measured sf1 slopes are ~1;
-  SCALE.md "Round-6 plan-lint census").  Only CartesianProduct,
-  BatchEvalPython, unbounded BNLJ, plan errors, and missing stream
-  captures fail the exit code.
+* unpartitioned ``Window`` over unbounded input (r7): Spark executes a
+  global-ordered window as ONE partition; flag unless the subtree shows
+  a bounding node (aggregate / limit / local data) before any scan —
+  the ``operators/ranking.py`` census rule.
+* shuffle count per query — informational histogram; outliers (> 12
+  shuffles in one plan) get listed under ``review`` for manual
+  reading, NOT under ``flagged``.  Since r7 the count is PHYSICAL
+  (:func:`_tree_shuffle_count` walks the executed-plan tree, descending
+  AdaptiveSparkPlanExec and stopping at InMemoryTableScan leaves); the
+  old string count included ReusedExchange markers and cached-recipe
+  printing, overstating deep trees ~2-5× (q196: 19 string vs 4
+  physical).  Streaming captured plans remain string-counted (only
+  their text survives the run).  Only CartesianProduct,
+  BatchEvalPython, unbounded BNLJ, row-scale global windows, plan
+  errors, and missing stream captures fail the exit code.
 
 Streaming queries (real readStream harnesses) can't be planned without
 running the stream.  Since r7 they are EXECUTED here instead (r6
@@ -295,6 +300,36 @@ def _string_checks(plan: str) -> list[str]:
     return probs
 
 
+def _tree_shuffle_count(df) -> int | None:
+    """PHYSICAL shuffle count by walking the executed-plan tree (r7).
+
+    The old string count over ``plan.toString()`` includes
+    ReusedExchange markers and — worse — the InMemoryRelation RECIPE
+    text that cached/pinned tables print, overstating deep trees ~2-5×
+    (q196: 19 string vs 4 physical).  The tree walk descends
+    AdaptiveSparkPlanExec into its initialPlan and naturally stops at
+    InMemoryTableScan leaves (the cached plan is not a child), counting
+    only ShuffleExchange nodes this plan would actually run.  Returns
+    None when the py4j walk fails (then the census falls back to the
+    string count, suffixed '(string)')."""
+    try:
+        def walk(node, acc):
+            name = node.getClass().getSimpleName()
+            acc.append(name)
+            if name == "AdaptiveSparkPlanExec":
+                walk(node.initialPlan(), acc)
+                return acc
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), acc)
+            return acc
+
+        names = walk(df._jdf.queryExecution().executedPlan(), [])
+        return sum(1 for n in names if n.startswith("ShuffleExchange"))
+    except Exception:  # noqa: BLE001 — census must finish
+        return None
+
+
 def main() -> None:
     from lawfirm_data_pipeline_spark.session import get_spark
     from lawfirm_data_pipeline_spark.queries import QUERIES
@@ -356,7 +391,12 @@ def main() -> None:
             flags.setdefault(name, []).append(f"plan-error: {type(e).__name__}: {e}")
             continue
         probs = _string_checks(plan) + _check_bnlj(plan)
-        exchanges[name] = plan.count("Exchange ") + plan.count("Exchange\n")
+        n_shuf = _tree_shuffle_count(df)
+        exchanges[name] = (
+            n_shuf
+            if n_shuf is not None
+            else plan.count("Exchange ") + plan.count("Exchange\n")
+        )
         if probs:
             flags[name] = probs
     out = {
