@@ -59,7 +59,12 @@ def global_running_sum(
     order (inclusive by default), computed with the two-phase
     distributed scan above — bit-identical to
     ``sum(value) OVER (ORDER BY order_cols)`` for integer values under
-    a total order, minus the single-task window."""
+    a total order, minus the single-task window.
+
+    INTEGER (or decimal-exact) values only: the two-phase form adds in
+    a different order than the single window, so float values would
+    drift by accumulation order — the repo-wide exact-cents/fixed-point
+    discipline is a REQUIREMENT here, not a style choice."""
     n = num_partitions or _DEFAULT_PARTITIONS
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     b = _ordered_pinned(df, order_cols, n).withColumn("_rk_val", value)
