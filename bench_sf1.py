@@ -150,6 +150,10 @@ def main() -> None:
     sf3_mode = "--sf3" in argv
     if sf3_mode:
         argv = [a for a in argv if a != "--sf3"]
+        # q127's adjacency localCheckpoint OOMs the default 8g heap at
+        # sf3; size the driver before the JVM exists (no-op if the env
+        # already pins it)
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     spark = get_spark()
     materialize(spark)
