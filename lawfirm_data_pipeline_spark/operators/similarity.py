@@ -271,8 +271,13 @@ def lsh_topk(
                 keys.append(F.concat(F.lit(f"{t}:"), hyperplane_signs(vec, planes)))
             return F.array(*keys)
 
-    # center BOTH sides with the CORPUS mean (bucket geometry must match)
-    mean = _mean_vector(c, "cv", dim)
+    # center BOTH sides with the CORPUS mean (bucket geometry must match).
+    # The 1-row mean has two consumers (cb, qb) and exchange reuse does
+    # not dedupe repeated subtrees — uncached it re-aggregates (and
+    # re-scans) the corpus once per side (r7 rescans census: embeddings
+    # ×10 in the q38 plan).  Cache the tiny aggregate per the standing
+    # multi-consumer convention.
+    mean = _mean_vector(c, "cv", dim).cache()
     cb = (
         _with_centered(c, "cv", mean)
         .withColumn("bucket", F.explode(table_keys(F.col("__vc"))))

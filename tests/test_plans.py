@@ -646,6 +646,10 @@ def test_census_multi_consumer_aggregates_are_cached(spark):
         "q107_heavy_hitters",
         "q130_ivm_totals",
         "q282_incremental_minhash",
+        # r7 rescans census: the 1-row LSH centering mean has two
+        # consumers (corpus + query bucketing) — uncached it re-scanned
+        # the corpus once per side
+        "q38_lsh_ann_topk",
     ):
         plan = plan_of(QUERIES[name](spark, SF))
         assert "InMemoryTableScan" in plan, name

@@ -31,9 +31,15 @@ can hide:
   old string count included ReusedExchange markers and cached-recipe
   printing, overstating deep trees ~2-5× (q196: 19 string vs 4
   physical).  Streaming captured plans remain string-counted (only
-  their text survives the run).  Only CartesianProduct,
-  BatchEvalPython, unbounded BNLJ, row-scale global windows, plan
-  errors, and missing stream captures fail the exit code.
+  their text survives the run).
+* scans-per-table (``rescans`` key) — the standing version of the
+  round-6 scan census: any table scanned ≥3× inside one plan is
+  reported (2× is the normal price of a self-join or two-leg union;
+  the ten multi-consumer re-scan shapes the r6 census fixed would all
+  reappear here).  Informational, like the shuffle histogram.
+  Only CartesianProduct, BatchEvalPython, unbounded BNLJ, row-scale
+  global windows, plan errors, and missing stream captures fail the
+  exit code.
 
 Streaming queries (real readStream harnesses) can't be planned without
 running the stream.  Since r7 they are EXECUTED here instead (r6
@@ -312,20 +318,42 @@ def _tree_shuffle_count(df) -> int | None:
     only ShuffleExchange nodes this plan would actually run.  Returns
     None when the py4j walk fails (then the census falls back to the
     string count, suffixed '(string)')."""
+    stats = _tree_stats(df)
+    return None if stats is None else stats[0]
+
+
+_SCAN_TABLE = re.compile(r"/(\w+)\.parquet")
+
+
+def _tree_stats(df) -> tuple[int, dict[str, int]] | None:
+    """(physical shuffle count, file scans per table) from the plan
+    tree.  The scans-per-table histogram is the standing version of the
+    round-6 scan census (SCALE.md) that found ten multi-consumer
+    subtrees re-running base scans: a table scanned ≥3× inside one
+    plan is a re-scan smell worth review (2× is the normal price of a
+    self-join / two-leg union over one table)."""
     try:
-        def walk(node, acc):
+        names: list[str] = []
+        scans: dict[str, int] = {}
+
+        def walk(node):
             name = node.getClass().getSimpleName()
-            acc.append(name)
+            names.append(name)
             if name == "AdaptiveSparkPlanExec":
-                walk(node.initialPlan(), acc)
-                return acc
+                walk(node.initialPlan())
+                return
+            if name == "FileSourceScanExec":
+                m = _SCAN_TABLE.search(node.toString().splitlines()[0])
+                if m:
+                    t = m.group(1)
+                    scans[t] = scans.get(t, 0) + 1
             ch = node.children()
             for i in range(ch.size()):
-                walk(ch.apply(i), acc)
-            return acc
+                walk(ch.apply(i))
 
-        names = walk(df._jdf.queryExecution().executedPlan(), [])
-        return sum(1 for n in names if n.startswith("ShuffleExchange"))
+        walk(df._jdf.queryExecution().executedPlan())
+        n_shuf = sum(1 for n in names if n.startswith("ShuffleExchange"))
+        return n_shuf, scans
     except Exception:  # noqa: BLE001 — census must finish
         return None
 
@@ -340,6 +368,7 @@ def main() -> None:
     spark = get_spark(app_name="plan_lint")
     flags: dict[str, list[str]] = {}
     exchanges: dict[str, int] = {}
+    rescans: dict[str, dict[str, int]] = {}
     skipped: list[str] = []
     n_stream_plans = 0
     for name, fn in QUERIES.items():
@@ -391,12 +420,14 @@ def main() -> None:
             flags.setdefault(name, []).append(f"plan-error: {type(e).__name__}: {e}")
             continue
         probs = _string_checks(plan) + _check_bnlj(plan)
-        n_shuf = _tree_shuffle_count(df)
-        exchanges[name] = (
-            n_shuf
-            if n_shuf is not None
-            else plan.count("Exchange ") + plan.count("Exchange\n")
-        )
+        stats = _tree_stats(df)
+        if stats is None:
+            exchanges[name] = plan.count("Exchange ") + plan.count("Exchange\n")
+        else:
+            exchanges[name] = stats[0]
+            for t, c in stats[1].items():
+                if c >= 3:
+                    rescans[name] = {**rescans.get(name, {}), t: c}
         if probs:
             flags[name] = probs
     out = {
@@ -410,6 +441,7 @@ def main() -> None:
             for name, n in exchanges.items()
             if n > 12
         },
+        "rescans": rescans,
         "max_exchanges": max(exchanges.values(), default=0),
         "top_exchanges": dict(
             sorted(exchanges.items(), key=lambda kv: -kv[1])[:10]
