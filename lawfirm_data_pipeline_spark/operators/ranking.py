@@ -35,10 +35,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# Range partitions for the two-phase scan.  32 matches the local core
-# count; at 100 TB raise toward the cluster's core count — each
-# partition's window state is only the projected sort/value columns.
-_DEFAULT_PARTITIONS = 32
+
+def _default_partitions(df: DataFrame) -> int:
+    """Range partitions for the two-phase scan: follow the session's
+    ``spark.sql.shuffle.partitions`` (core count locally, raised with
+    data volume on a cluster — the q142 sf3 measurement showed the
+    fixed-32 local default becoming the bottleneck one decade up).
+    Each partition's window state is only the projected sort/value
+    columns, so the right number tracks the session's parallelism."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — conf value "auto" or absent
+        return 32
 
 
 def _ordered_pinned(df: DataFrame, order_cols: list[Column | str], n: int) -> DataFrame:
@@ -65,7 +73,7 @@ def global_running_sum(
     a different order than the single window, so float values would
     drift by accumulation order — the repo-wide exact-cents/fixed-point
     discipline is a REQUIREMENT here, not a style choice."""
-    n = num_partitions or _DEFAULT_PARTITIONS
+    n = num_partitions or _default_partitions(df)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     b = _ordered_pinned(df, order_cols, n).withColumn("_rk_val", value)
     totals = b.groupBy("_rk_pid").agg(F.sum("_rk_val").alias("_rk_tot"))
@@ -100,7 +108,7 @@ def global_row_number(
     total order), equal to ``row_number() OVER (ORDER BY order_cols)``
     without the single-task window: the running count of the two-phase
     scan."""
-    n = num_partitions or _DEFAULT_PARTITIONS
+    n = num_partitions or _default_partitions(df)
     b = _ordered_pinned(df, order_cols, n)
     totals = b.groupBy("_rk_pid").agg(F.count(F.lit(1)).alias("_rk_tot"))
     w_parts = Window.orderBy("_rk_pid").rowsBetween(Window.unboundedPreceding, -1)
