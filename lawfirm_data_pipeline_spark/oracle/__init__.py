@@ -152,9 +152,9 @@ from . import m15_scale_ops  # noqa: F401
 from . import m16_weburl  # noqa: F401
 from . import m17_retrieval_quality  # noqa: F401
 
-# --- Explicit driver-window rotation (round 7) -----------------------------
+# --- Explicit driver-window rotation (round 8) -----------------------------
 # Applied AFTER all imports: reorders the registry dicts in place so the
-# first 50 entries of queries()/oracle_sql() are exactly the round-7
+# first 50 entries of queries()/oracle_sql() are exactly the round-8
 # window, independent of import order.  Every name is checked present
 # with an explicit raise (not assert — python -O must not disable the
 # guard) so a renamed query fails loudly at import time, and the two
@@ -162,59 +162,15 @@ from . import m17_retrieval_quality  # noqa: F401
 # to resolve to their canonical modules rather than the placeholder
 # delegates.
 #
-# ROUND-7 WINDOW: exactly the 50 registered queries with no green
-# driver row after r6 landed (r6 verdict task #1): q188-q196 (9),
-# q199-q201 (3), q209-q211 (3), q213-q220 (8), q222, q269, q270
-# (present in the r5 window *plan* but never recorded), and
-# q271-q294 (24).  Once CORRECTNESS_r07 lands green, every registered
-# query has a driver row; r8+ windows become re-check quotas
-# (_RECHECK_SLOTS in tests/test_rotation.py).
+# ROUND-8 WINDOW (r7 verdict task #1): with CORRECTNESS_r07 landed the
+# whole 299-query registry is driver-green, so windows are now RE-CHECK
+# quotas — the 50 stalest greens by (last green driver round, registry
+# number): the 33 r1-green and 17 r2-green queries.  All 50 are
+# deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS == this
+# set); test_rotation.py::test_recheck_window_is_the_stalest_greens
+# recomputes the list from the on-disk CORRECTNESS files so it cannot
+# silently rot.
 _ROTATION_FRONT = [
-    # q188-q196: governance/estimation (9)
-    "q188_jackknife_ci", "q189_dow_seasonality", "q190_ses_backtest",
-    "q191_k_anonymity", "q192_benford_audit", "q193_neyman_allocation",
-    "q194_capture_recapture", "q195_readability", "q196_join_card_estimate",
-    # q199-q201: velocity/grouping-sets/watermark audit (3)
-    "q199_event_velocity", "q200_grouping_sets", "q201_watermark_audit",
-    # q209-q211: placement/layout audits (3)
-    "q209_zorder_audit", "q210_reshard_audit", "q211_salt_planner",
-    # q213-q220: graph/expectations/segmentation/survival/fraud (8)
-    "q213_link_prediction", "q214_expectations", "q215_rfm_segments",
-    "q216_abc_classification", "q217_km_churn", "q218_position_attribution",
-    "q219_duplicate_payments", "q220_cohort_ltv",
-    # q222: reconciliation (1)
-    "q222_order_reconciliation",
-    # q269-q294: round-5/6 additions — PNG decode, pipeline composite,
-    # Matryoshka, privacy, streaming, OLS, WordPiece, bucketing,
-    # splits, incremental MinHash, watermark, DPP, bloom join,
-    # parameterized SQL, observed metrics, FD repair, SCD-2, GBDT,
-    # NB langid, exact AUC (26)
-    "q269_png_decode", "q270_pipeline_composite", "q271_waiting_suppliers",
-    "q272_matryoshka_audit", "q273_entropy_fd_profile", "q274_t_closeness",
-    "q275_stream_session_windows", "q276_write_audit_publish",
-    "q277_stream_backpressure", "q278_grouped_ols_slopes",
-    "q279_greedy_wordpiece", "q280_bucketed_join_revenue",
-    "q281_stratified_split", "q282_incremental_minhash",
-    "q283_watermark_drop", "q284_dynamic_partition_pruning",
-    "q285_pseudonymized_join", "q286_grouped_agg_trimmed_mean",
-    "q287_runtime_bloom_join", "q288_parameterized_sql",
-    "q289_observed_metrics", "q290_fd_majority_repair",
-    "q291_scd2_temporal_join", "q292_gbdt_stumps",
-    "q293_naive_bayes_langid", "q294_exact_auc",
-]
-if len(_ROTATION_FRONT) != 50:
-    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
-
-# PRE-STAGED ROUND-8 WINDOW (r6 verdict #7): once CORRECTNESS_r07 lands
-# green, every registered query has a driver row and windows become
-# RE-CHECK quotas — oldest green rows first.  This list is the 50
-# stalest by (last green driver round, registry number): the 33
-# r1-green and 17 r2-green queries.  The r8 opener swaps it into
-# _ROTATION_FRONT and sets tests/test_rotation.py::_RECHECK_SLOTS to
-# the same set (they are deliberate re-checks, not first checks).
-# tests/test_rotation.py::test_prestaged_r8_window_is_the_stalest_greens
-# recomputes the list from the on-disk CORRECTNESS files.
-_ROTATION_NEXT_R8 = [
     "q01_pricing_summary", "q02_filter_predicates", "q03_string_predicates",
     "q04_pagination", "q04b_cursor_pagination", "q05_distinct",
     "q06_aggregate", "q07_groupby_having", "q08_tristate_queue",
@@ -234,9 +190,36 @@ _ROTATION_NEXT_R8 = [
     "q73_order_by_relation_count", "q74_filtered_include",
     "q75_transaction_commit",
 ]
-if len(_ROTATION_NEXT_R8) != 50:
+if len(_ROTATION_FRONT) != 50:
+    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
+
+# PRE-STAGED ROUND-9 WINDOW: the next-50 stalest greens (staleness
+# ranks 51-100 today; once CORRECTNESS_r08 re-greens the current
+# window those become exactly the 50 stalest) — the r3-green block
+# q41-q97 plus q97_corpus_pipeline's r3/r4 cohort.  The r9 opener
+# swaps it into _ROTATION_FRONT; test_rotation.py::
+# test_prestaged_r9_window_is_the_next_stalest_greens recomputes it.
+_ROTATION_NEXT_R9 = [
+    "q41_rollup", "q42_cube", "q43_grouping_sets", "q44_set_ops",
+    "q45_moment_stats", "q46_tfidf_topk", "q47_pivot", "q48_lead_lag",
+    "q49_percentiles", "q50_approx_distinct", "q51_asof_join",
+    "q52_range_join", "q53_chunking", "q54_curation_pipeline",
+    "q56_hash_split", "q57_stratified_sample", "q58_unigram_logprob",
+    "q62_conditional_agg", "q63_sessionize", "q64_window_frames",
+    "q65_array_kit", "q66_string_kit", "q67_above_cust_avg",
+    "q68_histogram", "q69_ivf_ann_topk", "q70_resample_ffill",
+    "q71_neardup_clusters", "q72_quantize_int8", "q76_decontamination",
+    "q77_repetition_stats", "q78_pii_redaction", "q79_vocab_topk",
+    "q80_weighted_sample", "q81_pack_sequences", "q82_mixture_sample",
+    "q83_passage_dedup", "q84_packing_summary", "q85_shard_assignments",
+    "q86_snapshot_diff", "q87_url_canonicalize", "q88_domain_cap",
+    "q89_domain_blocklist", "q90_bm25_topk", "q91_keep_best_dup",
+    "q92_incremental_dedup", "q93_mixture_weights", "q94_oov_rate",
+    "q95_normalize_text", "q96_source_quantiles", "q97_corpus_pipeline",
+]
+if len(_ROTATION_NEXT_R9) != 50:
     raise RuntimeError(
-        f"pre-staged r8 window must hold 50 slots, got {len(_ROTATION_NEXT_R8)}"
+        f"pre-staged r9 window must hold 50 slots, got {len(_ROTATION_NEXT_R9)}"
     )
 
 
