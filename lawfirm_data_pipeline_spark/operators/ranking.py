@@ -49,6 +49,26 @@ def _default_partitions(df: DataFrame) -> int:
         return 32
 
 
+# Internal scratch columns injected by the two-phase scan.  ``_rk_tot``
+# never leaves the totals-side aggregate, but it is reserved anyway so a
+# future refactor can't silently collide either.
+_RESERVED = ("_rk_pid", "_rk_val", "_rk_off", "_rk_tot")
+
+
+def _check_reserved(df: DataFrame) -> None:
+    """r7-ADVICE guard: the scan drops its scratch columns on the way
+    out, so a caller column with a reserved name would be silently
+    overwritten and then dropped — wrong results with no error.  Fail
+    loudly instead; collisions mean the caller is already using the
+    module's namespace and must rename."""
+    clash = [c for c in df.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"input columns collide with ranking scratch names {clash}; "
+            "rename them before calling (reserved: " + ", ".join(_RESERVED) + ")"
+        )
+
+
 def _ordered_pinned(df: DataFrame, order_cols: list[Column | str], n: int) -> DataFrame:
     parted = df.repartitionByRange(n, *order_cols).localCheckpoint()
     return parted.withColumn("_rk_pid", F.spark_partition_id())
@@ -72,10 +92,22 @@ def global_running_sum(
     INTEGER (or decimal-exact) values only: the two-phase form adds in
     a different order than the single window, so float values would
     drift by accumulation order — the repo-wide exact-cents/fixed-point
-    discipline is a REQUIREMENT here, not a style choice."""
+    discipline is a REQUIREMENT here, not a style choice (enforced
+    below by rejecting float/double value dtypes, r7 ADVICE)."""
+    _check_reserved(df)
     n = num_partitions or _default_partitions(df)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     b = _ordered_pinned(df, order_cols, n).withColumn("_rk_val", value)
+    # Resolve the value expression's dtype against the real schema and
+    # enforce the exact-arithmetic contract mechanically: a float/double
+    # running sum would drift by accumulation order vs the single-window
+    # form, a silent correctness bug rather than a loud one.
+    vt = b.schema["_rk_val"].dataType.typeName()
+    if vt in ("float", "double"):
+        raise TypeError(
+            f"global_running_sum requires exact arithmetic (integer/decimal); "
+            f"value column resolved to {vt} — cast to DECIMAL or integer cents first"
+        )
     totals = b.groupBy("_rk_pid").agg(F.sum("_rk_val").alias("_rk_tot"))
     w_parts = Window.orderBy("_rk_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
@@ -108,6 +140,7 @@ def global_row_number(
     total order), equal to ``row_number() OVER (ORDER BY order_cols)``
     without the single-task window: the running count of the two-phase
     scan."""
+    _check_reserved(df)
     n = num_partitions or _default_partitions(df)
     b = _ordered_pinned(df, order_cols, n)
     totals = b.groupBy("_rk_pid").agg(F.count(F.lit(1)).alias("_rk_tot"))

@@ -101,6 +101,38 @@ def test_top_k_ranked_matches_window_filter(spark, k):
     assert len(got) == min(k, 300)
 
 
+def test_reserved_scratch_name_collision_raises(spark):
+    """r7 ADVICE: a caller column named _rk_pid/_rk_val/_rk_off/_rk_tot
+    would be silently overwritten then dropped — must raise instead."""
+    base = _mkdf(spark, 10, tie_heavy=False, seed=3)
+    for bad in ("_rk_pid", "_rk_val", "_rk_off", "_rk_tot"):
+        df = base.withColumn(bad, F.lit(1))
+        with pytest.raises(ValueError, match=bad):
+            global_row_number(df, [F.col("id")], "rk")
+        with pytest.raises(ValueError, match=bad):
+            global_running_sum(df, "val", [F.col("id")], "cum")
+
+
+def test_float_value_col_raises(spark):
+    """r7 ADVICE: the integer/exact-value contract of global_running_sum
+    is enforced, not just documented — float/double accumulation order
+    differs between the two-phase scan and the single window."""
+    df = _mkdf(spark, 10, tie_heavy=False, seed=5)
+    with pytest.raises(TypeError, match="double"):
+        global_running_sum(
+            df.withColumn("fval", F.col("val").cast("double")),
+            "fval", [F.col("id")], "cum",
+        )
+    with pytest.raises(TypeError, match="float"):
+        global_running_sum(df, F.col("val").cast("float"), [F.col("id")], "cum")
+    # decimal stays allowed — it is exact
+    got = global_running_sum(
+        df.withColumn("dval", F.col("val").cast("decimal(18,2)")),
+        "dval", [F.col("id")], "cum", num_partitions=4,
+    ).count()
+    assert got == 10
+
+
 def test_no_single_task_window_in_plan(spark):
     """The physical plan must window-partition by the pid column —
     i.e. the only unpartitioned window allowed is the one over the
