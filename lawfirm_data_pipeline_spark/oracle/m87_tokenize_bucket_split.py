@@ -28,6 +28,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -143,6 +144,37 @@ def q279_greedy_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETED_TABLE_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 
+# Leftover bucketed-table dirs older than this are garbage from a dead
+# session (tags fold the applicationId in, so no live session can own
+# them after a restart) and get reclaimed before writing new ones.
+_STALE_BUCKET_DIR_SECONDS = 24 * 3600
+
+
+def _sweep_stale_bucket_dirs(spark: SparkSession) -> None:
+    """Age-based reclaim of b_orders_*/b_lineitem_* warehouse dirs
+    (r7 ADVICE): per-session table tags fixed the concurrent DROP
+    hazard but made the same-tag reclaim path unreachable (application
+    IDs are unique per JVM launch), so crashed sessions' dirs
+    accumulated unboundedly.  Anything older than a day cannot belong
+    to a live session on this box; anything younger is left alone so
+    concurrent sessions stay safe."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh.removeprefix("file:")
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        if not name.startswith(("b_orders_", "b_lineitem_")):
+            continue
+        path = os.path.join(root, name)
+        try:
+            if now - os.path.getmtime(path) > _STALE_BUCKET_DIR_SECONDS:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
 
 @query(
     "q280_bucketed_join_revenue",
@@ -181,6 +213,7 @@ def q280_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plain warehouse garbage, not correctness hazards.
         tag = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:8]
         lt, rt = f"b_orders_{tag}", f"b_lineitem_{tag}"
+        _sweep_stale_bucket_dirs(spark)
         for t in (lt, rt):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             # a PREVIOUS session's warehouse dir survives its metastore:

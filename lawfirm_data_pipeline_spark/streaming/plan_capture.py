@@ -23,7 +23,12 @@ results (a stopped/errored stream raises from ``explainInternal``).
 The buffer is process-global and append-only between explicit
 ``drain()`` calls, because one registry query may run several streams
 (q270 drives three) and nested harnesses must all land in the same
-census bucket.
+census bucket.  It is CAPPED (r7 ADVICE): only plan_lint drains it, so
+a long-lived session (the full bench sweep runs every streaming
+harness) would otherwise accumulate plan strings indefinitely.  The
+cap keeps the newest entries — plan_lint drains immediately after each
+query it executes, so within a census window the buffer never nears
+the cap and nothing a census wants is ever evicted.
 """
 
 from __future__ import annotations
@@ -32,6 +37,11 @@ from typing import Any
 
 # (label, executed-plan string, lastProgress dict or None), in run order.
 _CAPTURED: list[tuple[str, str, dict[str, Any] | None]] = []
+
+# Largest plausible single-census burst is q270's three streams plus a
+# couple of nested harnesses; 64 leaves an order of magnitude of slack
+# while bounding a full 299-query sweep to ~64 plan strings (<10 MB).
+_MAX_CAPTURED = 64
 
 
 def capture(q, label: str) -> None:
@@ -50,6 +60,8 @@ def capture(q, label: str) -> None:
     except Exception:  # noqa: BLE001
         pass
     _CAPTURED.append((label, plan, progress))
+    if len(_CAPTURED) > _MAX_CAPTURED:
+        del _CAPTURED[: len(_CAPTURED) - _MAX_CAPTURED]
 
 
 def drain() -> list[tuple[str, str, dict[str, Any] | None]]:

@@ -155,3 +155,29 @@ def test_streaming_harnesses_capture_executed_plans(spark):
     assert progress is None or "batchId" in progress
     # drained: a second drain is empty (census isolation between queries)
     assert plan_capture.drain() == []
+
+
+def test_plan_capture_buffer_is_capped():
+    """r7 ADVICE: _CAPTURED is process-global and only plan_lint drains
+    it, so a full bench sweep (every streaming harness, no census)
+    would grow it unboundedly.  The buffer keeps only the newest
+    _MAX_CAPTURED entries; a census drain right after each query never
+    comes close to the cap, so nothing a census wants is evicted."""
+    from lawfirm_data_pipeline_spark.streaming import plan_capture
+
+    class _FakeJsq:
+        def explainInternal(self, extended):
+            return "== Physical Plan == fake"
+
+    class _FakeQuery:
+        _jsq = _FakeJsq()
+        lastProgress = None
+
+    plan_capture.drain()
+    n = plan_capture._MAX_CAPTURED
+    for i in range(n + 25):
+        plan_capture.capture(_FakeQuery(), f"s{i}")
+    got = plan_capture.drain()
+    assert len(got) == n
+    # newest survive, oldest evicted
+    assert got[0][0] == "s25" and got[-1][0] == f"s{n + 24}"

@@ -368,6 +368,13 @@ def main() -> None:
     spark = get_spark(app_name="plan_lint")
     flags: dict[str, list[str]] = {}
     exchanges: dict[str, int] = {}
+    # r7 ADVICE: entries whose exchange count came from the raw plan
+    # STRING (streaming captures + tree-walk fallback) — incomparable
+    # units vs the physical tree count (string counts include
+    # ReusedExchange markers and cached-recipe text), so they are
+    # tagged '(string)' in the output and excluded from the >12
+    # review-threshold triage.
+    string_counted: set[str] = set()
     rescans: dict[str, dict[str, int]] = {}
     skipped: list[str] = []
     n_stream_plans = 0
@@ -395,6 +402,7 @@ def main() -> None:
                     exchanges[name] = plan.count("Exchange ") + plan.count(
                         "Exchange\n"
                     )
+                    string_counted.add(name)
                     if probs:
                         flags[name] = probs
                 else:
@@ -410,6 +418,7 @@ def main() -> None:
                     probs.append(f"[{label}] {p}")
                 n_ex += plan.count("Exchange ") + plan.count("Exchange\n")
             exchanges[name] = n_ex
+            string_counted.add(name)
             if probs:
                 flags[name] = probs
             continue
@@ -423,6 +432,7 @@ def main() -> None:
         stats = _tree_stats(df)
         if stats is None:
             exchanges[name] = plan.count("Exchange ") + plan.count("Exchange\n")
+            string_counted.add(name)
         else:
             exchanges[name] = stats[0]
             for t, c in stats[1].items():
@@ -436,16 +446,26 @@ def main() -> None:
         "n_skipped_streaming": len(skipped),
         "n_stream_plans_captured": n_stream_plans,
         "flagged": flags,
+        # >12 review triage applies to tree-counted (physical) entries
+        # only; string-counted entries are a different unit (r7 ADVICE)
         "review": {
             name: f"exchange-count {n}"
             for name, n in exchanges.items()
-            if n > 12
+            if n > 12 and name not in string_counted
         },
         "rescans": rescans,
-        "max_exchanges": max(exchanges.values(), default=0),
-        "top_exchanges": dict(
-            sorted(exchanges.items(), key=lambda kv: -kv[1])[:10]
+        "max_exchanges": max(
+            (n for k, n in exchanges.items() if k not in string_counted),
+            default=0,
         ),
+        "top_exchanges": {
+            k: (f"{n} (string)" if k in string_counted else n)
+            for k, n in sorted(exchanges.items(), key=lambda kv: -kv[1])[:10]
+        },
+        "n_string_counted": len(string_counted),
+        "string_counted": {
+            k: f"{exchanges[k]} (string)" for k in sorted(string_counted)
+        },
     }
     print(json.dumps(out, indent=1))
     spark.stop()
