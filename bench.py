@@ -27,11 +27,33 @@ def infer_sf(path: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
+def host_load() -> dict:
+    """Host-contention evidence recorded alongside the timings (r7
+    verdict #6): BENCH_r07's 196.3 s vs the same-day idle-box 180.8 s
+    was pure shared-box noise, but the JSON carried nothing to prove
+    it.  loadavg is sampled at call time; `cpus` is what the kernel
+    gives this process, so loadavg/cpus >~ 1 means a contended box and
+    the run should be read against the README noise band rather than
+    as a regression."""
+    out: dict = {}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        out["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    try:
+        out["cpus"] = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        out["cpus"] = os.cpu_count()
+    return out
+
+
 def main() -> None:
     from lawfirm_data_pipeline_spark.session import get_spark
     from lawfirm_data_pipeline_spark.queries import QUERIES
 
     spark = get_spark(app_name="bench")
+    load_before = host_load()
 
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -57,12 +79,17 @@ def main() -> None:
     # timings map truncates past parseability (round-1 "parsed": null).
     # Full map goes to a file + stderr; the final stdout line stays short
     # (headline + the 5 slowest queries).
+    # load_before samples the box at start (pre-existing contention);
+    # the end sample includes our own 32-thread run, so the PRE number
+    # is the one that says whether a slow sweep was externally loaded.
+    load = {"start": load_before, "end": host_load()}
     full = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": infer_sf(SF_DIR),
+        "host_load": load,
     }
     with open(os.path.join(REPO, "bench_queries.json"), "w") as f:
         json.dump(full, f, indent=1)
@@ -78,6 +105,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries_file": "bench_queries.json",
                 "sf": infer_sf(SF_DIR),
+                "host_load": load,
             }
         )
     )
