@@ -115,6 +115,44 @@ STEEP = [
 ]
 
 
+def _perturb_copy(c, table: str, k: int, dim: int):
+    """Per-copy ORTHOGONAL embedding map (r7 verdict #3): cyclic
+    coordinate rotation + a deterministic ±1 sign pattern.  Within one
+    copy every pairwise cosine is exactly preserved (one orthogonal map
+    per copy), so each copy carries the same planted near-dup structure
+    as the original — but a vector and its key-shifted twin in another
+    copy stop being near-duplicates (expected cross-copy cosine 0 ±
+    1/sqrt(dim)), which is what an ORGANIC n-times corpus looks like.
+    Without this, sf3 held 30 verbatim copies of every embedding and
+    q225's bucket collision density grew with the copy count by
+    construction (BASELINE.md tier-2 note), polluting the slope with a
+    replica artifact.  k=0 stays the identity so sf0.1 ⊂ sf1 ⊂ sf3."""
+    if k == 0 or table not in ("embeddings", "documents"):
+        return c
+    if table == "documents":
+        # Same organic-growth argument for TEXT: suffix every token
+        # with the copy index.  Token equality WITHIN a copy is
+        # untouched (all within-copy shingle/Jaccard/minhash structure
+        # preserved exactly), but cross-copy token sets become
+        # disjoint, so key-shifted copies stop being exact/near
+        # duplicates of each other — verbatim text copies made every
+        # text-hash bucket's density grow with the copy count.
+        return c.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", rf"$1⦙{k}")
+        )
+    import random as _random
+
+    rng = _random.Random(9176 + k)
+    signs = [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+    rot = (7 * k) % dim
+    v = F.concat(F.slice("embedding", rot + 1, dim - rot), F.slice("embedding", 1, rot))
+    sign_arr = F.array(*[F.lit(s) for s in signs])
+    return c.withColumn(
+        "embedding",
+        F.zip_with(v, sign_arr, lambda a, s: (a * s).cast("float")),
+    )
+
+
 def materialize(spark, root: str | None = None, factor: int = 10) -> None:
     root = root or SF1
     os.makedirs(root, exist_ok=True)
@@ -126,6 +164,11 @@ def materialize(spark, root: str | None = None, factor: int = 10) -> None:
         if shifts is None:
             out = src
         else:
+            dim = (
+                len(src.select("embedding").head()[0])
+                if table == "embeddings"
+                else 0
+            )
             copies = []
             for k in range(factor):
                 c = src
@@ -133,12 +176,39 @@ def materialize(spark, root: str | None = None, factor: int = 10) -> None:
                     c = c.withColumn(
                         col, (F.col(col) + F.lit(k * off)).cast(src.schema[col].dataType)
                     )
-                copies.append(c)
+                copies.append(_perturb_copy(c, table, k, dim))
             out = copies[0]
             for c in copies[1:]:
                 out = out.unionByName(c)
         out.write.mode("overwrite").parquet(dst)
         print(f"materialized {table}", flush=True)
+
+
+def _probe_prefix_jaccard_scaled(spark, sf_dir: str):
+    """sf-SCALED planted near-dup corpus (r7 verdict #4): q133's
+    registry query runs on the FIXED 150-doc planted corpus — its
+    quadratic all-pairs SQL oracle requires the bound — so its
+    workload cannot scale with sf_dir and it had no slope row.  This
+    probe rebuilds the identical plant over the WHOLE documents table
+    (every 10th doc re-enters with its first token stripped), so
+    planted pairs ∝ sf and prefix-filter Jaccard gets a real
+    two-decade measurement of the operator itself."""
+    from lawfirm_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(near)
+    return prefix_filter_jaccard_pairs(corpus, threshold_num=4, threshold_den=5, n=3)
+
+
+# Slope probes: operator workloads that genuinely scale with sf_dir
+# where the registry query's own input is bounded by its oracle.
+PROBES = {"probe_prefix_jaccard_scaled": _probe_prefix_jaccard_scaled}
 
 
 def main() -> None:
@@ -169,10 +239,10 @@ def main() -> None:
         tiers.append(("sf3", SF3))
     results: dict[str, dict[str, float]] = {}
     for name in names:
-        if name not in qs:
+        fn = qs.get(name) or PROBES.get(name)
+        if fn is None:
             print(f"# skipping unknown query {name}", flush=True)
             continue
-        fn = qs[name]
         times = {}
         for sf_label, sf_dir in tiers:
             best = None

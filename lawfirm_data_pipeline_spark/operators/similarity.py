@@ -482,6 +482,7 @@ def lsh_neardup_pairs(
     n_planes: int = 8,
     n_tables: int = 8,
     dim: int = 64,
+    target_occupancy: int | None = 64,
 ) -> DataFrame:
     """Scale path for embedding near-dup: sign-LSH bucket gate → exact
     cosine verify.  THE registered/default variant — no full-table
@@ -494,14 +495,36 @@ def lsh_neardup_pairs(
     exact cosine, and duplicates across tables dedup AFTER scoring so
     the dedup shuffle moves (ida, idb, score) scalars, not vectors.
 
+    ADAPTIVE PLANES (r8, q225 slope isolation): with a FIXED plane
+    count the expected bucket occupancy N/2^p grows linearly in corpus
+    size, so candidate pairs grow ~n_tables·N²/2^p — quadratic at
+    scale (the perturbed-replica sf1→sf3 measurement held ~3.1 even
+    after verbatim-copy duplication was removed).  When
+    ``target_occupancy`` is set (default 64), ``n_planes`` is raised to
+    ceil(log2(N / target_occupancy)) so occupancy — and with it
+    candidate pairs per vector — stays bounded as the corpus grows; at
+    the shipped test scales (N ≤ ~600) this resolves to the historical
+    8, so every correctness gate sees the identical plan.  Pass
+    ``target_occupancy=None`` to pin ``n_planes`` exactly.
+
     High-threshold pairs are nearly parallel, so the per-table collision
     probability (1 - θ/π)^n_planes is high and the miss probability
     decays exponentially in ``n_tables`` — at the defaults (8×8) a
-    θ≈0.1 rad pair is missed with P≈1e-5.  The exact all-pairs variant
-    below remains for bounded subsets."""
+    θ≈0.1 rad pair is missed with P≈1e-5; at the adaptive cap (20
+    planes) the same pair is missed with P≈2e-3, the usual
+    recall-for-scale trade of every LSH index.  The exact all-pairs
+    variant below remains for bounded subsets."""
+    import math
+
     v = vectors.select(F.col(id_col).alias("vid"), _dvec(vec_col).alias("v")).withColumn(
         "n", norm(F.col("v"))
     )
+    if target_occupancy:
+        n_rows = v.count()
+        if n_rows > target_occupancy:
+            n_planes = max(
+                n_planes, min(20, math.ceil(math.log2(n_rows / target_occupancy)))
+            )
     keys = _bucket_keys_arrow(n_planes, n_tables, dim)
     # materialize the keyed index ONCE before the self-join: Spark plans
     # are trees, so both join sides would otherwise re-run the centering
@@ -758,6 +781,7 @@ def semantic_dedup_policy(
     n_planes: int = 8,
     n_tables: int = 8,
     dim: int = 64,
+    target_occupancy: int | None = 64,
 ) -> DataFrame:
     """SemDeDup-style keep/drop policy over an embedding corpus
     [Abbas et al., 2023, arXiv:2303.09540]: bucket semantically with
@@ -779,6 +803,7 @@ def semantic_dedup_policy(
         n_planes=n_planes,
         n_tables=n_tables,
         dim=dim,
+        target_occupancy=target_occupancy,
     )
     drops = pairs.groupBy(F.col("idb").alias(id_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n_lower_dups")
