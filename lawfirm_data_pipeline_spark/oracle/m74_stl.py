@@ -58,8 +58,10 @@ _FP = 1_000_000
 )
 def q260_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trend / day-of-week seasonal / residual of the daily value
-    series, all in integer micro-cents (floor-div moving average,
-    integer seasonal means) — exact at any partitioning.  One daily
+    series, all in integer micro-cents (TRUNCATING-div moving average
+    and seasonal means: Spark ``div`` and DuckDB ``//`` both truncate
+    toward zero on negative sums — spec-mirrored by
+    tests/test_stl_fuzz.py) — exact at any partitioning.  One daily
     aggregate, one 7-row window, one 7-group broadcast join."""
     ev = load_table(spark, sf_dir, "events")
     d = (

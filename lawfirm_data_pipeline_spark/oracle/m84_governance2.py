@@ -150,12 +150,17 @@ _NBUCKETS = 5
     gdist AS (SELECT bucket, CAST(sum(n) AS DOUBLE) AS n FROM g GROUP BY 1),
     tot AS (SELECT sum(n) AS tn FROM gdist),
     grid AS (
+        -- dense over the FULL 0..{_NBUCKETS - 1} domain (r8 fuzz fix):
+        -- a bucket with zero GLOBAL count still contributes its |cd|
+        -- (constant through the gap) to the Li et al. ordered-EMD sum;
+        -- the observed-buckets grid silently dropped those positions
         SELECT gt.grp, b.bucket,
                coalesce(g.n, 0) / gt.gn AS p,
-               gdist.n / tot.tn AS q
+               coalesce(gdist.n, 0) / tot.tn AS q
         FROM gt
-        CROSS JOIN (SELECT DISTINCT bucket FROM gdist) b
-        JOIN gdist ON gdist.bucket = b.bucket
+        CROSS JOIN (SELECT unnest(generate_series(0, {_NBUCKETS - 1}))
+                    AS bucket) b
+        LEFT JOIN gdist ON gdist.bucket = b.bucket
         CROSS JOIN tot
         LEFT JOIN g ON g.grp = gt.grp AND g.bucket = b.bucket
     ),
@@ -194,16 +199,23 @@ def q274_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = g.groupBy("grp").agg(F.sum("n").alias("gn"))
     glob = g.groupBy("bucket").agg(F.sum("n").alias("bn"))
     tn = glob.agg(F.sum("bn").alias("tn"))
+    # dense over the FULL 0.._NBUCKETS-1 domain (r8 fuzz fix): a bucket
+    # with zero GLOBAL count still contributes its |cd| — constant
+    # through the gap — to the Li et al. ordered-EMD sum; the
+    # observed-buckets grid silently dropped those positions.  On the
+    # real acctbal data only bucket 0 is unobserved and its cd is 0, so
+    # the committed answers are bit-identical.
+    domain = spark.range(_NBUCKETS).select(F.col("id").cast("int").alias("bucket"))
     grid = (
-        gt.crossJoin(F.broadcast(glob.select("bucket")))
-        .join(F.broadcast(glob), "bucket")
+        gt.crossJoin(F.broadcast(domain))
+        .join(F.broadcast(glob), "bucket", "left")
         .crossJoin(F.broadcast(tn))
         .join(g, ["grp", "bucket"], "left")
         .select(
             "grp",
             "bucket",
             (F.coalesce(F.col("n"), F.lit(0.0)) / F.col("gn")).alias("p"),
-            (F.col("bn") / F.col("tn")).alias("q"),
+            (F.coalesce(F.col("bn"), F.lit(0.0)) / F.col("tn")).alias("q"),
         )
     )
     w = Window.partitionBy("grp").orderBy("bucket")
