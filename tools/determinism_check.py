@@ -73,8 +73,11 @@ def main() -> None:
         for n in set.intersection(*[set(p) for p in passes])
         if any(p[n] != base[n] for p in passes[1:])
     )
+    from tools._stamp import git_stamp
+
     out = {
         "metric": "partitioning_determinism",
+        **git_stamp(),
         "n_queries": len(set.union(*[set(p) for p in passes])),
         "mismatched": diff,
         "errors": errs,

@@ -440,8 +440,11 @@ def main() -> None:
                     rescans[name] = {**rescans.get(name, {}), t: c}
         if probs:
             flags[name] = probs
+    from tools._stamp import git_stamp
+
     out = {
         "metric": "plan_lint",
+        **git_stamp(),
         "n_planned": len(exchanges),
         "n_skipped_streaming": len(skipped),
         "n_stream_plans_captured": n_stream_plans,
