@@ -81,7 +81,12 @@ def q222_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("orphan").cast("int")).cast("long").alias("n_no_items"),
-        F.sum((F.col("delta") <= 1).cast("int")).cast("long").alias("n_reconciled"),
+        # when/otherwise, not a bare boolean cast: with every order an
+        # orphan, delta is all-NULL and sum((delta<=1)::int) returns
+        # NULL where the oracle's CASE..ELSE 0 returns 0 (r8 fuzz find)
+        F.sum(F.when(F.col("delta") <= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
         F.round(F.expr("percentile(delta, 0.5)")).cast("long").alias("p50_delta_cents"),
         F.max("delta").cast("long").alias("max_delta_cents"),
     )
