@@ -18,12 +18,15 @@ def git_stamp() -> dict:
             ["git", "rev-parse", "HEAD"],
             capture_output=True, text=True, cwd=_REPO,
         ).stdout.strip() or None
-        dirty = bool(
-            subprocess.run(
-                ["git", "status", "--porcelain"],
-                capture_output=True, text=True, cwd=_REPO,
-            ).stdout.strip()
-        )
-        return {"git_head": head, "git_dirty": dirty}
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, cwd=_REPO,
+        ).stdout.strip()
+        out = {"git_head": head, "git_dirty": bool(porcelain)}
+        if porcelain:
+            # name what was dirty so a reader can judge materiality
+            # (an untracked test file vs an edited operator)
+            out["git_dirty_files"] = porcelain.splitlines()[:10]
+        return out
     except Exception:  # noqa: BLE001 — censuses must finish without git
         return {"git_head": None, "git_dirty": None}
