@@ -114,10 +114,11 @@ def test_q189_matches_spec_mirror(spark, monkeypatch, rows):
 def _mirror_corr(rows):
     daily = defaultdict(lambda: [0, 0])
     for _eid, off, et in rows:
+        d = daily[off]  # ANY event makes the day exist in the rollup
         if et == "click":
-            daily[off][0] += 1
+            d[0] += 1
         elif et == "purchase":
-            daily[off][1] += 1
+            d[1] += 1
     days = sorted(daily)
     out = {}
     for i in range(6, len(days)):
