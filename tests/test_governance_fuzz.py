@@ -59,7 +59,10 @@ def _mirror_jackknife(rows):
     sm = sum(m_fp)
     sm2 = sum(v * v for v in m_fp)  # exact: Python int = HUGEINT
     se = math.sqrt((g - 1) / g * float(g * sm2 - sm * sm) / (float(g) * g)) / 1e6
-    return (tn, round(ts / tn, 2), se)
+    # mean is returned UNROUNDED: the query rounds half-up to 2
+    # decimals and Python's round() is banker's (3.125 -> 3.12 vs the
+    # engines' 3.13), so the caller compares at the 2-decimal half-ulp
+    return (tn, ts / tn, se)
 
 
 # >= 2 strata nonempty is guaranteed by >= 25 keys w.h.p.; leave-one-out
