@@ -162,44 +162,14 @@ from . import m17_retrieval_quality  # noqa: F401
 # to resolve to their canonical modules rather than the placeholder
 # delegates.
 #
-# ROUND-8 WINDOW (r7 verdict task #1): with CORRECTNESS_r07 landed the
-# whole 299-query registry is driver-green, so windows are now RE-CHECK
-# quotas — the 50 stalest greens by (last green driver round, registry
-# number): the 33 r1-green and 17 r2-green queries.  All 50 are
-# deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS == this
-# set); test_rotation.py::test_recheck_window_is_the_stalest_greens
+# ROUND-9 WINDOW (r8 verdict task #1): the 50 stalest greens by
+# (last green driver round, registry number) after CORRECTNESS_r08
+# re-greened the q01-q75 block — the r3-era q41-q97 cohort.  All 50
+# are deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS ==
+# this set); test_rotation.py::test_recheck_window_is_the_stalest_greens
 # recomputes the list from the on-disk CORRECTNESS files so it cannot
 # silently rot.
 _ROTATION_FRONT = [
-    "q01_pricing_summary", "q02_filter_predicates", "q03_string_predicates",
-    "q04_pagination", "q04b_cursor_pagination", "q05_distinct",
-    "q06_aggregate", "q07_groupby_having", "q08_tristate_queue",
-    "q08b_not_null_semantics", "q09_hydration_join", "q10_relation_some",
-    "q11_relation_none_anti", "q12_relation_every", "q13_mn_hydration",
-    "q14_topk_per_group", "q14b_running_window", "q15_upsert",
-    "q16_dedup_insert", "q17_connect_or_create", "q18_update_delete_queue",
-    "q19_delete_cascade", "q20_scalar_kit", "q21_json_filters",
-    "q22_stream_tumbling_window", "q23_sliding_window", "q24_session_window",
-    "q25_stream_dedup", "q26_text_stats", "q27_token_counts",
-    "q28_lang_id", "q29_fingerprint", "q30_quality_score",
-    "q31_exact_dedup", "q32_ngram_jaccard", "q33_minhash_signatures",
-    "q34_lsh_candidates", "q35_simhash", "q36_cosine_topk",
-    "q37_embedding_neardup", "q38b_lsh_ann_exhaustive",
-    "q39_multimodal_frames", "q40_multimodal_features", "q55_raw_sql",
-    "q59_profile", "q60_window_misc", "q61_datetime_kit",
-    "q73_order_by_relation_count", "q74_filtered_include",
-    "q75_transaction_commit",
-]
-if len(_ROTATION_FRONT) != 50:
-    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
-
-# PRE-STAGED ROUND-9 WINDOW: the next-50 stalest greens (staleness
-# ranks 51-100 today; once CORRECTNESS_r08 re-greens the current
-# window those become exactly the 50 stalest) — the r3-green block
-# q41-q97 plus q97_corpus_pipeline's r3/r4 cohort.  The r9 opener
-# swaps it into _ROTATION_FRONT; test_rotation.py::
-# test_prestaged_r9_window_is_the_next_stalest_greens recomputes it.
-_ROTATION_NEXT_R9 = [
     "q41_rollup", "q42_cube", "q43_grouping_sets", "q44_set_ops",
     "q45_moment_stats", "q46_tfidf_topk", "q47_pivot", "q48_lead_lag",
     "q49_percentiles", "q50_approx_distinct", "q51_asof_join",
@@ -217,9 +187,38 @@ _ROTATION_NEXT_R9 = [
     "q92_incremental_dedup", "q93_mixture_weights", "q94_oov_rate",
     "q95_normalize_text", "q96_source_quantiles", "q97_corpus_pipeline",
 ]
-if len(_ROTATION_NEXT_R9) != 50:
+if len(_ROTATION_FRONT) != 50:
+    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
+
+# PRE-STAGED ROUND-10 WINDOW: the next-50 stalest greens (staleness
+# ranks 51-100 today; once CORRECTNESS_r09 re-greens the current
+# window those become exactly the 50 stalest) — the remaining r3-green
+# cohort q98-q128 plus the r3/r4 stream/lake/graph rows.  The r10
+# opener swaps it into _ROTATION_FRONT; test_rotation.py::
+# test_prestaged_next_window_is_the_next_stalest_greens recomputes it.
+_ROTATION_NEXT_R10 = [
+    "q98_stream_enriched_window", "q99_label_centroids", "q100_resize_audit",
+    "q101_audio_windows", "q102_approx_quantiles", "q103_cross_source_overlap",
+    "q104_stream_stream_join", "q105_salted_agg", "q106_boilerplate_filter",
+    "q107_heavy_hitters", "q108_embedding_covariance", "q109_phrase_search",
+    "q110_stateful_totals", "q111_event_funnel", "q112_cohort_retention",
+    "q113_pmi_collocations", "q114_supply_chain", "q115_constraint_audit",
+    "q116_winsorized_stats", "q117_bigram_lm", "q118_cms_audit",
+    "q119_weighted_reservoir", "q120_column_correlations",
+    "q121_hourly_anomalies", "q122_containment_pairs", "q123_token_drift",
+    "q124_epoch_shuffle", "q125_pca_audit", "q126_copurchase_degrees",
+    "q127_triangle_count", "q128_pagerank", "q152_stream_history_dedup",
+    "q153_join_cardinality", "q154_audience_overlap", "q155_market_share",
+    "q156_bfs_3hop", "q175_lake_roundtrip", "q176_migration_roundtrip",
+    "q197_format_roundtrip", "q198_partition_pruning",
+    "q202_python_datasource", "q203_udtf_ngrams", "q204_variant_json",
+    "q205_golden_records", "q206_time_travel",
+    "q207_approx_percentile_gate", "q208_recursive_reach",
+    "q221_textrank_keywords", "q223_psi_drift", "q38_lsh_ann_topk",
+]
+if len(_ROTATION_NEXT_R10) != 50:
     raise RuntimeError(
-        f"pre-staged r9 window must hold 50 slots, got {len(_ROTATION_NEXT_R9)}"
+        f"pre-staged r10 window must hold 50 slots, got {len(_ROTATION_NEXT_R10)}"
     )
 
 
