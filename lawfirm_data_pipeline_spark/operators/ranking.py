@@ -97,17 +97,21 @@ def global_running_sum(
     _check_reserved(df)
     n = num_partitions or _default_partitions(df)
     value = F.col(value_col) if isinstance(value_col, str) else value_col
-    b = _ordered_pinned(df, order_cols, n).withColumn("_rk_val", value)
     # Resolve the value expression's dtype against the real schema and
     # enforce the exact-arithmetic contract mechanically: a float/double
     # running sum would drift by accumulation order vs the single-window
-    # form, a silent correctness bug rather than a loud one.
-    vt = b.schema["_rk_val"].dataType.typeName()
+    # form, a silent correctness bug rather than a loud one.  Resolved
+    # on a LAZY projection of the input (r8 ADVICE) — schema analysis
+    # runs no job, so an invalid value column raises before
+    # _ordered_pinned's eager localCheckpoint pays a full cluster
+    # materialization.
+    vt = df.withColumn("_rk_val", value).schema["_rk_val"].dataType.typeName()
     if vt in ("float", "double"):
         raise TypeError(
             f"global_running_sum requires exact arithmetic (integer/decimal); "
             f"value column resolved to {vt} — cast to DECIMAL or integer cents first"
         )
+    b = _ordered_pinned(df, order_cols, n).withColumn("_rk_val", value)
     totals = b.groupBy("_rk_pid").agg(F.sum("_rk_val").alias("_rk_tot"))
     w_parts = Window.orderBy("_rk_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

@@ -520,7 +520,12 @@ def lsh_neardup_pairs(
         "n", norm(F.col("v"))
     )
     if target_occupancy:
-        n_rows = v.count()
+        # r8 ADVICE: size the plane count from a count over the RAW
+        # input, not `v` — counting `v` re-ran the _dvec parse + norm
+        # projection (a full extra pass) before the localCheckpoint
+        # that exists precisely to avoid recomputing it; a bare count
+        # lets Catalyst prune every column and read parquet row counts.
+        n_rows = vectors.count()
         if n_rows > target_occupancy:
             n_planes = max(
                 n_planes, min(20, math.ceil(math.log2(n_rows / target_occupancy)))

@@ -150,6 +150,18 @@ _BUCKETED_TABLE_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
 _STALE_BUCKET_DIR_SECONDS = 24 * 3600
 
 
+def _own_bucket_table_dirs(spark: SparkSession) -> set[str]:
+    """Lower-cased dir names of every bucketed table THIS session has
+    registered in _BUCKETED_TABLE_CACHE (any sf_dir)."""
+    app = spark.sparkContext.applicationId
+    return {
+        t.lower()
+        for (cache_app, _), tables in _BUCKETED_TABLE_CACHE.items()
+        if cache_app == app
+        for t in tables
+    }
+
+
 def _sweep_stale_bucket_dirs(spark: SparkSession) -> None:
     """Age-based reclaim of b_orders_*/b_lineitem_* warehouse dirs
     (r7 ADVICE): per-session table tags fixed the concurrent DROP
@@ -157,7 +169,14 @@ def _sweep_stale_bucket_dirs(spark: SparkSession) -> None:
     IDs are unique per JVM launch), so crashed sessions' dirs
     accumulated unboundedly.  Anything older than a day cannot belong
     to a live session on this box; anything younger is left alone so
-    concurrent sessions stay safe."""
+    concurrent sessions stay safe.
+
+    r8 ADVICE hardening: dir mtimes stay at write time, so a session
+    alive >24h could have its own still-referenced dirs (an earlier
+    sf_dir entry of its cache) reclaimed — never sweep a dir this
+    session's cache still points at (the cache-hit path also refreshes
+    mtimes via os.utime, protecting long-lived sessions from OTHER
+    sweepers too)."""
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     root = wh.removeprefix("file:")
     try:
@@ -165,8 +184,11 @@ def _sweep_stale_bucket_dirs(spark: SparkSession) -> None:
     except OSError:
         return
     now = time.time()
+    own = _own_bucket_table_dirs(spark)
     for name in entries:
         if not name.startswith(("b_orders_", "b_lineitem_")):
+            continue
+        if name.lower() in own:
             continue
         path = os.path.join(root, name)
         try:
@@ -174,6 +196,19 @@ def _sweep_stale_bucket_dirs(spark: SparkSession) -> None:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             continue
+
+
+def _touch_bucket_table_dirs(spark: SparkSession, tables: tuple[str, str]) -> None:
+    """Refresh dir mtimes on every cache hit (r8 ADVICE): keeps a
+    >24h-lived session's still-referenced bucketed tables out of any
+    concurrent session's age-based sweep window."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = wh.removeprefix("file:")
+    for t in tables:
+        try:
+            os.utime(os.path.join(root, t.lower()))
+        except OSError:
+            pass
 
 
 @query(
@@ -203,6 +238,8 @@ def q280_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # they gate, not a fresh re-bucketing of lineitem each time.
     key = (spark.sparkContext.applicationId, sf_dir)
     tables = _BUCKETED_TABLE_CACHE.get(key)
+    if tables is not None:
+        _touch_bucket_table_dirs(spark, tables)
     if tables is None:
         # Tag folds the applicationId in (r6 ADVICE): a pure md5(sf_dir)
         # tag made two concurrent sessions sharing the warehouse dir

@@ -81,8 +81,12 @@ def test_stale_bucket_dir_sweep(spark, tmp_path, monkeypatch):
         def get(self, k, default=None):
             return str(tmp_path)
 
+    class _FakeContext:
+        applicationId = "fake-app-no-cache-entries"
+
     class _FakeSpark:
         conf = _Conf()
+        sparkContext = _FakeContext()
 
     m87._sweep_stale_bucket_dirs(_FakeSpark())
     assert not old.exists(), "day-old bucket dir must be reclaimed"
