@@ -75,6 +75,39 @@ def main() -> None:
             print(f"# pass{pass_no} {name}: {dt:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+
+    # r8 verdict task #5: act on our own load evidence.  BENCH_r08 ran
+    # on a loadavg-3.8 box and needed the builder's separate idle-box
+    # close to interpret; now a contended START (pre-existing load, not
+    # our own sweep) triggers a post-sweep solo re-run of the slowest
+    # heads, min-of-2, so the artifact carries its own correction.
+    # Both numbers are recorded — solo timings read up to ~2x lower
+    # than in-sweep on this box (README noise band), so the sweep value
+    # stays the headline and solo_rerun is the contention-corrected
+    # floor for the heads.
+    solo_block = None
+    la1_start = (load_before.get("loadavg") or [0.0])[0]
+    threshold = float(os.environ.get("SPARK_GRAFT_CONTENTION_LA1", "1.0"))
+    if la1_start > threshold:
+        top_n = int(os.environ.get("SPARK_GRAFT_SOLO_TOP_N", "10"))
+        heads = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]]
+        solo_load = host_load()
+        solo: dict[str, float] = {}
+        for name in heads:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                run(QUERIES[name](spark, SF_DIR))
+                best = min(best, time.monotonic() - t0)
+            solo[name] = round(best, 4)
+            print(f"# solo {name}: {best:.3f}s", file=sys.stderr)
+        solo_block = {
+            "trigger": f"start loadavg1 {la1_start} > {threshold}",
+            "host_load_at_rerun": solo_load,
+            "queries": solo,
+            "value_heads_sweep": round(sum(timings[n] for n in heads), 4),
+            "value_heads_solo": round(sum(solo.values()), 4),
+        }
     # The driver keeps only a ~2 KB tail of stdout: the full 70+-query
     # timings map truncates past parseability (round-1 "parsed": null).
     # Full map goes to a file + stderr; the final stdout line stays short
@@ -91,24 +124,29 @@ def main() -> None:
         "sf": infer_sf(SF_DIR),
         "host_load": load,
     }
+    if solo_block is not None:
+        full["solo_rerun"] = solo_block
     with open(os.path.join(REPO, "bench_queries.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full), file=sys.stderr)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "n_queries": len(timings),
-                "queries_file": "bench_queries.json",
-                "sf": infer_sf(SF_DIR),
-                "host_load": load,
-            }
-        )
-    )
+    short = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_file": "bench_queries.json",
+        "sf": infer_sf(SF_DIR),
+        "host_load": load,
+    }
+    if solo_block is not None:
+        # keep stdout short: the per-query solo map lives in the file
+        short["solo_rerun"] = {
+            k: solo_block[k]
+            for k in ("trigger", "value_heads_sweep", "value_heads_solo")
+        }
+    print(json.dumps(short))
     spark.stop()
 
 

@@ -1,0 +1,209 @@
+"""Value differential at sf1 (r8 verdict task #4).
+
+The driver's differential runs at sf0.01 and the slope program proves
+TIMING stays linear to sf3 — but nothing above sf0.1 ever proved
+VALUES.  The round-2 events-unit bug class was scale-dependent
+(a unit sniff that read one row group), so one more decade of value
+evidence closes the gap the slope program leaves open.
+
+This tool replays the driver comparison (row count + sorted-column
+schema + order-insensitive value hash, via tests/oracle_compare's
+canonicalizer) over the ORGANIC sf1 replica (`bench_sf1.materialize`:
+ten key-shifted copies, orthogonally-rotated embeddings,
+token-suffixed text — sf0.1 ⊂ sf1 as copy 0).
+
+Feasibility: a handful of registry ORACLES are deliberately quadratic
+(all-pairs SQL twins of bucketed/banded Spark paths) and cannot finish
+at 50k docs / 20k vectors; each side runs under a watchdog (Spark:
+cancelAllJobs, DuckDB: interrupt) and a query whose ORACLE times out
+is recorded as excluded-with-reason, never silently dropped.  The
+SPARK side timing out would itself be a scale finding and is recorded
+distinctly.
+
+Usage:
+  python tools/differential_sf1.py [--only q37,q41] [--out FILE]
+Prints one JSON line; writes differential_sf1.json (git-stamped).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import threading
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SF1_DIR = os.path.join(_REPO, "benchdata", "sf1")
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+SPARK_TIMEOUT = int(os.environ.get("DIFF_SF1_SPARK_TIMEOUT", "420"))
+DUCK_TIMEOUT = int(os.environ.get("DIFF_SF1_DUCK_TIMEOUT", "240"))
+
+
+def _canon_hash(rows: list[str]) -> str:
+    h = hashlib.md5()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+class _Watchdog:
+    """Fire ``cancel`` after ``seconds`` unless disarmed; remembers
+    whether it fired so a cancellation error can be told apart from a
+    genuine query error."""
+
+    def __init__(self, seconds: float, cancel):
+        self.fired = False
+
+        def _fire():
+            self.fired = True
+            try:
+                cancel()
+            except Exception:
+                pass
+
+        self._t = threading.Timer(seconds, _fire)
+        self._t.daemon = True
+        self._t.start()
+
+    def disarm(self) -> None:
+        self._t.cancel()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated name prefixes")
+    ap.add_argument("--sf-dir", default=SF1_DIR)
+    ap.add_argument("--out", default=os.path.join(_REPO, "differential_sf1.json"))
+    args = ap.parse_args()
+
+    import duckdb
+
+    from lawfirm_data_pipeline_spark.queries import ORACLE_SQL, QUERIES
+    from lawfirm_data_pipeline_spark.session import get_spark
+    from tests.oracle_compare import canon_multiset
+    from tools._stamp import git_stamp
+
+    if not os.path.isdir(args.sf_dir):
+        from bench_sf1 import materialize
+
+        materialize(get_spark())
+
+    spark = get_spark(app_name="differential_sf1")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(args.sf_dir, f"{t}.parquet")
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+
+    names = list(QUERIES)
+    if args.only:
+        pres = args.only.split(",")
+        names = [n for n in names if any(n.startswith(p) for p in pres)]
+
+    results: dict[str, dict] = {}
+    n_green = n_excluded = n_red = 0
+    for i, name in enumerate(names):
+        fn = QUERIES[name]
+        sql = ORACLE_SQL.get(name)
+        row: dict = {}
+
+        t0 = time.time()
+        wd = _Watchdog(SPARK_TIMEOUT, spark.sparkContext.cancelAllJobs)
+        try:
+            s_pdf = fn(spark, args.sf_dir).toPandas()
+            wd.disarm()
+            s_rows = canon_multiset(s_pdf)
+            row["secs_spark"] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001
+            wd.disarm()
+            row["secs_spark"] = round(time.time() - t0, 2)
+            if wd.fired:
+                row["excluded"] = (
+                    f"SPARK side exceeded {SPARK_TIMEOUT}s at sf1 — scale "
+                    "finding, investigate"
+                )
+            else:
+                row["err"] = f"spark: {type(exc).__name__}: {exc}"[:300]
+            results[name] = row
+            n_excluded += wd.fired
+            n_red += not wd.fired
+            print(json.dumps({name: row}), flush=True)
+            continue
+
+        if sql is None:
+            row["rows_only"] = len(s_rows)
+            row["hash_spark"] = _canon_hash(s_rows)
+            results[name] = row
+            n_green += 1
+            print(json.dumps({name: row}), flush=True)
+            continue
+
+        t1 = time.time()
+        wd = _Watchdog(DUCK_TIMEOUT, con.interrupt)
+        try:
+            d_pdf = con.execute(sql).df()
+            wd.disarm()
+            d_rows = canon_multiset(d_pdf)
+            row["secs_duck"] = round(time.time() - t1, 2)
+        except Exception as exc:  # noqa: BLE001
+            wd.disarm()
+            row["secs_duck"] = round(time.time() - t1, 2)
+            if wd.fired:
+                row["excluded"] = (
+                    f"oracle exceeded {DUCK_TIMEOUT}s at sf1 (quadratic "
+                    "all-pairs SQL twin of a bucketed/banded Spark path)"
+                )
+            else:
+                row["err"] = f"duckdb: {type(exc).__name__}: {exc}"[:300]
+            results[name] = row
+            n_excluded += wd.fired
+            n_red += not wd.fired
+            print(json.dumps({name: row}), flush=True)
+            continue
+
+        row["rows_match"] = len(s_rows) == len(d_rows)
+        row["schema_match"] = sorted(s_pdf.columns) == sorted(d_pdf.columns)
+        row["hash_match"] = _canon_hash(s_rows) == _canon_hash(d_rows)
+        if not (row["rows_match"] and row["schema_match"] and row["hash_match"]):
+            d_set, s_set = set(d_rows), set(s_rows)
+            row["spark_only"] = [r for r in s_rows if r not in d_set][:3]
+            row["duck_only"] = [r for r in d_rows if r not in s_set][:3]
+            n_red += 1
+        else:
+            n_green += 1
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+
+    out = {
+        "sf_dir": args.sf_dir,
+        "n_queries": len(names),
+        "n_green": n_green,
+        "n_excluded": n_excluded,
+        "n_red": n_red,
+        "spark_timeout_s": SPARK_TIMEOUT,
+        "duck_timeout_s": DUCK_TIMEOUT,
+        **git_stamp(),
+        "queries": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        json.dumps(
+            {k: out[k] for k in ("n_queries", "n_green", "n_excluded", "n_red")}
+        )
+    )
+    sys.exit(1 if n_red else 0)
+
+
+if __name__ == "__main__":
+    main()
