@@ -480,7 +480,7 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    n_tables: int = 8,
+    n_tables: int = 16,
     dim: int = 64,
     target_occupancy: int | None = 64,
 ) -> DataFrame:
@@ -509,11 +509,19 @@ def lsh_neardup_pairs(
 
     High-threshold pairs are nearly parallel, so the per-table collision
     probability (1 - θ/π)^n_planes is high and the miss probability
-    decays exponentially in ``n_tables`` — at the defaults (8×8) a
-    θ≈0.1 rad pair is missed with P≈1e-5; at the adaptive cap (20
-    planes) the same pair is missed with P≈2e-3, the usual
-    recall-for-scale trade of every LSH index.  The exact all-pairs
-    variant below remains for bounded subsets."""
+    decays exponentially in ``n_tables``.  RECALL BUDGET (r9, found by
+    the sf1 value differential): the planted near-dup population
+    bottoms out at cos≈0.981 (θ≈0.195 rad), where a single 8-plane
+    table hits with p≈0.60 — at the former 8-table default the
+    per-pair miss was 0.40^8 ≈ 6.7e-4, which at sf1's ~1000 planted
+    pairs means ~0.7 EXPECTED misses per corpus (and the differential
+    caught exactly one, pair 40001440↔40101440).  The 16-table default
+    puts the per-pair miss at 0.40^16 ≈ 4.3e-7 (~1e-3 expected misses
+    at sf3's ~3000 pairs); as adaptive planes grow with the corpus the
+    per-table hit rate falls (9 planes → 0.56), so ``n_tables`` should
+    scale roughly with ``n_planes`` to hold the budget — pass it
+    explicitly on corpora past the verified scales.  The exact
+    all-pairs variant below remains for bounded subsets."""
     import math
 
     v = vectors.select(F.col(id_col).alias("vid"), _dvec(vec_col).alias("v")).withColumn(
@@ -784,7 +792,7 @@ def semantic_dedup_policy(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    n_tables: int = 8,
+    n_tables: int = 16,
     dim: int = 64,
     target_occupancy: int | None = 64,
 ) -> DataFrame:

@@ -166,8 +166,10 @@ def q225_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector gets a (kept, n_lower_dups) verdict — the table a
     training pipeline joins against its corpus.  The oracle is the
     exact all-pairs policy; they agree because planted near-dups are
-    nearly parallel (per-pair miss P≈1e-5 at 8x8) and noise pairs sit
-    near cosine 0 (operators/similarity.semantic_dedup_policy)."""
+    nearly parallel (per-pair miss ~4.3e-7 at the 8-plane x 16-table
+    defaults — the sf1 differential caught the 8-table default missing
+    one pair) and noise pairs sit near cosine 0
+    (operators/similarity.semantic_dedup_policy)."""
     from ._shared import planted_vectors
 
     return semantic_dedup_policy(

@@ -78,8 +78,10 @@ def q37_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket gate → exact cosine verify (no full-table broadcast, no
     all-pairs — the round-1 registration broadcast the whole table).
     Finds exactly the planted perturbed copies (noise pairs sit near 0;
-    planted pairs are nearly parallel, so the 8×8 bucketing catches them
-    with miss probability ~1e-5 per pair)."""
+    planted pairs are nearly parallel — cos ≥ ~0.981, per-pair miss
+    ~4.3e-7 at the 8-plane × 16-table defaults; the sf1 value
+    differential caught the former 8-table default missing one of its
+    ~1000 planted pairs, see lsh_neardup_pairs' recall-budget note)."""
     return lsh_neardup_pairs(
         _planted_vectors(spark, sf_dir), threshold=0.9, id_col="vec_id", vec_col="v"
     )
