@@ -277,10 +277,16 @@ def winsorized_stats(
     thresholding on them.
 
     Numeric discipline: bounds come from ONE exact percentile aggregate
-    per group (Spark ``percentile`` == DuckDB ``quantile_cont``); the
-    clipped mean snaps each clipped value to micro fixed point before
-    summation, so the aggregate is an exact integer sum (order-
-    independent; the bounds themselves are deterministic scalars).
+    per group (Spark ``percentile`` == DuckDB ``quantile_cont``), then
+    SNAP TO MICRO FIXED POINT before any comparison — the r9 sf1
+    differential caught the unsnapped bound one ulp apart between
+    engines (Spark 227.41 vs DuckDB 227.40999999999997, different
+    interpolation evaluation order) with a 10-row tie cluster sitting
+    exactly on it, flipping the strict-> clip counts by 10.  The
+    interpolated value's cross-engine disagreement is ~1e-13 relative,
+    so a 1e-6 grid is 5+ orders of margin; the clipped mean already
+    snapped each clipped value to micro fixed point before summation,
+    so every aggregate is an exact integer sum (order-independent).
 
     Scale: two aggregates sharing the group key — the percentile pass
     shuffles the group's values once (at 100 TB swap to
@@ -289,8 +295,8 @@ def winsorized_stats(
     scan.  Output is O(groups).
     """
     bounds = df.groupBy(group_col).agg(
-        F.percentile(value_col, F.lit(p_low)).alias("__lo"),
-        F.percentile(value_col, F.lit(p_high)).alias("__hi"),
+        (F.round(F.percentile(value_col, F.lit(p_low)) * 1e6) / 1e6).alias("__lo"),
+        (F.round(F.percentile(value_col, F.lit(p_high)) * 1e6) / 1e6).alias("__hi"),
     )
     clipped = (
         df.select(group_col, value_col)

@@ -158,8 +158,9 @@ def q115_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q116_winsorized_stats",
     """
-    WITH b AS (SELECT event_type, quantile_cont(value, 0.01) AS lo,
-                      quantile_cont(value, 0.99) AS hi
+    WITH b AS (SELECT event_type,
+                      round(quantile_cont(value, 0.01) * 1e6) / 1e6 AS lo,
+                      round(quantile_cont(value, 0.99) * 1e6) / 1e6 AS hi
                FROM events GROUP BY event_type),
          c AS (SELECT e.event_type, lo, hi,
                       least(greatest(value, lo), hi) AS v,

@@ -82,8 +82,9 @@ def q169_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q170_spend_deciles",
     f"""
     WITH u AS ({_USER_CENTS_SQL}),
-         cuts AS (SELECT quantile_cont(total,
-                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+         cuts AS (SELECT list_transform(quantile_cont(total,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                      x -> round(x * 1e6) / 1e6) AS c
                   FROM u),
          b AS (SELECT u.total,
                       1 + len(list_filter(cuts.c, x -> u.total > x)) AS decile
@@ -103,7 +104,8 @@ def q170_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = _user_cents(spark, sf_dir)
     cuts = u.agg(
         F.expr(
-            "percentile(total, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            "transform(percentile(total, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+            " x -> round(x * 1e6) / 1e6)"
         ).alias("c")
     )
     b = u.crossJoin(F.broadcast(cuts)).select(
@@ -125,8 +127,9 @@ def q170_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q171_spend_concentration",
     f"""
     WITH u AS ({_USER_CENTS_SQL}),
-         cuts AS (SELECT quantile_cont(total, 0.9) AS p90,
-                         quantile_cont(total, 0.99) AS p99 FROM u),
+         cuts AS (SELECT round(quantile_cont(total, 0.9) * 1e6) / 1e6 AS p90,
+                         round(quantile_cont(total, 0.99) * 1e6) / 1e6 AS p99
+                  FROM u),
          s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
                       CAST(sum(total) AS BIGINT) AS all_cents,
                       CAST(sum(CASE WHEN total > cuts.p90 THEN total ELSE 0 END)
@@ -149,8 +152,8 @@ def q171_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums."""
     u = _user_cents(spark, sf_dir)
     cuts = u.agg(
-        F.expr("percentile(total, 0.9)").alias("p90"),
-        F.expr("percentile(total, 0.99)").alias("p99"),
+        F.expr("round(percentile(total, 0.9) * 1e6) / 1e6").alias("p90"),
+        F.expr("round(percentile(total, 0.99) * 1e6) / 1e6").alias("p99"),
     )
     s = u.crossJoin(F.broadcast(cuts)).agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),

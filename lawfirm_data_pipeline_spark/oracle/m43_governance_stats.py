@@ -195,8 +195,9 @@ def q186_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                       (o_orderpriority = '1-URGENT') AS ev
                FROM orders),
-         cuts AS (SELECT quantile_cont(cents,
-                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+         cuts AS (SELECT list_transform(quantile_cont(cents,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                      x -> round(x * 1e6) / 1e6) AS c
                   FROM o),
          b AS (SELECT 1 + len(list_filter(cuts.c, x -> o.cents > x)) AS bin,
                       ev
@@ -231,7 +232,8 @@ def q187_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = o.agg(
         F.expr(
-            "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            "transform(percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+            " x -> round(x * 1e6) / 1e6)"
         ).alias("c")
     )
     b = o.crossJoin(F.broadcast(cuts)).select(

@@ -40,9 +40,12 @@ _QS_SQL = "[0.2, 0.4, 0.6, 0.8]"
                         CAST(count(*) AS BIGINT) AS freq,
                         CAST(sum(cents) AS BIGINT) AS monetary
                  FROM o GROUP BY 1),
-         cuts AS (SELECT quantile_cont(last_us, {_QS_SQL}) AS rc,
-                         quantile_cont(freq, {_QS_SQL}) AS fc,
-                         quantile_cont(monetary, {_QS_SQL}) AS mc
+         cuts AS (SELECT list_transform(quantile_cont(last_us, {_QS_SQL}),
+                                        x -> round(x * 1e6) / 1e6) AS rc,
+                         list_transform(quantile_cont(freq, {_QS_SQL}),
+                                        x -> round(x * 1e6) / 1e6) AS fc,
+                         list_transform(quantile_cont(monetary, {_QS_SQL}),
+                                        x -> round(x * 1e6) / 1e6) AS mc
                   FROM per),
          scored AS (SELECT per.c,
                            1 + len(list_filter(cuts.rc, x -> per.last_us > x)) AS r,
@@ -73,9 +76,15 @@ def q215_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qarr = "array(" + ",".join(str(q) for q in _QS) + ")"
     cuts = per.agg(
-        F.expr(f"percentile(last_us, {qarr})").alias("rc"),
-        F.expr(f"percentile(freq, {qarr})").alias("fc"),
-        F.expr(f"percentile(monetary, {qarr})").alias("mc"),
+        F.expr(
+            f"transform(percentile(last_us, {qarr}), x -> round(x * 1e6) / 1e6)"
+        ).alias("rc"),
+        F.expr(
+            f"transform(percentile(freq, {qarr}), x -> round(x * 1e6) / 1e6)"
+        ).alias("fc"),
+        F.expr(
+            f"transform(percentile(monetary, {qarr}), x -> round(x * 1e6) / 1e6)"
+        ).alias("mc"),
     )
 
     def code(col: str, cutcol: str):

@@ -30,8 +30,9 @@ _SPLIT = "2024-01-08"  # reference = first week of the event window
     WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
                       ts < TIMESTAMP '{_SPLIT} 00:00:00' AS is_ref
                FROM events),
-         cuts AS (SELECT quantile_cont(cents,
-                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+         cuts AS (SELECT list_transform(quantile_cont(cents,
+                      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                      x -> round(x * 1e6) / 1e6) AS c
                   FROM e WHERE is_ref),
          b AS (SELECT 1 + len(list_filter(cuts.c, x -> e.cents > x)) AS bin,
                       is_ref
@@ -70,7 +71,8 @@ def q223_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = e.filter("is_ref").agg(
         F.expr(
-            "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            "transform(percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
+            " x -> round(x * 1e6) / 1e6)"
         ).alias("c")
     )
     b = e.crossJoin(F.broadcast(cuts)).select(
