@@ -27,6 +27,10 @@ from ..queries import query
 
 # Shared DuckDB edge build: distinct (order, part) items self-joined per
 # order (bounded by order size), canonical src < dst orientation.
+# NOT materialized: q127's triangle three-way self-join needs the
+# inlined form for join pushdown (MATERIALIZED regressed it 9.9 s ->
+# 187 s at sf1); q128's iterative unroll needs the OPPOSITE and
+# carries its own MATERIALIZED copy below.
 _EDGES_SQL = """
     items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
     edges AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS weight
@@ -35,6 +39,24 @@ _EDGES_SQL = """
     und AS (SELECT src AS u, dst AS v FROM edges
             UNION ALL
             SELECT dst AS u, src AS v FROM edges)
+"""
+
+# q128's variant (r9): DuckDB inlines CTEs by default, so the 3-round
+# PageRank unroll re-evaluated the distinct+self-join edge build per
+# round reference and the oracle ran >500 s at sf1; materializing the
+# multi-consumer items/edges/und trees cuts it to ~14 s (results
+# byte-identical — the hint is planner-only).
+_EDGES_SQL_MAT = """
+    items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS MATERIALIZED (
+        SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS weight
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2),
+    und AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL
+        SELECT dst AS u, src AS v FROM edges)
 """
 
 _PR_ITER = """
@@ -97,7 +119,7 @@ def q127_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q128_pagerank",
     f"""
-    WITH {_EDGES_SQL},
+    WITH {_EDGES_SQL_MAT},
          deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
          i0 AS (SELECT u, d, 1000000000000 // n AS r,

@@ -72,12 +72,15 @@ def q141_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q142_association_rules",
     """
-    WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    WITH items AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
          nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM items),
-         sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
-         pairs AS (SELECT a.pk AS x, b.pk AS y, CAST(count(*) AS BIGINT) AS sab
-                   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-                   GROUP BY 1, 2 HAVING count(*) >= 3),
+         sup AS MATERIALIZED (
+            SELECT pk, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+         pairs AS MATERIALIZED (
+            SELECT a.pk AS x, b.pk AS y, CAST(count(*) AS BIGINT) AS sab
+            FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING count(*) >= 3),
          directed AS (SELECT x AS ante, y AS cons, sab FROM pairs
                       UNION ALL
                       SELECT y AS ante, x AS cons, sab FROM pairs)
