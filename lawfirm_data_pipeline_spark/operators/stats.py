@@ -297,28 +297,39 @@ def cuped_adjusted_means(per_user: DataFrame) -> DataFrame:
     per arm: (arm, n_users, raw_mean, adjusted_mean), means in currency
     units rounded to 6.
 
-    Determinism discipline: every aggregate is an INTEGER sum
-    (n, Σpre, Σpost, Σpre², Σpre·post — pooled, and n/Σpre/Σpost per
-    arm); theta and the adjusted means are derived from those few
-    scalars in one final projection, so no float ever enters an
-    aggregation and the result is independent of partitioning — the
-    property that lets it hash-match a single-threaded oracle.
-    64-bit bound: |Σpre·post| <= n·max_cents²; at 1e9 users of 1e4-cent
-    metrics that is 1e17 < 2^63 — switch the two product sums to
-    DECIMAL(38,0) beyond that.
+    Determinism discipline: every aggregate is an EXACT sum — n, Σpre,
+    Σpost as 64-bit integers, the two product sums Σpre², Σpre·post as
+    DECIMAL(38,0) — so no float ever enters an aggregation and the
+    result is independent of partitioning, the property that lets it
+    hash-match a single-threaded oracle.  Theta and the adjusted means
+    are derived from those few scalars in one final projection: the
+    numerator/denominator n·Σpre·post − Σpre·Σpost are formed in
+    DECIMAL(38,0) (exact to 1e38) and only the final ratio is a double.
+
+    Headroom (r9, found by the sf3 value differential): the former
+    all-BIGINT derivation computed n·Σpre² in long arithmetic, which
+    overflows once n·Σpre² ≥ 2^63 ≈ 9.2e18 — at sf3's 30× user count
+    that product reached ~1e19 and ANSI mode raised
+    ARITHMETIC_OVERFLOW.  The decimal path is exact while n < 1e10 and
+    the product sums < 1e27 (ceilings ~1e6× beyond the verified
+    scales); past those, ANSI decimal overflow still raises loudly
+    rather than wrapping.  The DuckDB twin mirrors with HUGEINT
+    (exact to 1.7e38) and the identical final double ops, so the
+    exact-integer → nearest-double value agrees bit-for-bit.
     """
+    d18 = "decimal(18,0)"
     products = per_user.select(
         "arm",
         "pre_cents",
         "post_cents",
-        (F.col("pre_cents") * F.col("pre_cents")).alias("pp"),
-        (F.col("pre_cents") * F.col("post_cents")).alias("po"),
+        (F.col("pre_cents").cast(d18) * F.col("pre_cents").cast(d18)).alias("pp"),
+        (F.col("pre_cents").cast(d18) * F.col("post_cents").cast(d18)).alias("po"),
     )
     pooled = products.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pre_cents").cast("long").alias("sp"),
-        F.sum("pp").cast("long").alias("spp"),
-        F.sum("po").cast("long").alias("spo"),
+        F.sum("pp").alias("spp"),
+        F.sum("po").alias("spo"),
         F.sum("post_cents").cast("long").alias("so"),
     )
     arms = products.groupBy("arm").agg(
@@ -326,11 +337,16 @@ def cuped_adjusted_means(per_user: DataFrame) -> DataFrame:
         F.sum("pre_cents").cast("long").alias("sp_a"),
         F.sum("post_cents").cast("long").alias("so_a"),
     )
-    # theta = (n·Σpre·post − Σpre·Σpost) / (n·Σpre² − (Σpre)²)
+    # theta = (n·Σpre·post − Σpre·Σpost) / (n·Σpre² − (Σpre)²), formed
+    # exactly in decimal (n ≤ 10 digits × sums ≤ 27 digits → ≤ 38
+    # digits), double only at the final ratio.
+    d10, d27, d19 = "decimal(10,0)", "decimal(27,0)", "decimal(19,0)"
     theta = (
-        F.col("n") * F.col("spo") - F.col("sp") * F.col("so")
+        F.col("n").cast(d10) * F.col("spo").cast(d27)
+        - F.col("sp").cast(d19) * F.col("so").cast(d19)
     ).cast("double") / (
-        F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+        F.col("n").cast(d10) * F.col("spp").cast(d27)
+        - F.col("sp").cast(d19) * F.col("sp").cast(d19)
     ).cast("double")
     pre_mean_global = F.col("sp").cast("double") / F.col("n")
     raw_mean = F.col("so_a").cast("double") / F.col("n_a")

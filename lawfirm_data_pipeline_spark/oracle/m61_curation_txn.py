@@ -222,11 +222,11 @@ _SPLIT = "2024-01-08"
                       CAST(sum(pre) AS BIGINT) AS pre_cents,
                       CAST(sum(post) AS BIGINT) AS post_cents
                FROM e GROUP BY 1, 2),
-         p AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                      CAST(sum(pre_cents) AS BIGINT) AS sp,
-                      CAST(sum(post_cents) AS BIGINT) AS so,
-                      CAST(sum(pre_cents * pre_cents) AS BIGINT) AS spp,
-                      CAST(sum(pre_cents * post_cents) AS BIGINT) AS spo
+         p AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(pre_cents) AS HUGEINT) AS sp,
+                      CAST(sum(post_cents) AS HUGEINT) AS so,
+                      sum(CAST(pre_cents AS HUGEINT) * pre_cents) AS spp,
+                      sum(CAST(pre_cents AS HUGEINT) * post_cents) AS spo
                FROM u),
          a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
                       CAST(sum(pre_cents) AS BIGINT) AS sp_a,
@@ -244,11 +244,14 @@ _SPLIT = "2024-01-08"
 )
 def q227_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED-adjusted per-arm means (pre-period value as the control
-    covariate, arms = user_id parity): integer cent sums end to end,
-    theta and the adjusted means derived from a handful of scalars in
-    one final projection — no float aggregation anywhere, so the
-    distributed result hash-matches the single-threaded oracle
-    (operators/stats.cuped_adjusted_means)."""
+    covariate, arms = user_id parity): exact cent sums end to end
+    (BIGINT counts/sums, DECIMAL(38,0) product sums — HUGEINT on the
+    DuckDB side), theta and the adjusted means derived from a handful
+    of scalars in one final projection — no float aggregation
+    anywhere, so the distributed result hash-matches the
+    single-threaded oracle at every scale; the former all-BIGINT
+    derivation overflowed at sf3 (operators/stats.cuped_adjusted_means
+    headroom note)."""
     cents = F.round(F.col("value") * 100).cast("long")
     split = F.lit(f"{_SPLIT} 00:00:00").cast("timestamp")
     e = load_table(spark, sf_dir, "events").select(
