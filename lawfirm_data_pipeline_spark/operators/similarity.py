@@ -606,7 +606,11 @@ def label_centroids(
     consumers join on anyway.  Elements snap to nano fixed point before
     the sum, so the aggregation is exact-integer and the centroid is
     bit-identical at any parallelism — `avg(double)` would drift with
-    partitioning.  Plan: one posexplode + one map-side-combinable
+    partitioning.  Negative zero is normalized to +0.0: a tiny negative
+    exact sum (e.g. s = -4 nano-units over 5460 rows) rounds to zero
+    whose SIGN differs across engines (the r9 sf3 differential caught
+    DuckDB emitting -0.0 where Spark emits 0.0); sign-of-zero is noise,
+    not value.  Plan: one posexplode + one map-side-combinable
     groupBy on (label, pos); |labels| x dim result rows.
     """
     ex = embeddings.select(
@@ -621,11 +625,12 @@ def label_centroids(
     agg = fixed.groupBy("label", "pos").agg(
         F.sum("x_fp").alias("s"), F.count(F.lit(1)).alias("n")
     )
+    cen = F.round(F.col("s").cast("double") / 1e9 / F.col("n"), 6)
     return agg.select(
         "label",
         "pos",
         "n",
-        F.round(F.col("s").cast("double") / 1e9 / F.col("n"), 6).alias("centroid"),
+        F.when(cen == 0.0, F.lit(0.0)).otherwise(cen).alias("centroid"),
     )
 
 

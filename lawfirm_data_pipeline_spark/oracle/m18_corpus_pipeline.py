@@ -195,7 +195,11 @@ def q98_stream_enriched_window(spark: SparkSession, sf_dir: str) -> DataFrame:
          agg AS (SELECT label, pos, sum(x_fp) AS s, count(*) AS n
                  FROM u GROUP BY 1, 2)
     SELECT label, pos, n,
-           round(CAST(s AS DOUBLE) / 1e9 / n, 6) AS centroid
+           -- normalize -0.0 (a tiny negative exact sum rounds to a
+           -- NEGATIVE zero here but a positive one in Spark; the sign
+           -- of zero is noise, not value)
+           CASE WHEN round(CAST(s AS DOUBLE) / 1e9 / n, 6) = 0 THEN 0.0
+                ELSE round(CAST(s AS DOUBLE) / 1e9 / n, 6) END AS centroid
     FROM agg
     """,
 )

@@ -158,7 +158,11 @@ def q06_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, o_orderstatus,
            count(*)                         AS count_all,
-           CAST(sum(o_totalprice) AS DOUBLE) AS sum_o_totalprice,
+           -- exact micro-fixed-point sum, mirroring the engine's
+           -- _sum_exact: sum(double) drifts in its last ulp with
+           -- addend order once the group holds ~sf3-many rows
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                                            AS sum_o_totalprice,
            max(o_orderdate)                 AS max_o_orderdate
     FROM orders
     WHERE o_orderdate < TIMESTAMP '2001-01-01 00:00:00'

@@ -28,13 +28,21 @@ from ..queries import query
     "q15_upsert",
     """
     WITH incoming AS (
-        SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice, 'U' AS o_orderstatus
+        -- decimal money bump, mirroring the engine: double*1.1 then
+        -- round(...,2) is a knife-edge — the r9 sf3 differential caught
+        -- a row whose product sits a hair under .785 rounding apart
+        -- between engines; DECIMAL(18,2) * 1.1 is exact and rounds
+        -- identically everywhere
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                    AS DOUBLE) AS o_totalprice,
+               'U' AS o_orderstatus
         FROM orders WHERE o_orderkey % 10 = 0
         UNION ALL
         SELECT o_orderkey + 10000000, 1.0, 'N' FROM orders WHERE o_orderkey % 500 = 0
     )
     SELECT o_orderkey, o_orderstatus,
-           CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
            count(*) AS n
     FROM (
         SELECT o.o_orderkey,
@@ -51,9 +59,15 @@ from ..queries import query
 )
 def q15_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # decimal money bump — double*1.1 + round(...,2) rounds knife-edge
+    # products differently across engines (sf3 finding); exact decimal
+    # multiply + HALF_UP round is engine-independent, cast back to the
+    # column's double type for the merge
     bumped = orders.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * F.expr("1.1BD"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
         F.lit("U").alias("o_orderstatus"),
     )
     created = orders.filter(F.col("o_orderkey") % 500 == 0).select(
@@ -68,7 +82,12 @@ def q15_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.filter(F.col("o_orderkey") % 97 == 0)
         .groupBy("o_orderkey", "o_orderstatus")
-        .agg(F.sum("o_totalprice").alias("sum_price"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select("o_orderkey", "o_orderstatus", "sum_price", "n")
     )
 

@@ -24,12 +24,50 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
 
 from .predicates import compile_order_by, compile_where
 
 class RecordNotFoundError(LookupError):
     """Raised by the *_or_throw finders when no record matches — the
     engine's analogue of Prisma's NotFoundError (effect.ts:439,455)."""
+
+
+def _sum_exact(col: Column) -> Column:
+    """Partition-order-independent SUM: float/double inputs snap to
+    micro fixed point (DECIMAL(30,6)) before aggregating, then cast
+    back to double.
+
+    ``sum(double)`` accumulates in float and its last-ulp digits depend
+    on addend order — the r9 sf3 differential caught q07's 30x-addend
+    money sum drifting from the single-threaded oracle's. For
+    fixed-point data (money in 2dp, quantities) the decimal snap is
+    EXACT at any scale (30 digits of headroom) and bit-identical under
+    any partitioning; true continuous floats are quantized at 1e-6,
+    the repo-wide snap grid. Non-float columns pass through untouched
+    (long sums are already exact; ANSI raises on overflow)."""
+    dt = col.cast("decimal(30,6)")
+    return F.sum(dt).cast("double")
+
+
+def _avg_exact(col: Column) -> Column:
+    """AVG via the exact decimal sum over the non-null count — same
+    determinism argument as ``_sum_exact``; the single final division
+    is double, mirroring ``CAST(sum AS DOUBLE) / count(col)``."""
+    return _sum_exact(col) / F.count(col)
+
+
+def _agg_expr(df: DataFrame, agg_key: str, field: str) -> Column:
+    """Resolve one Prisma aggregate to a Spark expression; float/double
+    ``_sum``/``_avg`` route through the exact-decimal forms (see
+    ``_sum_exact``) so distributed results hash-match a
+    single-threaded oracle at every scale."""
+    if agg_key in ("_sum", "_avg") and isinstance(
+        df.schema[field].dataType, (FloatType, DoubleType)
+    ):
+        fn = _sum_exact if agg_key == "_sum" else _avg_exact
+        return fn(F.col(field)).alias(f"{agg_key[1:]}_{field}")
+    return _AGG_FNS[agg_key](F.col(field)).alias(f"{agg_key[1:]}_{field}")
 
 
 _AGG_FNS = {
@@ -169,12 +207,11 @@ class Model:
         df = _paginate(self.df.filter(compile_where(where)), order_by, take, skip)
         exprs: list[Column] = []
         for agg_key, fields in aggs.items():
-            fn = _AGG_FNS[agg_key]
             for field in fields:
                 if agg_key == "_count" and field == "_all":
                     exprs.append(F.count(F.lit(1)).alias("count_all"))
                 else:
-                    exprs.append(fn(F.col(field)).alias(f"{agg_key[1:]}_{field}"))
+                    exprs.append(_agg_expr(df, agg_key, field))
         if not exprs:
             raise ValueError("aggregate() needs at least one _count/_min/_max/_sum/_avg")
         return df.agg(*exprs)
@@ -201,12 +238,11 @@ class Model:
         df = self.df.filter(compile_where(where))
         exprs: list[Column] = []
         for agg_key, fields in aggs.items():
-            fn = _AGG_FNS[agg_key]
             for field in fields:
                 if agg_key == "_count" and field == "_all":
                     exprs.append(F.count(F.lit(1)).alias("count_all"))
                 else:
-                    exprs.append(fn(F.col(field)).alias(f"{agg_key[1:]}_{field}"))
+                    exprs.append(_agg_expr(df, agg_key, field))
         out = df.groupBy(*by).agg(*exprs) if exprs else df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_all"))
         if having:
             out = out.filter(compile_where(having))

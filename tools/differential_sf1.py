@@ -129,7 +129,7 @@ def main() -> None:
             row["secs_spark"] = round(time.time() - t0, 2)
             if wd.fired:
                 row["excluded"] = (
-                    f"SPARK side exceeded {SPARK_TIMEOUT}s at sf1 — scale "
+                    f"SPARK side exceeded {SPARK_TIMEOUT}s — scale "
                     "finding, investigate"
                 )
             else:
@@ -158,16 +158,33 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             wd.disarm()
             row["secs_duck"] = round(time.time() - t1, 2)
+            # Oracle infeasibility at this scale is an exclusion, not a
+            # red: the differential verifies the ENGINE; an oracle that
+            # cannot complete (watchdog timeout, or spill exhausting
+            # the box's disk/memory — q156's quadratic BFS twin needed
+            # >78G of DuckDB temp at sf3) says nothing about engine
+            # correctness.  Both record the reason; a SPARK-side
+            # failure stays red.
+            resource = isinstance(exc, (MemoryError,)) or any(
+                s in str(exc)
+                for s in ("No space left on device", "Out of Memory", "OutOfMemory")
+            )
             if wd.fired:
                 row["excluded"] = (
-                    f"oracle exceeded {DUCK_TIMEOUT}s at sf1 (quadratic "
+                    f"oracle exceeded {DUCK_TIMEOUT}s (quadratic "
                     "all-pairs SQL twin of a bucketed/banded Spark path)"
+                )
+            elif resource:
+                row["excluded"] = (
+                    "oracle exhausted local resources at this scale: "
+                    + f"{type(exc).__name__}: {exc}"[:200]
                 )
             else:
                 row["err"] = f"duckdb: {type(exc).__name__}: {exc}"[:300]
+            excluded = wd.fired or resource
             results[name] = row
-            n_excluded += wd.fired
-            n_red += not wd.fired
+            n_excluded += excluded
+            n_red += not excluded
             print(json.dumps({name: row}), flush=True)
             continue
 
