@@ -257,24 +257,39 @@ def q155_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q156_bfs_3hop",
     """
-    WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-         edges AS (SELECT a.pk AS src, b.pk AS dst
-                   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
-                   GROUP BY 1, 2),
-         und AS (SELECT src AS u, dst AS v FROM edges
-                 UNION ALL SELECT dst AS u, src AS v FROM edges),
+    WITH items AS MATERIALIZED (
+             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         edges AS MATERIALIZED (
+             SELECT a.pk AS src, b.pk AS dst
+             FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2),
+         und AS MATERIALIZED (
+             SELECT src AS u, dst AS v FROM edges
+             UNION ALL SELECT dst AS u, src AS v FROM edges),
          seeds AS (SELECT DISTINCT u AS node FROM und WHERE u % 1000 = 0),
          r0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         -- frontier-only synchronous BFS: round k expands ONLY the
+         -- nodes first reached at distance k-1 (fk-1); expanding
+         -- settled nodes again can only produce distances their min
+         -- already beats, so the result is identical to the full
+         -- re-expansion — but the per-round join is |frontier|-bounded
+         -- instead of |reached|-bounded, which is what let the former
+         -- unrolling exceed the sf3 watchdog (every round re-walked
+         -- nearly the whole edge list).  CTEs are MATERIALIZED so the
+         -- quadratic-per-basket edge build runs once, not per round
+         -- (the q128/q142 pattern).
          p1 AS (SELECT und.v AS node, r0.dist + 1 AS dist
                 FROM und JOIN r0 ON r0.node = und.u),
          r1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
                 FROM (SELECT * FROM r0 UNION ALL SELECT * FROM p1) GROUP BY node),
-         p2 AS (SELECT und.v AS node, r1.dist + 1 AS dist
-                FROM und JOIN r1 ON r1.node = und.u),
+         f1 AS (SELECT node, dist FROM r1 WHERE dist = 1),
+         p2 AS (SELECT und.v AS node, f1.dist + 1 AS dist
+                FROM und JOIN f1 ON f1.node = und.u),
          r2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
                 FROM (SELECT * FROM r1 UNION ALL SELECT * FROM p2) GROUP BY node),
-         p3 AS (SELECT und.v AS node, r2.dist + 1 AS dist
-                FROM und JOIN r2 ON r2.node = und.u),
+         f2 AS (SELECT node, dist FROM r2 WHERE dist = 2),
+         p3 AS (SELECT und.v AS node, f2.dist + 1 AS dist
+                FROM und JOIN f2 ON f2.node = und.u),
          r3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
                 FROM (SELECT * FROM r2 UNION ALL SELECT * FROM p3) GROUP BY node)
     SELECT node, dist FROM r3
