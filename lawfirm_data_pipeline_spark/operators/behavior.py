@@ -136,6 +136,17 @@ def hourly_anomalies(
     SQL-reproducible — a rolling ``stddev`` window would accumulate
     floats in frame order.
 
+    Headroom (r10 q227-class audit): an hourly count is row-count
+    dependent, so the sum-of-squares forms DECIMAL(19,0)×DECIMAL(19,0)
+    per-row products summed in DECIMAL(38,0) — exact for ANY long
+    hourly count (n² ≤ 8.5e37, × a 10^2-row frame ≪ 1e38).  The
+    former long Σn² raised ANSI overflow once a single hour held
+    ≥ 3.04e9 events (per-row n·n) or the frame total crossed 2^63 —
+    reachable for a hot event type at 100 TB.  The plain sum s stays
+    long (≤ frame·n, loud on overflow); s² is formed in double from
+    a value < 2^53 in any realistic frame, identically on both
+    engines.
+
     Scale: one groupBy to the hourly grid (O(types × hours) rows —
     tiny), then one window partitioned by type.  The raw event stream
     is touched once; everything after the first aggregate is
@@ -155,7 +166,9 @@ def hourly_anomalies(
         "bucket",
         "n",
         F.sum("n").over(w).alias("s"),
-        F.sum(F.col("n") * F.col("n")).over(w).alias("ss"),
+        F.sum(F.col("n").cast("decimal(19,0)") * F.col("n").cast("decimal(19,0)"))
+        .over(w)
+        .alias("ss"),
         F.count("n").over(w).alias("m"),
     ).filter(F.col("m") >= min_history)
     mean = F.col("s").cast("double") / F.col("m")

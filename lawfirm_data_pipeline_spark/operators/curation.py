@@ -322,7 +322,9 @@ def winsorized_stats(
             F.round(F.max("__hi"), 4).alias("p_high"),
             F.sum("__low").alias("n_clipped_low"),
             F.sum("__high").alias("n_clipped_high"),
-            F.sum(F.round(F.col("__v") * 1e6).cast("long")).alias("__s_fp"),
+            # r10 q227-class audit: Σ of 1e6-snapped values reaches
+            # N·1e6·|v| — past 2^63 near 1e12 rows/group; d29 is exact
+            F.sum(F.round(F.col("__v") * 1e6).cast("decimal(19,0)")).alias("__s_fp"),
         )
         .select(
             group_col,

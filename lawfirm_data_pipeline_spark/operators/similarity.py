@@ -622,8 +622,12 @@ def label_centroids(
         "pos",
         F.round(F.col("x").cast("double") * 1e9).cast("long").alias("x_fp"),
     )
+    # r10 q227-class audit: Σ|x_fp| ≤ N·1e9·|x| per (label, pos) —
+    # past 2^63 around 1e9 rows/label at unit norm; d29 sum is exact
+    # and the one final cast to double is unchanged
     agg = fixed.groupBy("label", "pos").agg(
-        F.sum("x_fp").alias("s"), F.count(F.lit(1)).alias("n")
+        F.sum(F.col("x_fp").cast("decimal(19,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     )
     cen = F.round(F.col("s").cast("double") / 1e9 / F.col("n"), 6)
     return agg.select(
@@ -670,26 +674,47 @@ def embedding_covariance(
         [
             T.StructField("i", T.IntegerType(), False),
             T.StructField("j", T.IntegerType(), False),
-            T.StructField("s_xy", T.LongType(), False),
+            T.StructField("s_xy", T.DecimalType(38, 0), False),
         ]
     )
 
     def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = np.zeros((dim, dim), dtype=np.int64)
+        # r10 q227-class audit: numpy int64 matmul WRAPS SILENTLY on
+        # overflow (no ANSI raise) — a partition of R rows with
+        # components up to |q| can reach R·q² per Gram cell, past 2^63
+        # for large-magnitude embeddings or fat partitions.  Each
+        # batch is therefore matmul'd in int64 only in row-chunks
+        # provably under 2^62 (chunk_rows · max|q|² bound), and chunk
+        # results accumulate into an arbitrary-precision Python-int
+        # matrix, emitted as DECIMAL(38,0) partials.
+        from decimal import Decimal
+
+        acc = np.zeros((dim, dim), dtype=object)
         seen = False
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
             q = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
-            acc += q.T @ q
+            maxq = int(np.abs(q).max(initial=0))
+            chunk = len(q) if maxq == 0 else max(1, (1 << 62) // (maxq * maxq))
+            for lo in range(0, len(q), chunk):
+                qc = q[lo : lo + chunk]
+                acc += (qc.T @ qc).astype(object)
             seen = True
         if seen:
             yield pd.DataFrame(
-                {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "s_xy": acc[iu]}
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "s_xy": [Decimal(int(v)) for v in acc[iu]],
+                }
             )
 
     partials = embeddings.select(vec_col).mapInPandas(gram, part_schema)
+    # decimal(38,0) sum: exact, loud ANSI raise past 1e38 — the former
+    # long sum raised at 9.2e18, ~4e6 rows of unit-norm micro-fp
+    # vectors per dimension pair at worst-case correlation
     sxy = partials.groupBy("i", "j").agg(F.sum("s_xy").alias("s_xy"))
 
     means = (
@@ -699,7 +724,13 @@ def embedding_covariance(
             F.round(F.col("x").cast("double") * 1e6).cast("long").alias("x_fp"),
         )
         .groupBy("pos")
-        .agg(F.sum("x_fp").alias("s"), F.count(F.lit(1)).alias("n"))
+        # d29 sum: Σ|x_fp| ≤ N·1e6·|x|max overflows long at N ≈ 1e12
+        # unit-norm rows; decimal is exact and the final cast to double
+        # rounds once, identically to the old long → double path
+        .agg(
+            F.sum(F.col("x_fp").cast("decimal(19,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     mi = means.select(
         F.col("pos").alias("i"), F.col("s").alias("s_i"), F.col("n").alias("n")

@@ -184,6 +184,16 @@ def chisq_independence(
     steps on both engines, snapped to nano fixed point, and SUMMED AS
     INTEGERS — the repo-wide trick that makes a float statistic
     partition-order independent.
+
+    Headroom (r10 q227-class audit): the expected-count numerator
+    rn·cn is formed in DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) —
+    exact for ANY two long marginals (≤(9.2e18)² ≈ 8.5e37 < 1e38) —
+    then rounded once to double.  The former long×long product raised
+    ANSI ARITHMETIC_OVERFLOW once rn·cn ≥ 2^63, i.e. n ≳ 3e9 rows
+    with balanced marginals — well inside a 100 TB corpus.  The
+    exact-decimal → nearest-double value is identical to the old
+    long → double path wherever both were defined, so no tested value
+    moves.
     """
     # the |R|x|C| contingency table feeds four consumers (marginals,
     # totals, densified grid); uncached, each re-ran the corpus groupBy
@@ -200,9 +210,15 @@ def chisq_independence(
         F.count_distinct(F.col("r")).cast("long").alias("nr"),
         F.count_distinct(F.col("c")).cast("long").alias("nc"),
     )
-    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("n").cast("double")
+    d19 = "decimal(19,0)"
+    e = (F.col("rn").cast(d19) * F.col("cn").cast(d19)).cast("double") / F.col(
+        "n"
+    ).cast("double")
     contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
-    snapped = F.round(contrib * F.lit(float(scale))).cast("long")
+    # a single cell's contribution is O(n) when association is strong,
+    # so the nano-snapped value reaches n*1e9 — DECIMAL(38,0), not long
+    # (which capped the statistic at ~9.2e9 before raising)
+    snapped = F.round(contrib * F.lit(float(scale))).cast("decimal(38,0)")
     # densify to the full R x C grid: a zero cell contributes E to the
     # statistic and MUST appear (groupBy alone omits it — chi2 would be
     # silently understated exactly when association is strongest)
@@ -213,7 +229,7 @@ def chisq_independence(
         .crossJoin(F.broadcast(tot))
         .select(snapped.alias("k_fp"), "n", "nr", "nc")
         .groupBy("n", "nr", "nc")
-        .agg(F.sum("k_fp").cast("long").alias("s"))
+        .agg(F.sum("k_fp").alias("s"))
         .select(
             F.round(F.col("s").cast("double") / F.lit(float(scale)), 6).alias("chi2"),
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
@@ -231,27 +247,49 @@ def trend_slopes(
     """Per-group OLS slope of a daily count series, from pure integer
     co-moments: slope = (m*Sdy - Sd*Sy) / (m*Sd2 - Sd^2).
 
-    All five sums are exact 64-bit integers (day indexes ~2*10^4,
-    counts bounded by rows/day — the products stay far from overflow),
-    so the only float operation is ONE final division of two exact
-    integers: bit-identical across engines and partitionings.  One
-    map-side-combinable aggregate after the daily rollup.
+    Headroom (r10 q227-class audit): m, Sd, Sd2 are calendar-bounded
+    (m days ≲ 1e5, day index ≲ 2e4 → Sd ≤ 2e9, Sd2 ≤ 4e13 — intrinsic,
+    long-safe at any corpus size), but Sy and Sdy grow with ROW COUNT:
+    the former all-long derivation overflowed the numerator m·Sdy −
+    Sd·Sy once a group's total count Sy reached ~4.6e9 — trivially
+    exceeded at 100 TB.  Sd2 and Sdy therefore sum DECIMAL per-row
+    products (day d9 × count d19 → exact decimal sums; day index must
+    stay < 1e9, enforced by the cast's loud ANSI raise) and the four
+    co-moment terms are formed in decimal — exact while Sy < 9.2e18
+    (the long bound F.sum enforces loudly on Sy itself) and
+    Sdy, Sd2 < 1e28.  The only float operation is still ONE final
+    division of two exact integers: bit-identical across engines and
+    partitionings.  One map-side-combinable aggregate after the daily
+    rollup.
     """
+    d9, d10, d19, d28 = (
+        "decimal(9,0)",
+        "decimal(10,0)",
+        "decimal(19,0)",
+        "decimal(28,0)",
+    )
+    day_d, cnt_d = F.col(day_col).cast(d9), F.col(count_col).cast(d19)
     return (
         df.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("m"),
             F.sum(day_col).cast("long").alias("sd"),
             F.sum(count_col).cast("long").alias("sy"),
-            F.sum(F.col(day_col) * F.col(day_col)).cast("long").alias("sd2"),
-            F.sum(F.col(day_col) * F.col(count_col)).cast("long").alias("sdy"),
+            F.sum(day_d * day_d).alias("sd2"),
+            F.sum(day_d * cnt_d).alias("sdy"),
         )
         .select(
             group_col,
             F.col("m").alias("n_days"),
             (
-                (F.col("m") * F.col("sdy") - F.col("sd") * F.col("sy")).cast("double")
-                / (F.col("m") * F.col("sd2") - F.col("sd") * F.col("sd")).cast("double")
+                (
+                    F.col("m").cast(d10) * F.col("sdy").cast(d28)
+                    - F.col("sd").cast(d19) * F.col("sy").cast(d19)
+                ).cast("double")
+                / (
+                    F.col("m").cast(d10) * F.col("sd2").cast(d28)
+                    - F.col("sd").cast(d19) * F.col("sd").cast(d19)
+                ).cast("double")
             ).alias("slope_per_day"),
         )
     )
@@ -316,14 +354,21 @@ def cuped_adjusted_means(per_user: DataFrame) -> DataFrame:
     rather than wrapping.  The DuckDB twin mirrors with HUGEINT
     (exact to 1.7e38) and the identical final double ops, so the
     exact-integer → nearest-double value agrees bit-for-bit.
+
+    Per-row headroom (r10 ADVICE #2): the per-row casts below are
+    DECIMAL(19,0), which holds every BIGINT (|cents| ≤ 2^63−1 ≈
+    9.2e18 < 1e19), so the cast itself can never overflow; the former
+    DECIMAL(18,0) raised ANSI ARITHMETIC_OVERFLOW once a single user's
+    |cents| reached 1e18.  The d19×d19 product is DECIMAL(38,0) and
+    the product SUMS keep the 1e27 ceiling documented above.
     """
-    d18 = "decimal(18,0)"
+    d19row = "decimal(19,0)"
     products = per_user.select(
         "arm",
         "pre_cents",
         "post_cents",
-        (F.col("pre_cents").cast(d18) * F.col("pre_cents").cast(d18)).alias("pp"),
-        (F.col("pre_cents").cast(d18) * F.col("post_cents").cast(d18)).alias("po"),
+        (F.col("pre_cents").cast(d19row) * F.col("pre_cents").cast(d19row)).alias("pp"),
+        (F.col("pre_cents").cast(d19row) * F.col("post_cents").cast(d19row)).alias("po"),
     )
     pooled = products.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -162,41 +162,15 @@ from . import m17_retrieval_quality  # noqa: F401
 # to resolve to their canonical modules rather than the placeholder
 # delegates.
 #
-# ROUND-9 WINDOW (r8 verdict task #1): the 50 stalest greens by
-# (last green driver round, registry number) after CORRECTNESS_r08
-# re-greened the q01-q75 block — the r3-era q41-q97 cohort.  All 50
-# are deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS ==
+# ROUND-10 WINDOW (r9 verdict task #1): the 50 stalest greens by
+# (last green driver round, registry number) after CORRECTNESS_r09
+# re-greened the q41-q97 block — the remaining r3-green cohort
+# q98-q128 plus the r3/r4 stream/lake/graph rows.  All 50 are
+# deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS ==
 # this set); test_rotation.py::test_recheck_window_is_the_stalest_greens
 # recomputes the list from the on-disk CORRECTNESS files so it cannot
 # silently rot.
 _ROTATION_FRONT = [
-    "q41_rollup", "q42_cube", "q43_grouping_sets", "q44_set_ops",
-    "q45_moment_stats", "q46_tfidf_topk", "q47_pivot", "q48_lead_lag",
-    "q49_percentiles", "q50_approx_distinct", "q51_asof_join",
-    "q52_range_join", "q53_chunking", "q54_curation_pipeline",
-    "q56_hash_split", "q57_stratified_sample", "q58_unigram_logprob",
-    "q62_conditional_agg", "q63_sessionize", "q64_window_frames",
-    "q65_array_kit", "q66_string_kit", "q67_above_cust_avg",
-    "q68_histogram", "q69_ivf_ann_topk", "q70_resample_ffill",
-    "q71_neardup_clusters", "q72_quantize_int8", "q76_decontamination",
-    "q77_repetition_stats", "q78_pii_redaction", "q79_vocab_topk",
-    "q80_weighted_sample", "q81_pack_sequences", "q82_mixture_sample",
-    "q83_passage_dedup", "q84_packing_summary", "q85_shard_assignments",
-    "q86_snapshot_diff", "q87_url_canonicalize", "q88_domain_cap",
-    "q89_domain_blocklist", "q90_bm25_topk", "q91_keep_best_dup",
-    "q92_incremental_dedup", "q93_mixture_weights", "q94_oov_rate",
-    "q95_normalize_text", "q96_source_quantiles", "q97_corpus_pipeline",
-]
-if len(_ROTATION_FRONT) != 50:
-    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
-
-# PRE-STAGED ROUND-10 WINDOW: the next-50 stalest greens (staleness
-# ranks 51-100 today; once CORRECTNESS_r09 re-greens the current
-# window those become exactly the 50 stalest) — the remaining r3-green
-# cohort q98-q128 plus the r3/r4 stream/lake/graph rows.  The r10
-# opener swaps it into _ROTATION_FRONT; test_rotation.py::
-# test_prestaged_next_window_is_the_next_stalest_greens recomputes it.
-_ROTATION_NEXT_R10 = [
     "q98_stream_enriched_window", "q99_label_centroids", "q100_resize_audit",
     "q101_audio_windows", "q102_approx_quantiles", "q103_cross_source_overlap",
     "q104_stream_stream_join", "q105_salted_agg", "q106_boilerplate_filter",
@@ -216,9 +190,40 @@ _ROTATION_NEXT_R10 = [
     "q207_approx_percentile_gate", "q208_recursive_reach",
     "q221_textrank_keywords", "q223_psi_drift", "q38_lsh_ann_topk",
 ]
-if len(_ROTATION_NEXT_R10) != 50:
+if len(_ROTATION_FRONT) != 50:
+    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
+
+# PRE-STAGED ROUND-11 WINDOW: the next-50 stalest greens (staleness
+# ranks 51-100 today; once CORRECTNESS_r10 re-greens the current
+# window those become exactly the 50 stalest) — the r5-green round-4
+# additions q224-q268 plus the stragglers q69b/q129/q130/q131/q212.
+# The r11 opener swaps it into _ROTATION_FRONT; test_rotation.py::
+# test_prestaged_next_window_is_the_next_stalest_greens recomputes it.
+_ROTATION_NEXT_R11 = [
+    "q69b_ivf_ann_nprobe", "q129_name_variants", "q130_ivm_totals",
+    "q131_skyline_parts", "q212_interval_join",
+    "q224_multi_table_transaction", "q225_semantic_dedup",
+    "q226_keyword_tags", "q227_cuped_readout", "q228_l_diversity",
+    "q229_frame_pooling", "q230_hard_negatives", "q231_er_clusters",
+    "q232_stream_restart_recovery", "q233_ivm_join_totals",
+    "q234_asof_nearest", "q235_unpivot_metrics", "q236_map_event_counts",
+    "q237_null_safe_join", "q238_decimal_totals", "q239_kmv_union",
+    "q240_lateral_topk", "q241_subquery_kit", "q242_python_stream_source",
+    "q243_geo_grid", "q244_bmp_decode", "q245_wav_decode",
+    "q246_gzip_corpus", "q247_record_stream", "q248_bpe_encode",
+    "q249_balanced_shards", "q250_gopher_rules",
+    "q251_domain_softmax_weights", "q252_padding_waste",
+    "q253_calibration_ece", "q254_ndcg_at_5", "q255_disparate_impact",
+    "q256_dynamic_partition_overwrite", "q257_stream_catalog_sink",
+    "q258_unicode_normalize", "q259_deletion_vectors",
+    "q260_stl_decompose", "q261_pq_codes", "q262_schema_merge_read",
+    "q263_pq_adc_topk", "q264_maxsim_retrieval", "q265_feature_hashing",
+    "q266_target_encoding_loo", "q267_span_corruption",
+    "q268_token_budget_trim",
+]
+if len(_ROTATION_NEXT_R11) != 50:
     raise RuntimeError(
-        f"pre-staged r10 window must hold 50 slots, got {len(_ROTATION_NEXT_R10)}"
+        f"pre-staged r11 window must hold 50 slots, got {len(_ROTATION_NEXT_R11)}"
     )
 
 

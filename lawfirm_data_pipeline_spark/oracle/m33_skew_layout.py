@@ -86,10 +86,15 @@ def q158_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.lead("ts").over(w)).alias("t1"),
     ).filter(F.col("t1").isNotNull())
     iv = seq.select("user_id", "cents", (F.col("t1") - F.col("t0")).alias("dt"))
+    # r10 q227-class audit: cents × µs-gap products reach
+    # max_cents · user_span_µs (≈3e18 for a $10k value held 10 years —
+    # only 3× short of 2^63); DECIMAL(19,0)² → d38 sums are exact for
+    # any long cents/gap, then one cast to double
+    d19 = "decimal(19,0)"
     return iv.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
         F.round(
-            F.sum(F.col("cents") * F.col("dt")).cast("double")
+            F.sum(F.col("cents").cast(d19) * F.col("dt").cast(d19)).cast("double")
             / F.sum("dt").cast("double"),
             6,
         ).alias("twap_cents"),

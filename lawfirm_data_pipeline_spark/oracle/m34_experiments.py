@@ -221,24 +221,35 @@ def q163_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    # r10 q227-class audit: daily counts are row-count dependent, so
+    # the squared/cross product sums run in DECIMAL(19,0)² → d38 (the
+    # former long Σx² raised ANSI overflow once a day held ≥ 3.04e9
+    # clicks); the positive-variance guards use the same decimal terms.
+    d19 = "decimal(19,0)"
+    xd, yd = F.col("x").cast(d19), F.col("y").cast(d19)
     win = Window.orderBy("d").rowsBetween(-6, 0)
     w = daily.select(
         "d", "x", "y",
         F.count(F.lit(1)).over(win).cast("long").alias("m"),
         F.sum("x").over(win).alias("sx"),
         F.sum("y").over(win).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(win).alias("sx2"),
-        F.sum(F.col("y") * F.col("y")).over(win).alias("sy2"),
-        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(xd * xd).over(win).alias("sx2"),
+        F.sum(yd * yd).over(win).alias("sy2"),
+        F.sum(xd * yd).over(win).alias("sxy"),
     )
     m, sx, sy = F.col("m").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sx2, sy2, sxy = F.col("sx2").cast("double"), F.col("sy2").cast("double"), F.col("sxy").cast("double")
     corr = (m * sxy - sx * sy) / F.sqrt((m * sx2 - sx * sx) * (m * sy2 - sy * sy))
+    d10, d28 = "decimal(10,0)", "decimal(28,0)"
+    var_pos_x = (
+        F.col("m").cast(d10) * F.col("sx2").cast(d28)
+        - F.col("sx").cast(d19) * F.col("sx").cast(d19)
+    ) > 0
+    var_pos_y = (
+        F.col("m").cast(d10) * F.col("sy2").cast(d28)
+        - F.col("sy").cast(d19) * F.col("sy").cast(d19)
+    ) > 0
     return (
-        w.filter(
-            (F.col("m") == 7)
-            & (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx") > 0)
-            & (F.col("m") * F.col("sy2") - F.col("sy") * F.col("sy") > 0)
-        )
+        w.filter((F.col("m") == 7) & var_pos_x & var_pos_y)
         .select(F.col("d").cast("timestamp").alias("day"), F.round(corr, 6).alias("corr7"))
     )

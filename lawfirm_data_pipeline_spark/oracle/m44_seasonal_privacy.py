@@ -79,9 +79,13 @@ def q189_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum off the ~30-row daily grid; the two divisions happen
     once per event type."""
     d = _daily(spark, sf_dir)
+    # r10 q227-class audit: daily counts are row-count dependent —
+    # Σn² forms DECIMAL(19,0)² → d38 (the former long product raised
+    # ANSI overflow once one day held ≥ 3.04e9 events of a type)
+    nd19 = F.col("n").cast("decimal(19,0)")
     t = d.groupBy("etype").agg(
         F.sum("n").cast("long").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+        F.sum(nd19 * nd19).alias("ss"),
         F.count(F.lit(1)).cast("long").alias("m"),
     )
     g = d.groupBy("etype", F.dayofweek("day").cast("long").alias("dow")).agg(
@@ -91,14 +95,15 @@ def q189_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = g.groupBy("etype").agg(
         F.sum(F.col("sd").cast("double") * F.col("sd") / F.col("nd")).alias("fit")
     )
-    tot_ss = F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("m")
+    ss_d = F.col("ss").cast("double")  # exact integer → one rounding
+    tot_ss = ss_d - F.col("s").cast("double") * F.col("s") / F.col("m")
     return (
         t.join(r, "etype")
         .select(
             "etype",
             F.col("m").alias("n_days"),
             F.round(F.col("s").cast("double") / F.col("m"), 4).alias("mean_daily"),
-            F.round(1 - (F.col("ss") - F.col("fit")) / tot_ss, 6).alias(
+            F.round(1 - (ss_d - F.col("fit")) / tot_ss, 6).alias(
                 "seasonal_strength"
             ),
         )

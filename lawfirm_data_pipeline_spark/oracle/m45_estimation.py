@@ -68,14 +68,21 @@ def q193_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("nh"),
             F.sum("c").cast("long").alias("sc"),
-            F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+            # r10 q227-class audit: Σc² is row-count dependent (cents²
+            # ≈ 1e12 per customer → long overflow at ~9.2e6 rows per
+            # stratum); DECIMAL(19,0)² products sum exactly in d38
+            F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+            .alias("sc2"),
         )
     )
     v = s.filter(F.col("nh") >= 2).select(
         "nat",
         "nh",
         F.sqrt(
-            (F.col("sc2") - F.col("sc").cast("double") * F.col("sc") / F.col("nh"))
+            (
+                F.col("sc2").cast("double")
+                - F.col("sc").cast("double") * F.col("sc") / F.col("nh")
+            )
             / (F.col("nh") - 1)
         ).alias("sd"),
     )
@@ -292,8 +299,16 @@ def q196_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cb"))
         .cache()
     )
+    # r10 q227-class audit: per-key count products are row-count
+    # dependent (a skewed many-many join reaches ca*cb >= 2^63 per
+    # key); DECIMAL(19,0)^2 -> d38 products sum exactly, and the final
+    # long cast raises loudly only if the TOTAL join cardinality
+    # itself exceeds int64 (the output contract).
+    d19 = "decimal(19,0)"
     truth = a.join(b, "key").agg(
-        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("actual")
+        F.sum(F.col("ca").cast(d19) * F.col("cb").cast(d19))
+        .cast("long")
+        .alias("actual")
     )
     atop = top_k_ranked(
         a, _TOPK, [F.col("ca").desc(), F.col("key")], "rn"
@@ -306,7 +321,9 @@ def q196_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("topn"),
     )
     exact_part = atop.join(b, "key").agg(
-        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("e_exact")
+        F.sum(F.col("ca").cast(d19) * F.col("cb").cast(d19))
+        .cast("long")
+        .alias("e_exact")
     )
     b_tail = b.join(atop.select("key"), "key", "left_anti").agg(
         F.sum("cb").cast("long").alias("cb_tail")

@@ -197,11 +197,18 @@ def q252_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("mx"),
         )
     )
+    # r10 q227-class audit: padded cells = Σ(batch max × batch rows)
+    # is row-count dependent (bounded only by corpus_rows × max doc
+    # length ≈ 1e18 at 100 TB, 9× short of 2^63); sum in DECIMAL(38,0)
+    # and cast the OUTPUT to long last — the contract stays long and
+    # still raises loudly if the total itself exceeds int64.
+    d19 = "decimal(19,0)"
+    padded = F.sum(F.col("mx").cast(d19) * F.col("n_rows").cast(d19))
     return per_batch.groupBy("strategy").agg(
         F.count(F.lit(1)).cast("long").alias("n_batches"),
         F.sum("tok").cast("long").alias("token_sum"),
-        F.sum(F.col("mx") * F.col("n_rows")).cast("long").alias("padded_sum"),
+        padded.cast("long").alias("padded_sum"),
         F.round(
-            1.0 - F.sum("tok") / F.sum(F.col("mx") * F.col("n_rows")), 6
+            1.0 - F.sum("tok").cast("double") / padded.cast("double"), 6
         ).alias("waste_ratio"),
     )

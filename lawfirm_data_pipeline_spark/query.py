@@ -33,28 +33,50 @@ class RecordNotFoundError(LookupError):
     engine's analogue of Prisma's NotFoundError (effect.ts:439,455)."""
 
 
+def _snap_lossless(col: Column) -> tuple[Column, Column]:
+    """(decimal-snapped column, per-group losslessness flag).
+
+    The flag is an aggregate: 1 iff EVERY row in the group survives the
+    DECIMAL(30,6) round-trip bit-exactly (NULLs pass).  ``try_cast``
+    sends NaN/±Inf/|x|>=1e24 to NULL (never raises under ANSI), and the
+    round-trip comparison rejects sub-micro magnitudes and >6dp
+    fractions, so the flag is 0 exactly when the snap would change the
+    answer.  Order-independent by construction (an all-rows MIN)."""
+    dec = col.try_cast("decimal(30,6)")
+    row_ok = F.when(col.isNull() | (dec.cast("double") == col), 1).otherwise(0)
+    return dec, F.min(row_ok) == 1
+
+
 def _sum_exact(col: Column) -> Column:
-    """Partition-order-independent SUM: float/double inputs snap to
-    micro fixed point (DECIMAL(30,6)) before aggregating, then cast
-    back to double.
+    """Partition-order-independent SUM for float/double columns that
+    keeps plain ``sum(double)`` semantics for true continuous floats.
 
     ``sum(double)`` accumulates in float and its last-ulp digits depend
     on addend order — the r9 sf3 differential caught q07's 30x-addend
-    money sum drifting from the single-threaded oracle's. For
-    fixed-point data (money in 2dp, quantities) the decimal snap is
-    EXACT at any scale (30 digits of headroom) and bit-identical under
-    any partitioning; true continuous floats are quantized at 1e-6,
-    the repo-wide snap grid. Non-float columns pass through untouched
-    (long sums are already exact; ANSI raises on overflow)."""
-    dt = col.cast("decimal(30,6)")
-    return F.sum(dt).cast("double")
+    money sum drifting from the single-threaded oracle's.  For
+    fixed-point data (money in 2dp, quantities) the DECIMAL(30,6) snap
+    is EXACT at any scale and bit-identical under any partitioning, so
+    groups whose every value round-trips through the decimal losslessly
+    aggregate in decimal.  Any other group — NaN/±Inf inputs, |x| past
+    the 1e24 decimal ceiling, sub-micro magnitudes, >6dp fractions —
+    falls back to the reference's plain ``SUM(double)`` in the same
+    aggregation pass (r10 ADVICE: the unconditional snap quantized
+    generic floats at 1e-6 and raised under ANSI on non-finite input).
+    Both branches are map-side-combinable aggregates; the CASE picks
+    between them after the shuffle."""
+    dec, lossless = _snap_lossless(col)
+    return F.when(lossless, F.sum(dec).cast("double")).otherwise(F.sum(col))
 
 
 def _avg_exact(col: Column) -> Column:
     """AVG via the exact decimal sum over the non-null count — same
-    determinism argument as ``_sum_exact``; the single final division
-    is double, mirroring ``CAST(sum AS DOUBLE) / count(col)``."""
-    return _sum_exact(col) / F.count(col)
+    determinism + fallback argument as ``_sum_exact``; the lossless
+    branch's single final division is double, mirroring
+    ``CAST(sum AS DOUBLE) / count(col)``."""
+    dec, lossless = _snap_lossless(col)
+    return F.when(
+        lossless, F.sum(dec).cast("double") / F.count(col)
+    ).otherwise(F.avg(col))
 
 
 def _agg_expr(df: DataFrame, agg_key: str, field: str) -> Column:

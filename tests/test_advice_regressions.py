@@ -250,3 +250,91 @@ def test_ranking_float_rejection_runs_before_pinning(spark):
             ranking.global_running_sum(df, "v", ["k"], "rs")
     finally:
         ranking._ordered_pinned = orig
+
+
+# --- r10 ADVICE #1: _sum/_avg decimal snap must not change float ---------
+# semantics — lossless fixed-point groups aggregate in exact decimal,
+# anything else (NaN/Inf, |x|>=1e24, sub-micro) falls back to plain
+# SUM(double)/AVG(double) instead of quantizing or raising under ANSI.
+
+def _agg_one(spark, values, **agg):
+    from lawfirm_data_pipeline_spark.query import Model
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    return Model(df, "t").aggregate(**agg).collect()[0]
+
+
+def test_sum_exact_fixed_point_is_decimal_exact(spark):
+    # plain double sum of 0.1 x 10 is 0.9999999999999999; the decimal
+    # branch must yield exactly 1.0 for lossless 1dp money-like data
+    row = _agg_one(spark, [0.1] * 10, _sum={"x": True}, _avg={"x": True})
+    assert row["sum_x"] == 1.0
+    assert row["avg_x"] == 0.1
+
+
+def test_sum_exact_nan_and_inf_keep_double_semantics(spark):
+    import math
+
+    row = _agg_one(spark, [1.0, float("nan")], _sum={"x": True}, _avg={"x": True})
+    assert math.isnan(row["sum_x"]) and math.isnan(row["avg_x"])
+    row = _agg_one(spark, [1.0, float("inf")], _sum={"x": True})
+    assert math.isinf(row["sum_x"]) and row["sum_x"] > 0
+
+
+def test_sum_exact_submicro_not_quantized_to_zero(spark):
+    # 1e-9 is below the DECIMAL(30,6) grid: the old unconditional snap
+    # summed these to 0.0; the fallback must keep the plain double sum
+    row = _agg_one(spark, [1e-9] * 4, _sum={"x": True})
+    assert row["sum_x"] == pytest.approx(4e-9, rel=1e-12)
+    assert row["sum_x"] != 0.0
+
+
+def test_sum_exact_beyond_decimal_ceiling_no_ansi_raise(spark):
+    # |x| >= 1e24 overflows DECIMAL(30,6); must fall back, not raise
+    row = _agg_one(spark, [1e300, 1e300], _sum={"x": True})
+    assert row["sum_x"] == 2e300
+
+
+def test_sum_exact_lossless_fallback_is_per_group(spark):
+    """group_by: a lossy group falls back while a lossless sibling
+    group still gets the exact decimal sum in the same aggregation."""
+    from lawfirm_data_pipeline_spark.query import Model
+
+    rows = [("clean", 0.1)] * 10 + [("dirty", 1e-9)] * 4
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {
+        r["g"]: r["sum_x"]
+        for r in Model(df, "t").group_by(by=["g"], _sum={"x": True}).collect()
+    }
+    assert got["clean"] == 1.0
+    assert got["dirty"] == pytest.approx(4e-9, rel=1e-12)
+
+
+# --- r10 ADVICE #3: differential exclusion is type-matched, loud ---------
+
+def test_differential_resource_classifier_is_type_based():
+    """A genuine oracle bug whose MESSAGE contains 'Out of Memory'
+    must stay RED (not excluded); true resource types are excluded."""
+    import errno
+
+    import duckdb
+
+    from tools.differential_sf1 import is_oracle_resource_failure as cls
+
+    # message-substring impostors: real bugs, must NOT be excluded
+    assert not cls(RuntimeError("Binder Error: Out of Memory column"), duckdb)
+    assert not cls(ValueError("No space left on device (in a string)"), duckdb)
+    # genuine resource failures by TYPE
+    assert cls(MemoryError(), duckdb)
+    if isinstance(getattr(duckdb, "OutOfMemoryException", None), type):
+        assert cls(
+            duckdb.OutOfMemoryException("could not allocate block"), duckdb
+        )
+    e = OSError(errno.ENOSPC, "No space left on device")
+    assert cls(e, duckdb)
+    assert not cls(OSError(errno.EIO, "I/O error"), duckdb)
+    # DuckDB wraps disk-full as IOException, errno lost: text check is
+    # scoped UNDER that type only
+    if isinstance(getattr(duckdb, "IOException", None), type):
+        assert cls(duckdb.IOException("No space left on device"), duckdb)
+        assert not cls(duckdb.IOException("file is corrupt"), duckdb)

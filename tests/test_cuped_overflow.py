@@ -101,3 +101,20 @@ def test_cuped_small_magnitude_values_unchanged_by_decimal_path(spark):
     assert float(n * spo - sp * so) / float(n * spp - sp * sp) == pytest.approx(
         float(exact), rel=1e-12
     )
+
+
+def test_cuped_per_row_cents_past_1e18_no_cast_overflow(spark):
+    """r10 ADVICE #2: the former DECIMAL(18,0) per-row casts raised
+    ANSI ARITHMETIC_OVERFLOW once a single |cents| reached 1e18 —
+    an undocumented ceiling TIGHTER than the documented product-sum
+    1e27 bound.  DECIMAL(19,0) holds every BIGINT, so this regime
+    (post ~2e18 per user, pre small, product sums ~8e23 << 1e27)
+    must now complete and match the exact-integer mirror."""
+    rows = [
+        (i % 2, 100_000 + 7 * i, 2_000_000_000_000_000_000 + 311 * i)
+        for i in range(4)
+    ]
+    assert all(abs(r[2]) >= 10**18 for r in rows)  # past the old ceiling
+    spo = sum(r[1] * r[2] for r in rows)
+    assert spo < 10**27  # inside the documented product-sum ceiling
+    _run(spark, rows)

@@ -134,6 +134,36 @@ def test_covariance_matches_numpy(spark):
         assert abs(cov - want[i, j]) < 2e-6, (i, j, cov, want[i, j])
 
 
+def test_covariance_large_magnitude_no_int64_wrap(spark):
+    """r10 q227-class audit: components ~2e3 quantize to |q| ~ 2e9, so
+    q_i*q_j ~ 4e18 per ROW — three rows already pass 2^63 and the old
+    single-shot int64 matmul wrapped SILENTLY (numpy never raises).
+    The chunked arbitrary-precision accumulator must return the exact
+    covariance."""
+    vals = [
+        [2000.0, -2000.0, 1999.5],
+        [2000.0, 2000.0, -1999.5],
+        [-2000.0, 2000.0, 1999.5],
+        [2000.0, -1999.5, 2000.0],
+        [1999.5, 2000.0, 2000.0],
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vals)]
+    )
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df, dim=3).collect()}
+    # exact mirror in Python ints on the same micro grid
+    q = [[round(x * 1e6) for x in v] for v in vals]
+    n = len(q)
+    for (i, j), cov in got.items():
+        sxy = sum(r[i] * r[j] for r in q)
+        si = sum(r[i] for r in q)
+        sj = sum(r[j] for r in q)
+        want = round(sxy / 1e12 / n - (si / 1e6 / n) * (sj / 1e6 / n), 6)
+        assert cov == want, ((i, j), cov, want)
+    # sanity: the regime really is past int64 for a single Gram cell
+    assert sum(r[0] * r[0] for r in q) > 2**63
+
+
 def test_covariance_partials_are_bounded_rows(spark):
     # the Arrow kernel emits d*(d+1)/2 rows per partition regardless of
     # row count — the property that makes the op 100 TB-safe

@@ -25,9 +25,9 @@ import os
 import re
 
 import __spark_entry__ as e
-from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT, _ROTATION_NEXT_R10
+from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT, _ROTATION_NEXT_R11
 
-# Every r9 slot is a deliberate re-check of an already-green query
+# Every r10 slot is a deliberate re-check of an already-green query
 # (re-check era, r7 verdict task #1): the window IS the re-check quota.
 _RECHECK_SLOTS: set[str] = set(_ROTATION_FRONT)
 
@@ -69,11 +69,11 @@ def _staleness_order(last: dict[str, int]) -> list[str]:
     return sorted(last, key=lambda n: (last[n], qnum(n), n))
 
 
-def test_round9_window_is_first_50():
+def test_round10_window_is_first_50():
     names = list(e.queries())
     assert names[:50] == _ROTATION_FRONT
-    assert names[0] == "q41_rollup"
-    assert names[49] == "q97_corpus_pipeline"
+    assert names[0] == "q98_stream_enriched_window"
+    assert names[49] == "q38_lsh_ann_topk"
 
 
 def test_registry_size_frozen_at_299():
@@ -151,15 +151,15 @@ def test_recheck_window_is_the_stalest_greens():
 
 
 def test_prestaged_next_window_is_the_next_stalest_greens():
-    """The pre-staged r10 window must be the next-50 stalest greens
+    """The pre-staged r11 window must be the next-50 stalest greens
     AFTER the current window's slots are excluded (equivalently:
     staleness ranks 51-100 today; exactly the stalest 50 once
-    CORRECTNESS_r09 re-greens the current window).  Recomputed from
+    CORRECTNESS_r10 re-greens the current window).  Recomputed from
     disk so the list cannot rot."""
     last = _green_last_round()
     order = [n for n in _staleness_order(last) if n not in _RECHECK_SLOTS]
     expect = order[:50]
-    assert sorted(_ROTATION_NEXT_R10) == sorted(expect), (
-        sorted(set(_ROTATION_NEXT_R10) - set(expect)),
-        sorted(set(expect) - set(_ROTATION_NEXT_R10)),
+    assert sorted(_ROTATION_NEXT_R11) == sorted(expect), (
+        sorted(set(_ROTATION_NEXT_R11) - set(expect)),
+        sorted(set(expect) - set(_ROTATION_NEXT_R11)),
     )

@@ -48,6 +48,34 @@ SPARK_TIMEOUT = int(os.environ.get("DIFF_SF1_SPARK_TIMEOUT", "420"))
 DUCK_TIMEOUT = int(os.environ.get("DIFF_SF1_DUCK_TIMEOUT", "240"))
 
 
+def is_oracle_resource_failure(exc: BaseException, duckdb_mod) -> bool:
+    """True iff the oracle-side exception is a local-resource
+    exhaustion (OOM / disk-full) rather than a genuine oracle bug.
+
+    r10 ADVICE #3: classify by exception TYPE — MemoryError,
+    duckdb.OutOfMemoryException, OSError ENOSPC — never by message
+    substring; a real oracle defect whose text contained "Out of
+    Memory" used to silently drop out of the differential.  The single
+    remaining text check is scoped UNDER duckdb.IOException, because
+    DuckDB wraps the OS disk-full error there and discards errno."""
+    import errno
+
+    resource_types: tuple[type, ...] = (MemoryError,)
+    oom = getattr(duckdb_mod, "OutOfMemoryException", None)
+    if isinstance(oom, type):
+        resource_types += (oom,)
+    ioexc = getattr(duckdb_mod, "IOException", None)
+    return (
+        isinstance(exc, resource_types)
+        or (isinstance(exc, OSError) and exc.errno == errno.ENOSPC)
+        or (
+            isinstance(ioexc, type)
+            and isinstance(exc, ioexc)
+            and "No space left on device" in str(exc)
+        )
+    )
+
+
 def _canon_hash(rows: list[str]) -> str:
     h = hashlib.md5()
     for r in rows:
@@ -164,11 +192,10 @@ def main() -> None:
             # the box's disk/memory — q156's quadratic BFS twin needed
             # >78G of DuckDB temp at sf3) says nothing about engine
             # correctness.  Both record the reason; a SPARK-side
-            # failure stays red.
-            resource = isinstance(exc, (MemoryError,)) or any(
-                s in str(exc)
-                for s in ("No space left on device", "Out of Memory", "OutOfMemory")
-            )
+            # failure stays red.  Classification is type-based
+            # (is_oracle_resource_failure, r10 ADVICE #3) and every
+            # exclusion is echoed loudly in the end-of-run summary.
+            resource = is_oracle_resource_failure(exc, duckdb)
             if wd.fired:
                 row["excluded"] = (
                     f"oracle exceeded {DUCK_TIMEOUT}s (quadratic "
@@ -214,9 +241,20 @@ def main() -> None:
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
+    # r10 ADVICE #3: surface every exclusion loudly — an excluded case
+    # is a judgement call a human must be able to review from the log
+    # alone, not a silent drop.
+    excluded_rows = {
+        n: r["excluded"] for n, r in results.items() if "excluded" in r
+    }
+    for n, why in excluded_rows.items():
+        print(f"# EXCLUDED (review): {n}: {why}", file=sys.stderr, flush=True)
     print(
         json.dumps(
-            {k: out[k] for k in ("n_queries", "n_green", "n_excluded", "n_red")}
+            {
+                **{k: out[k] for k in ("n_queries", "n_green", "n_excluded", "n_red")},
+                "excluded": sorted(excluded_rows),
+            }
         )
     )
     sys.exit(1 if n_red else 0)
