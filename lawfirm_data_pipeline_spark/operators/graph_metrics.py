@@ -251,6 +251,18 @@ def pagerank_fixed(
         deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     if n_nodes is None:
         n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty graph (no edges survive upstream filters): the rank of
+        # nothing is an EMPTY result, not a driver-side
+        # ZeroDivisionError from PAGERANK_SCALE // 0 (found by the r10
+        # q221 end-to-end mirror fuzz on an all-self-loop corpus).
+        # Node dtype follows the (empty) degree table so callers with
+        # string words and long ids both keep their schema.
+        return deg.select(
+            F.col("u").alias("node"),
+            F.lit(None).cast("long").alias("rank_fp"),
+            F.lit(None).cast("double").alias("rank"),
+        )
     # unit and base terms are in-plan literals of the (already bounded)
     # node count — one integer reaches the driver, never a row set.
     unit = F.lit(PAGERANK_SCALE // n_nodes).cast("long")
