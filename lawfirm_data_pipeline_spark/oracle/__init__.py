@@ -111,6 +111,7 @@ from . import m91_paramsql_observe  # noqa: F401  q288-q289 (2)
 from . import m92_repair_scd2  # noqa: F401  q290-q291 (2)
 from . import m93_gbdt_stumps  # noqa: F401  q292 (1)
 from . import m94_nb_auc  # noqa: F401  q293-q294 (2)
+from . import m95_jpeg  # noqa: F401  q295 (1, round 10)
 
 # --- Proven green in r1-r4 and unchanged: rotated to the back -------------
 # (the full round-4 window — m48/m39/m46/m49/m32/m25/m18-m24/m50/m58/m60

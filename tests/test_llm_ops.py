@@ -88,9 +88,28 @@ def test_multimodal_feature_kernel_matches_reference_hash(spark):
         assert abs(row.features[0] - int(digest[:2], 16) / 255.0) < 1e-6
 
 
-def test_decode_image_is_explicitly_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        decode_image(synth_media(spark, 1))
+def test_decode_image_decodes_jpeg_and_rejects_unknown_magic(spark):
+    """r10: decode_image is no longer a stub — it dispatches baseline
+    JPEG payloads to the real decoder and LOUD-fails unknown magics
+    (synth_media payloads are md5-derived bytes, not images)."""
+    from lawfirm_data_pipeline_spark.operators.multimodal import (
+        synth_jpeg_media,
+    )
+
+    rows = {
+        r["media_id"]: (r["width"], r["height"], r["px_sum"])
+        for r in decode_image(synth_jpeg_media(spark, 4)).collect()
+    }
+    for mid, (w, h, s) in rows.items():
+        assert w == 16 + 8 * (mid % 3) and h == 8 + 8 * (mid % 4)
+        want = sum(
+            64 * ((mid * 7 + bx * 3 + by * 5) % 256)
+            for bx in range(w // 8)
+            for by in range(h // 8)
+        )
+        assert s == want
+    with pytest.raises(Exception, match="unknown image magic"):
+        decode_image(synth_media(spark, 1)).collect()
 
 
 def test_resize_stub_output_size_and_cycle(spark):

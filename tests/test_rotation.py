@@ -76,11 +76,13 @@ def test_round10_window_is_first_50():
     assert names[49] == "q38_lsh_ann_topk"
 
 
-def test_registry_size_frozen_at_299():
+def test_registry_size_frozen_at_300():
     # Registration freeze (r5 verdict #3): the driver backlog completed
-    # at r7 with exactly 299 driver-green queries.  Bump this ONLY
-    # together with the README rotation map.
-    assert len(e.queries()) == 299
+    # at r7 with exactly 299 driver-green queries; round 10 added q295
+    # (baseline JPEG decode, m95 — the codec family's last honest gap,
+    # r9 verdict task #8).  Bump this ONLY together with the README
+    # rotation map.
+    assert len(e.queries()) == 300
 
 
 def test_recheck_delegates_resolved_to_canonical_modules():
