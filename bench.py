@@ -97,6 +97,15 @@ def short_line(
         short.pop(victim, None)
         short.setdefault("trimmed", []).append(victim)
         line = json.dumps(short, separators=(",", ":"))
+    if len(line) >= budget:
+        # last resort (e.g. a multi-second-per-query sf1+ sweep where
+        # the ms array alone outgrows the window): drop t_ms rather
+        # than ship an unparseable line — a truncated line reproduces
+        # the round-1 "parsed": null failure, which is strictly worse
+        # than a short line pointing at bench_queries.json
+        short.pop("t_ms", None)
+        short.setdefault("trimmed", []).append("t_ms")
+        line = json.dumps(short, separators=(",", ":"))
     return line
 
 

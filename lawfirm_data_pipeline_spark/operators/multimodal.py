@@ -192,14 +192,15 @@ def audio_window_features_stub(media: DataFrame, window_ms: int = 250) -> DataFr
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """Real pixel decode dispatch by magic bytes.  All four image legs
-    are zero-dep REAL decodes now: uncompressed 24-bit BMP
-    (``decode_bmp_stats``, q244), PNG — stdlib zlib inflate +
-    Sub/Up/Average/Paeth scanline reconstruction (``decode_png_stats``,
+    """Real pixel decode dispatch by magic bytes.  All three image legs
+    are zero-dep REAL decodes: uncompressed 24-bit BMP
+    (``bmp_stats_of``, q244), PNG — stdlib zlib inflate +
+    Sub/Up/Average/Paeth scanline reconstruction (``png_stats_of``,
     q269), and baseline JFIF — pure-Python/numpy Huffman + IDCT
-    (``decode_jpeg_stats``, q295; closed the r9 "last honest codec
+    (``decode_jpeg_bytes``, q295; closed the r9 "last honest codec
     gap").  Mixed-format batches dispatch per row on the payload
-    magic; unknown magics raise loudly.
+    magic; unknown magics raise loudly.  px_sum sums every decoded
+    byte (RGB for BMP/PNG, luma for grayscale JPEG).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -207,18 +208,25 @@ def decode_image(media: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(b["media_id"], b["payload"]):
                 raw = bytes(payload)
-                if raw[:2] == b"\xff\xd8":
-                    img = decode_jpeg_bytes(raw)
-                    out.append(
-                        (int(mid), int(img.shape[1]), int(img.shape[0]),
-                         int(img.sum(dtype="int64")))
-                    )
-                else:
-                    raise ValueError(
-                        f"media {mid}: unknown image magic "
-                        f"{raw[:2].hex()} — BMP/PNG go through "
-                        "decode_bmp_stats/decode_png_stats"
-                    )
+                try:
+                    if raw[:2] == b"\xff\xd8":
+                        img = decode_jpeg_bytes(raw)
+                        w, h, total = (
+                            int(img.shape[1]),
+                            int(img.shape[0]),
+                            int(img.sum(dtype="int64")),
+                        )
+                    elif raw[:2] == b"BM":
+                        w, h, total = bmp_stats_of(raw)
+                    elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, total = png_stats_of(raw)
+                    else:
+                        raise ValueError(
+                            f"unknown image magic {raw[:2].hex()}"
+                        )
+                except ValueError as exc:
+                    raise ValueError(f"media {mid}: {exc}") from exc
+                out.append((int(mid), w, h, total))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "px_sum"]
             )
@@ -344,6 +352,36 @@ def synth_bmp_media(spark, n: int = 64) -> DataFrame:
     )
 
 
+def bmp_stats_of(raw: bytes) -> tuple[int, int, int]:
+    """Per-payload 24-bit BMP decode → (width, height, px_sum); the
+    shared kernel body for ``decode_bmp_stats`` and the mixed-format
+    ``decode_image`` dispatch."""
+    import struct
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", raw, 10)[0]
+    w, h = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    stride = w * 3 + ((-(w * 3)) % 4)
+    # Python slicing is silent on short reads: a truncated payload
+    # would sum a partial pixel array into a wrong px_sum instead of
+    # failing (found by the round-6 decode fuzz).  Loud-fail up front
+    # like the PNG/WAV paths do.
+    need = off + abs(h) * stride
+    if len(raw) < need:
+        raise ValueError(
+            f"truncated pixel array ({len(raw)} < {need} bytes)"
+        )
+    total = 0
+    for y in range(abs(h)):
+        row = raw[off + y * stride : off + y * stride + w * 3]
+        total += sum(row)
+    return int(w), int(abs(h)), int(total)
+
+
 def decode_bmp_stats(media: DataFrame) -> DataFrame:
     """REAL decode: parse each BMP payload (header fields + bottom-up
     padded pixel rows) and emit (media_id, width, height, px_sum) with
@@ -351,36 +389,16 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
     with columns pruned to (media_id, payload) before the boundary —
     identical plumbing to any codec kernel; swap the body for
     libjpeg/ffmpeg and nothing around it changes."""
-    import struct
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for mid, payload in zip(b["media_id"], b["payload"]):
-                raw = bytes(payload)
-                if raw[:2] != b"BM":
-                    raise ValueError(f"media {mid}: not a BMP")
-                off = struct.unpack_from("<I", raw, 10)[0]
-                w, h = struct.unpack_from("<ii", raw, 18)
-                bpp = struct.unpack_from("<H", raw, 28)[0]
-                if bpp != 24:
-                    raise ValueError(f"media {mid}: unsupported bpp {bpp}")
-                stride = w * 3 + ((-(w * 3)) % 4)
-                # Python slicing is silent on short reads: a truncated
-                # payload would sum a partial pixel array into a wrong
-                # px_sum instead of failing (found by the round-6 decode
-                # fuzz).  Loud-fail up front like the PNG/WAV paths do.
-                need = off + abs(h) * stride
-                if len(raw) < need:
-                    raise ValueError(
-                        f"media {mid}: truncated pixel array "
-                        f"({len(raw)} < {need} bytes)"
-                    )
-                total = 0
-                for y in range(abs(h)):
-                    row = raw[off + y * stride : off + y * stride + w * 3]
-                    total += sum(row)
-                out.append((int(mid), int(w), int(abs(h)), int(total)))
+                try:
+                    w, h, total = bmp_stats_of(bytes(payload))
+                except ValueError as exc:
+                    raise ValueError(f"media {mid}: {exc}") from exc
+                out.append((int(mid), w, h, total))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "px_sum"]
             )
@@ -479,6 +497,80 @@ def synth_png_media(spark, n: int = 64) -> DataFrame:
     )
 
 
+def png_stats_of(raw: bytes) -> tuple[int, int, int]:
+    """Per-payload PNG decode → (width, height, px_sum); the shared
+    kernel body for ``decode_png_stats`` and the mixed-format
+    ``decode_image`` dispatch.  CRCs verified, IDAT reassembled +
+    inflated, scanlines reconstructed per filter byte; unsupported
+    shapes (non-8-bit, non-RGB, interlaced) and corrupt/truncated
+    streams raise loudly."""
+    import struct
+    import zlib
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    seen_iend = False
+    while pos + 8 <= len(raw):
+        ln = struct.unpack_from(">I", raw, pos)[0]
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack_from(">I", raw, pos + 8 + ln)[0]
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if not seen_iend:
+        # a stream cut after the last IDAT still carries all pixel
+        # data, but IEND is mandatory (RFC 2083 §4.3) and its absence
+        # means the payload was truncated — loud-fail (round-6 fuzz)
+        raise ValueError("missing IEND (truncated)")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG shape {(depth, color, comp, filt, interlace)}"
+        )
+    stream = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(stream) != h * (stride + 1):
+        raise ValueError("bad scanline stream length")
+    prior = bytearray(stride)
+    total = 0
+    for y in range(h):
+        ft = stream[y * (stride + 1)]
+        line = bytearray(
+            stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        )
+        if ft == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter {ft}")
+        total += sum(line)
+        prior = line
+    return int(w), int(h), int(total)
+
+
 def decode_png_stats(media: DataFrame) -> DataFrame:
     """REAL compressed-image decode: walk the chunk list (verifying
     every CRC32), reassemble + inflate the IDAT stream, reconstruct
@@ -486,78 +578,16 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
     px_sum).  Unsupported shapes (non-8-bit, non-RGB, interlaced) and
     corrupt CRCs raise loudly.  Same Arrow mapInPandas plumbing as the
     BMP/WAV kernels."""
-    import struct
-    import zlib
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for mid, payload in zip(b["media_id"], b["payload"]):
-                raw = bytes(payload)
-                if raw[:8] != b"\x89PNG\r\n\x1a\n":
-                    raise ValueError(f"media {mid}: not a PNG")
-                pos, ihdr, idat = 8, None, bytearray()
-                seen_iend = False
-                while pos + 8 <= len(raw):
-                    ln = struct.unpack_from(">I", raw, pos)[0]
-                    typ = raw[pos + 4 : pos + 8]
-                    data = raw[pos + 8 : pos + 8 + ln]
-                    crc = struct.unpack_from(">I", raw, pos + 8 + ln)[0]
-                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-                        raise ValueError(f"media {mid}: bad CRC in {typ!r}")
-                    if typ == b"IHDR":
-                        ihdr = struct.unpack(">IIBBBBB", data)
-                    elif typ == b"IDAT":
-                        idat += data
-                    elif typ == b"IEND":
-                        seen_iend = True
-                        break
-                    pos += 12 + ln
-                if ihdr is None or not idat:
-                    raise ValueError(f"media {mid}: missing IHDR/IDAT")
-                if not seen_iend:
-                    # a stream cut after the last IDAT still carries all
-                    # pixel data, but IEND is mandatory (RFC 2083 §4.3)
-                    # and its absence means the payload was truncated —
-                    # loud-fail (round-6 decode fuzz)
-                    raise ValueError(f"media {mid}: missing IEND (truncated)")
-                w, h, depth, color, comp, filt, interlace = ihdr
-                if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                    raise ValueError(
-                        f"media {mid}: unsupported PNG shape "
-                        f"{(depth, color, comp, filt, interlace)}"
-                    )
-                stream = zlib.decompress(bytes(idat))
-                bpp, stride = 3, w * 3
-                if len(stream) != h * (stride + 1):
-                    raise ValueError(f"media {mid}: bad scanline stream length")
-                prior = bytearray(stride)
-                total = 0
-                for y in range(h):
-                    ft = stream[y * (stride + 1)]
-                    line = bytearray(
-                        stream[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-                    )
-                    if ft == 1:
-                        for i in range(bpp, stride):
-                            line[i] = (line[i] + line[i - bpp]) & 0xFF
-                    elif ft == 2:
-                        for i in range(stride):
-                            line[i] = (line[i] + prior[i]) & 0xFF
-                    elif ft == 3:
-                        for i in range(stride):
-                            left = line[i - bpp] if i >= bpp else 0
-                            line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
-                    elif ft == 4:
-                        for i in range(stride):
-                            left = line[i - bpp] if i >= bpp else 0
-                            ul = prior[i - bpp] if i >= bpp else 0
-                            line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
-                    elif ft != 0:
-                        raise ValueError(f"media {mid}: bad filter {ft}")
-                    total += sum(line)
-                    prior = line
-                out.append((int(mid), int(w), int(h), int(total)))
+                try:
+                    w, h, total = png_stats_of(bytes(payload))
+                except ValueError as exc:
+                    raise ValueError(f"media {mid}: {exc}") from exc
+                out.append((int(mid), w, h, total))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "px_sum"]
             )
@@ -738,6 +768,10 @@ class _JpegBitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             byte = (self.acc >> self.nbits) & 0xFF
+            # drop emitted bits: an unmasked acc grows one bit per
+            # stream bit and every shift copies the whole bigint —
+            # O(n^2) in scan length (r10 review finding)
+            self.acc &= (1 << self.nbits) - 1
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing (T.81 F.1.2.3)
                 self.buf.append(0x00)
@@ -849,6 +883,9 @@ class _JpegBitReader:
             self.nbits += 8
         self.nbits -= n
         val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # mask consumed bits (same O(n^2) bigint-growth fix as the
+        # writer; the reader holds at most 7 + n residual bits now)
+        self.acc &= (1 << self.nbits) - 1
         return val
 
     def huffman(self, table: dict[tuple[int, int], int]) -> int:
@@ -997,6 +1034,12 @@ def decode_jpeg_bytes(raw: bytes) -> "np.ndarray":  # noqa: F821
                     if run != 15:
                         raise ValueError("jpeg: invalid AC run/size")
                     k += 16  # ZRL
+                    if k >= 64:
+                        # ZRL must leave room for a following nonzero
+                        # coefficient (T.81 F.1.2.2.3); silently
+                        # exiting here would accept a spec-invalid
+                        # stream (r10 review finding)
+                        raise ValueError("jpeg: ZRL past coefficient 63")
                     continue
                 k += run
                 if k >= 64:

@@ -695,12 +695,28 @@ def embedding_covariance(
             if not len(pdf):
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * 1e6
+            # the quantization itself must not wrap: float64 → int64
+            # astype is silent-wrapping in numpy for |m| ≥ 2^63.  A
+            # micro-fp component that large (|x| ≥ 9.2e12) is not an
+            # embedding — raise loudly rather than emit garbage.
+            mabs = float(np.abs(m).max(initial=0.0))
+            if mabs >= float(1 << 62):
+                raise ValueError(
+                    "embedding_covariance: component magnitude "
+                    f"{mabs / 1e6:.3e} exceeds the micro fixed-point "
+                    "int64 domain"
+                )
             q = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
             maxq = int(np.abs(q).max(initial=0))
-            chunk = len(q) if maxq == 0 else max(1, (1 << 62) // (maxq * maxq))
-            for lo in range(0, len(q), chunk):
-                qc = q[lo : lo + chunk]
-                acc += (qc.T @ qc).astype(object)
+            if maxq and maxq * maxq >= (1 << 62):
+                # even a single-row outer product would wrap int64:
+                # fall back to exact object-dtype matmul for the batch
+                acc += q.astype(object).T @ q.astype(object)
+            else:
+                chunk = len(q) if maxq == 0 else max(1, (1 << 62) // (maxq * maxq))
+                for lo in range(0, len(q), chunk):
+                    qc = q[lo : lo + chunk]
+                    acc += (qc.T @ qc).astype(object)
             seen = True
         if seen:
             yield pd.DataFrame(

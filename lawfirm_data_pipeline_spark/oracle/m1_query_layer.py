@@ -158,9 +158,16 @@ def q06_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, o_orderstatus,
            count(*)                         AS count_all,
-           -- exact micro-fixed-point sum, mirroring the engine's
-           -- _sum_exact: sum(double) drifts in its last ulp with
-           -- addend order once the group holds ~sf3-many rows
+           -- exact micro-fixed-point sum: sum(double) drifts in its
+           -- last ulp with addend order once the group holds
+           -- ~sf3-many rows.  The engine's _sum_exact takes this
+           -- decimal branch only for LOSSLESS groups (r10 ADVICE #1
+           -- added a plain-SUM fallback for NaN/Inf/sub-micro/1e24+
+           -- floats); o_totalprice is 2dp money by construction, so
+           -- the unconditional snap here mirrors the branch the
+           -- engine actually takes.  If a corpus ever put
+           -- non-fixed-point doubles in o_totalprice this oracle
+           -- would need the same conditional.
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
                                             AS sum_o_totalprice,
            max(o_orderdate)                 AS max_o_orderdate

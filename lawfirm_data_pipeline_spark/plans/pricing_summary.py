@@ -20,39 +20,60 @@ from ..io import load_table
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "1998-09-02") -> DataFrame:
+    """Money columns are 2dp fixed point, so every aggregate runs in
+    EXACT decimal (r10: the fresh-draw 6M-row differential caught the
+    former ``sum(double)`` drifting in its last ulp with addend order
+    — the q07 class hitting the flagship).  Tight scales keep every
+    product exact: price d(12,2) × (1−disc) d(3,2) → d(16,4); × 
+    (1+tax) d(3,2) → d(20,6); decimal SUMs are order-independent and
+    cast to double ONCE, identically in the DuckDB twin."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 PRICING_SUMMARY_SQL = """
+WITH d AS (SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity      AS DECIMAL(12,2)) AS qty,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                  CAST(l_discount      AS DECIMAL(3,2))  AS disc,
+                  CAST(l_tax           AS DECIMAL(3,2))  AS tax
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
 SELECT l_returnflag,
        l_linestatus,
-       sum(l_quantity)                                        AS sum_qty,
-       sum(l_extendedprice)                                   AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
-       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
-       avg(l_quantity)                                        AS avg_qty,
-       avg(l_extendedprice)                                   AS avg_price,
-       avg(l_discount)                                        AS avg_disc,
+       CAST(sum(qty)   AS DOUBLE)                             AS sum_qty,
+       CAST(sum(price) AS DOUBLE)                             AS sum_base_price,
+       CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)) AS DOUBLE)
+                                                              AS sum_disc_price,
+       CAST(sum(price * (CAST(1 AS DECIMAL(3,2)) - disc)
+                      * (CAST(1 AS DECIMAL(3,2)) + tax)) AS DOUBLE)
+                                                              AS sum_charge,
+       CAST(sum(qty)   AS DOUBLE) / count(*)                  AS avg_qty,
+       CAST(sum(price) AS DOUBLE) / count(*)                  AS avg_price,
+       CAST(sum(disc)  AS DOUBLE) / count(*)                  AS avg_disc,
        count(*)                                               AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+FROM d
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """

@@ -46,8 +46,20 @@ def test_short_line_carries_all_299_timings_within_budget():
 def test_short_line_sheds_extras_before_t_ms():
     # Long names blow the budget: t_ms must survive, extras shed in order
     t = {f"q{i}_{'x' * 40}": 0.1 for i in range(299)}
-    line = short_line(t, 29.9, 0.1, {"start": {}, "end": {}}, None, budget=1200)
+    line = short_line(t, 29.9, 0.1, {"start": {}, "end": {}}, None, budget=1500)
     d = json.loads(line)
     assert len(d["t_ms"]) == 299
-    assert "queries" not in d and "host_load" not in d
+    assert "queries" not in d  # the 5-slowest name map shed first
     assert "queries" in d["trimmed"]
+
+
+def test_short_line_last_resort_drops_t_ms_not_parseability():
+    """Multi-second per-query sweeps (sf1+) can outgrow the window on
+    t_ms alone: the final fallback drops t_ms (pointing at
+    bench_queries.json) rather than ship an unparseable line."""
+    t = {f"q{i:03d}": 100.0 + i for i in range(299)}  # 6-digit ms each
+    line = short_line(t, sum(t.values()), 1.0, {"start": {}, "end": {}}, None, budget=800)
+    assert len(line) < 2000
+    d = json.loads(line)
+    assert "t_ms" not in d and "t_ms" in d["trimmed"]
+    assert d["queries_file"] == "bench_queries.json"

@@ -164,6 +164,33 @@ def test_covariance_large_magnitude_no_int64_wrap(spark):
     assert sum(r[0] * r[0] for r in q) > 2**63
 
 
+def test_covariance_single_row_wrap_regime_object_fallback(spark):
+    """r10 review finding: with |q| ~ 3.1e9 a SINGLE row's q_i*q_j
+    already exceeds 2^63 — the chunk=max(1, ...) clamp still wrapped.
+    The object-dtype fallback must return the exact value; absurd
+    magnitudes past the int64 micro-fp domain must raise loudly."""
+    import pytest as _pytest
+
+    vals = [[3100.0, -3100.0], [3100.0, 3100.0]]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vals)]
+    )
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df, dim=2).collect()}
+    q = [[round(x * 1e6) for x in v] for v in vals]
+    n = len(q)
+    assert abs(q[0][0] * q[0][0]) > 2**63  # single-row wrap regime
+    for (i, j), cov in got.items():
+        sxy = sum(r[i] * r[j] for r in q)
+        si, sj = sum(r[i] for r in q), sum(r[j] for r in q)
+        want = round(sxy / 1e12 / n - (si / 1e6 / n) * (sj / 1e6 / n), 6)
+        assert cov == want, ((i, j), cov, want)
+    absurd = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1e13, 0.0]), Row(vec_id=1, embedding=[1.0, 1.0])]
+    )
+    with _pytest.raises(Exception, match="micro fixed-point int64 domain"):
+        embedding_covariance(absurd, dim=2).collect()
+
+
 def test_covariance_partials_are_bounded_rows(spark):
     # the Arrow kernel emits d*(d+1)/2 rows per partition regardless of
     # row count — the property that makes the op 100 TB-safe

@@ -191,3 +191,51 @@ def test_edge_clipped_dimensions():
     img = decode_jpeg_bytes(raw)
     assert img.shape == (8, 12)
     assert (img[:, :8] == 138).all() and (img[:, 8:] == 108).all()
+
+
+def test_zrl_past_63_raises():
+    """A spec-invalid scan whose ZRL run crosses coefficient 63 must
+    raise, not silently exit the AC loop as if EOB (r10 review)."""
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    code, ln = dc_codes[0]
+    bw.put(code, ln)  # DC diff 0
+    for _ in range(4):  # k: 1 -> 17 -> 33 -> 49 -> 65
+        code, ln = ac_codes[0xF0]
+        bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zzq = bytes([8] + [16] * 63)
+    raw = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes(zzq[_JPEG_ZIGZAG[k]] for k in range(64)))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        + scan
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="ZRL"):
+        decode_jpeg_bytes(raw)
+
+
+def test_bit_accumulators_stay_bounded():
+    """The reader/writer accumulators must not grow with stream length
+    (the unmasked-bigint O(n^2) regression, r10 review): after every
+    operation the residual accumulator holds < 16 bits."""
+    from lawfirm_data_pipeline_spark.operators.multimodal import _JpegBitReader
+
+    bw = _JpegBitWriter()
+    for i in range(5000):
+        bw.put(i & 0x3FF, 10)
+        assert bw.acc.bit_length() <= 16
+    data = bw.flush()
+    br = _JpegBitReader(data, 0)
+    for _ in range(3000):
+        br.read(10)
+        assert br.acc.bit_length() <= 16

@@ -88,26 +88,44 @@ def test_multimodal_feature_kernel_matches_reference_hash(spark):
         assert abs(row.features[0] - int(digest[:2], 16) / 255.0) < 1e-6
 
 
-def test_decode_image_decodes_jpeg_and_rejects_unknown_magic(spark):
-    """r10: decode_image is no longer a stub — it dispatches baseline
-    JPEG payloads to the real decoder and LOUD-fails unknown magics
-    (synth_media payloads are md5-derived bytes, not images)."""
+def test_decode_image_dispatches_mixed_formats(spark):
+    """r10: decode_image is no longer a stub — it dispatches
+    JPEG/BMP/PNG per-row by payload magic in ONE mixed batch and
+    LOUD-fails unknown magics (synth_media payloads are md5-derived
+    bytes, not images)."""
+    from pyspark.sql import Row, functions as F
+
     from lawfirm_data_pipeline_spark.operators.multimodal import (
-        synth_jpeg_media,
+        bmp_stats_of,
+        png_stats_of,
+        synth_bmp_bytes,
+        synth_jpeg_bytes,
+        synth_png_bytes,
     )
 
+    payloads = {
+        0: synth_jpeg_bytes(2),
+        1: synth_bmp_bytes(3),
+        2: synth_png_bytes(4),
+        3: synth_jpeg_bytes(5),
+    }
+    df = spark.createDataFrame(
+        [Row(media_id=k, payload=bytearray(v)) for k, v in payloads.items()]
+    )
     rows = {
         r["media_id"]: (r["width"], r["height"], r["px_sum"])
-        for r in decode_image(synth_jpeg_media(spark, 4)).collect()
+        for r in decode_image(df).collect()
     }
-    for mid, (w, h, s) in rows.items():
-        assert w == 16 + 8 * (mid % 3) and h == 8 + 8 * (mid % 4)
-        want = sum(
-            64 * ((mid * 7 + bx * 3 + by * 5) % 256)
+    assert rows[1] == bmp_stats_of(payloads[1])
+    assert rows[2] == png_stats_of(payloads[2])
+    for mid, jid in ((0, 2), (3, 5)):
+        w, h, s = rows[mid]
+        assert (w, h) == (16 + 8 * (jid % 3), 8 + 8 * (jid % 4))
+        assert s == sum(
+            64 * ((jid * 7 + bx * 3 + by * 5) % 256)
             for bx in range(w // 8)
             for by in range(h // 8)
         )
-        assert s == want
     with pytest.raises(Exception, match="unknown image magic"):
         decode_image(synth_media(spark, 1)).collect()
 

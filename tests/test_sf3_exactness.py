@@ -88,3 +88,35 @@ def test_label_centroids_normalize_negative_zero(spark):
     assert out[0] == 0.0
     assert math.copysign(1.0, out[0]) == 1.0, "centroid leaked -0.0"
     assert out[1] == 1.0
+
+
+def test_q01_flagship_sums_are_exact_decimal(spark):
+    """r10 fresh-draw differential finding: the flagship's former
+    sum(double) drifted in its last ulp at 6M fresh rows.  Pin the
+    exact-decimal rewrite: a 3-row group whose double sum is
+    famously inexact must come out exact."""
+    from pyspark.sql import Row
+
+    from lawfirm_data_pipeline_spark.plans.pricing_summary import pricing_summary
+
+    import lawfirm_data_pipeline_spark.plans.pricing_summary as mod
+
+    rows = [
+        Row(
+            l_orderkey=i, l_partkey=0, l_suppkey=0, l_linenumber=1,
+            l_quantity=1.0, l_extendedprice=p, l_discount=0.0, l_tax=0.0,
+            l_returnflag="A", l_linestatus="F",
+            l_shipdate=__import__("datetime").datetime(1995, 1, 1),
+        )
+        for i, p in enumerate([0.10, 0.10, 0.10])
+    ]
+    df = spark.createDataFrame(rows)
+    orig = mod.load_table
+    mod.load_table = lambda sp, sf, name: df
+    try:
+        out = pricing_summary(spark, "unused").collect()[0]
+    finally:
+        mod.load_table = orig
+    # plain double sum of 0.1*3 is 0.30000000000000004; decimal is 0.3
+    assert out["sum_base_price"] == 0.3
+    assert out["avg_price"] == 0.3 / 3

@@ -32,6 +32,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -39,19 +40,40 @@ CARDINALITY_FAMILY = "q50,q107,q153,q194,q196,q239,q273"
 
 
 def _run(name: str, cmd: list[str], out_path: str | None, env: dict | None = None) -> bool:
+    """Run one gate step.  stderr goes to a per-step log file (NOT
+    devnull — the differential tool prints its mandated
+    '# EXCLUDED (review):' lines there, r10 ADVICE #3); exclusion
+    lines are echoed through, and a failing step's stderr tail is
+    printed so the gate log alone diagnoses a red."""
     print(f"== close-gate step: {name}", flush=True)
     full_env = dict(os.environ)
     if env:
         full_env.update(env)
-    if out_path:
-        with open(out_path, "w") as f:
+    # stderr logs live OUTSIDE the repo: an untracked log would flip
+    # git_dirty in every later step's self-stamp
+    errlog = os.path.join(
+        tempfile.gettempdir(), f"close_gate_{name.split()[0]}.stderr.log"
+    )
+    with open(errlog, "w") as ef:
+        if out_path:
+            with open(out_path, "w") as f:
+                rc = subprocess.run(
+                    cmd, cwd=_REPO, stdout=f, stderr=ef, env=full_env
+                ).returncode
+        else:
             rc = subprocess.run(
-                cmd, cwd=_REPO, stdout=f, stderr=subprocess.DEVNULL, env=full_env
+                cmd, cwd=_REPO, stderr=ef, env=full_env
             ).returncode
-    else:
-        rc = subprocess.run(
-            cmd, cwd=_REPO, stderr=subprocess.DEVNULL, env=full_env
-        ).returncode
+    try:
+        err_lines = open(errlog).read().splitlines()
+    except OSError:
+        err_lines = []
+    for ln in err_lines:
+        if ln.startswith("# EXCLUDED (review):"):
+            print(f"   {ln}", flush=True)
+    if rc != 0:
+        for ln in err_lines[-15:]:
+            print(f"   stderr| {ln}", flush=True)
     print(f"   {name}: rc={rc}" + (f" -> {out_path}" if out_path else ""), flush=True)
     return rc == 0
 
@@ -63,6 +85,13 @@ def main() -> None:
         "--skip",
         default="",
         help="comma list from {lint,det,sf1,sf3,freshdraw}",
+    )
+    ap.add_argument(
+        "--commit",
+        action="store_true",
+        help="git-commit each artifact right after its step, so every "
+        "later step self-stamps a CLEAN tree (the r9 convention: each "
+        "artifact carries git_dirty=false at whatever head it ran)",
     )
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
@@ -88,6 +117,15 @@ def main() -> None:
             print("  " + ln)
         sys.exit(2)
 
+    def _commit(path: str) -> None:
+        if not args.commit:
+            return
+        subprocess.run(["git", "add", path], cwd=_REPO)
+        subprocess.run(
+            ["git", "commit", "-q", "-m", f"close gate r{args.round}: {path}"],
+            cwd=_REPO,
+        )
+
     py = sys.executable
     ok = True
     if "lint" not in skip:
@@ -96,12 +134,14 @@ def main() -> None:
             [py, "tools/plan_lint.py"],
             f"plan_lint_r{args.round}.json",
         )
+        _commit(f"plan_lint_r{args.round}.json")
     if "det" not in skip:
         ok &= _run(
             "determinism sf0.1",
             [py, "tools/determinism_check.py", "/root/testdata/sf0.1"],
             f"determinism_r{args.round}.json",
         )
+        _commit(f"determinism_r{args.round}.json")
     big = {
         "SPARK_GRAFT_DRIVER_MEM": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         "DIFF_SF1_DUCK_TIMEOUT": os.environ.get("DIFF_SF1_DUCK_TIMEOUT", "600"),
@@ -114,6 +154,7 @@ def main() -> None:
             None,
             env=big,
         )
+        _commit("differential_sf1.json")
     if "sf3" not in skip:
         ok &= _run(
             "sf3 value differential",
@@ -125,6 +166,7 @@ def main() -> None:
             None,
             env=big,
         )
+        _commit("differential_sf3.json")
     if "freshdraw" not in skip:
         ok &= _run(
             "fresh-draw cardinality differential",
@@ -137,6 +179,7 @@ def main() -> None:
             None,
             env=big,
         )
+        _commit(f"differential_freshdraw_r{args.round}.json")
 
     summary = {}
     for label, path in [
