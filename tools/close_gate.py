@@ -36,7 +36,13 @@ import tempfile
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-CARDINALITY_FAMILY = "q50,q107,q153,q194,q196,q239,q273"
+# the fresh-draw step runs the FULL registry: the corpus's different
+# distribution (organic uniqueness, fresh multiplicities, different
+# date/value quantization) is a third evidence axis — its first full
+# run (r10) caught the flagship's sum(double) ulp drift that three
+# scales of key-shifted copies never exposed.  The cardinality family
+# (q50,q107,q153,q194,q196,q239,q273) is the part that NEEDS this
+# corpus; the rest rides along for the distribution shift.
 
 
 def _run(name: str, cmd: list[str], out_path: str | None, env: dict | None = None) -> bool:
@@ -173,7 +179,6 @@ def main() -> None:
             [
                 py, "tools/differential_sf1.py",
                 "--sf-dir", os.path.join(_REPO, "benchdata", "freshdraw_sf1"),
-                "--only", CARDINALITY_FAMILY,
                 "--out", f"differential_freshdraw_r{args.round}.json",
             ],
             None,
