@@ -95,9 +95,18 @@ def main() -> None:
     ap.add_argument(
         "--commit",
         action="store_true",
-        help="git-commit each artifact right after its step, so every "
-        "later step self-stamps a CLEAN tree (the r9 convention: each "
-        "artifact carries git_dirty=false at whatever head it ran)",
+        help="git-commit each artifact right after its step (sequential "
+        "mode), so every later step self-stamps a CLEAN tree",
+    )
+    ap.add_argument(
+        "--parallel",
+        action="store_true",
+        help="launch every step CONCURRENTLY from the current clean "
+        "commit — safe since r10: every tool takes its git stamp at "
+        "RUN START, so a sibling's end-of-run artifact write cannot "
+        "flip a stamp.  Wall clock = the slowest step (sf3) instead "
+        "of the sum.  Implies no per-step commits; commit all "
+        "artifacts together afterwards.",
     )
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
@@ -133,6 +142,70 @@ def main() -> None:
         )
 
     py = sys.executable
+
+    if args.parallel:
+        big_env = dict(os.environ)
+        big_env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        big_env.setdefault("DIFF_SF1_DUCK_TIMEOUT", "600")
+        big_env.setdefault("DIFF_SF1_SPARK_TIMEOUT", "600")
+        steps = {
+            "lint": ([py, "tools/plan_lint.py"], f"plan_lint_r{args.round}.json", None),
+            "det": (
+                [py, "tools/determinism_check.py", "/root/testdata/sf0.1"],
+                f"determinism_r{args.round}.json", None,
+            ),
+            "sf1": (
+                [py, "tools/differential_sf1.py", "--out", "differential_sf1.json"],
+                None, big_env,
+            ),
+            "sf3": (
+                [py, "tools/differential_sf1.py",
+                 "--sf-dir", os.path.join(_REPO, "benchdata", "sf3"),
+                 "--out", "differential_sf3.json"],
+                None, big_env,
+            ),
+            "freshdraw": (
+                [py, "tools/differential_sf1.py",
+                 "--sf-dir", os.path.join(_REPO, "benchdata", "freshdraw_sf1"),
+                 "--out", f"differential_freshdraw_r{args.round}.json"],
+                None, big_env,
+            ),
+        }
+        procs = {}
+        for label, (cmd, out_path, env) in steps.items():
+            if label in skip:
+                continue
+            errlog = os.path.join(
+                tempfile.gettempdir(), f"close_gate_{label}.stderr.log"
+            )
+            stdout = open(out_path, "w") if out_path else None
+            procs[label] = (
+                subprocess.Popen(
+                    cmd, cwd=_REPO,
+                    stdout=stdout or subprocess.DEVNULL,
+                    stderr=open(errlog, "w"), env=env or None,
+                ),
+                errlog,
+            )
+            print(f"== close-gate launched (parallel): {label}", flush=True)
+        ok = True
+        for label, (proc, errlog) in procs.items():
+            rc = proc.wait()
+            try:
+                err_lines = open(errlog).read().splitlines()
+            except OSError:
+                err_lines = []
+            for ln in err_lines:
+                if ln.startswith("# EXCLUDED (review):"):
+                    print(f"   [{label}] {ln}", flush=True)
+            if rc != 0:
+                for ln in err_lines[-15:]:
+                    print(f"   [{label}] stderr| {ln}", flush=True)
+            print(f"   {label}: rc={rc}", flush=True)
+            ok &= rc == 0
+        _summarize(args, ok)
+        return
+
     ok = True
     if "lint" not in skip:
         ok &= _run(
@@ -186,6 +259,10 @@ def main() -> None:
         )
         _commit(f"differential_freshdraw_r{args.round}.json")
 
+    _summarize(args, ok)
+
+
+def _summarize(args, ok: bool) -> None:
     summary = {}
     for label, path in [
         ("plan_lint", f"plan_lint_r{args.round}.json"),

@@ -30,6 +30,11 @@ sys.path.insert(0, _REPO)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+# stamp at RUN START (describes the code that ran; concurrent-gate safe)
+from tools._stamp import git_stamp  # noqa: E402
+
+_STAMP = git_stamp()
+
 
 def result_hash(df) -> str:
     rows = sorted(map(repr, map(tuple, df.collect())))
@@ -73,11 +78,9 @@ def main() -> None:
         for n in set.intersection(*[set(p) for p in passes])
         if any(p[n] != base[n] for p in passes[1:])
     )
-    from tools._stamp import git_stamp
-
     out = {
         "metric": "partitioning_determinism",
-        **git_stamp(),
+        **_STAMP,
         "n_queries": len(set.union(*[set(p) for p in passes])),
         "mismatched": diff,
         "errors": errs,

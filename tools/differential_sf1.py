@@ -121,6 +121,11 @@ def main() -> None:
     from tests.oracle_compare import canon_multiset
     from tools._stamp import git_stamp
 
+    # stamp at RUN START: it describes the code that ran, and lets
+    # several gate artifacts run CONCURRENTLY from one clean commit
+    # without a sibling's end-of-run write flipping git_dirty (r10)
+    stamp = git_stamp()
+
     if not os.path.isdir(args.sf_dir):
         from bench_sf1 import materialize
 
@@ -236,7 +241,7 @@ def main() -> None:
         "n_red": n_red,
         "spark_timeout_s": SPARK_TIMEOUT,
         "duck_timeout_s": DUCK_TIMEOUT,
-        **git_stamp(),
+        **stamp,
         "queries": results,
     }
     with open(args.out, "w") as f:

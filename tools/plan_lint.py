@@ -358,7 +358,15 @@ def _tree_stats(df) -> tuple[int, dict[str, int]] | None:
         return None
 
 
+_LINT_STAMP = None
+
+
 def main() -> None:
+    global _LINT_STAMP
+    from tools._stamp import git_stamp
+
+    # stamp at RUN START (describes the code that ran; concurrent-gate safe)
+    _LINT_STAMP = git_stamp()
     from lawfirm_data_pipeline_spark.session import get_spark
     from lawfirm_data_pipeline_spark.queries import QUERIES
     from lawfirm_data_pipeline_spark.streaming import plan_capture
@@ -440,11 +448,9 @@ def main() -> None:
                     rescans[name] = {**rescans.get(name, {}), t: c}
         if probs:
             flags[name] = probs
-    from tools._stamp import git_stamp
-
     out = {
         "metric": "plan_lint",
-        **git_stamp(),
+        **_LINT_STAMP,
         "n_planned": len(exchanges),
         "n_skipped_streaming": len(skipped),
         "n_stream_plans_captured": n_stream_plans,
