@@ -62,6 +62,16 @@ _WORDS = (
     "large cache disk plan cost stats index page block shuffle skew"
 ).split()
 
+# part names mirror the driver's STRUCTURE: "adjective noun" over a
+# tiny fixed vocabulary (sf0.1 has exactly 64 distinct p_name values).
+# Name dictionaries are BLOCKING KEYS for the linkage family
+# (q129/q231): their cardinality is a structural property of the
+# schema, not a row-count property — the first fresh-draw run used
+# 3-word names (39k distinct) and q129's blocked levenshtein ran 25x
+# longer against a dictionary the operator contract never promised.
+_P_ADJ = "large hot blue old cold small new dark".split()
+_P_NOUN = "ring bolt plate wheel cog pin rod cap".split()
+
 
 def _ts_us(base: str, span_days: float, offs: np.ndarray) -> pa.Array:
     base_us = np.datetime64(base, "us").astype("int64")
@@ -128,8 +138,10 @@ def materialize() -> str:
                 "p_partkey": pa.array(np.arange(N_PART), type=pa.int64()),
                 "p_name": pa.array(
                     [
-                        " ".join(rng.choice(_WORDS, 3))
-                        for _ in range(N_PART)
+                        f"{_P_ADJ[a]} {_P_NOUN[b]}"
+                        for a, b in zip(
+                            rng.integers(0, 8, N_PART), rng.integers(0, 8, N_PART)
+                        )
                     ]
                 ),
                 "p_brand": pa.array(
