@@ -338,3 +338,32 @@ def test_differential_resource_classifier_is_type_based():
     if isinstance(getattr(duckdb, "IOException", None), type):
         assert cls(duckdb.IOException("No space left on device"), duckdb)
         assert not cls(duckdb.IOException("file is corrupt"), duckdb)
+
+
+# --- r10: concurrent-gate stamps ignore untracked measurement outputs ----
+
+def test_git_stamp_ignores_untracked_measurement_outputs():
+    """An untracked artifact JSON produced by a sibling census must not
+    flip git_dirty (stamps describe the CODE that ran); any other
+    untracked or modified file still counts."""
+    from tools._stamp import _MEASUREMENT_OUTPUTS
+
+    ignored = [
+        "?? plan_lint_r10.json",
+        "?? determinism_r10.json",
+        "?? determinism_sf3_r9.json",
+        "?? differential_sf3.json",
+        "?? differential_freshdraw_r10.json",
+        "?? bench_sweep_r10_final.json",
+        "?? bench_queries.json",
+    ]
+    counted = [
+        " M differential_sf1.json",     # tracked overwrite: real dirt
+        "?? some_new_file.py",
+        " M lawfirm_data_pipeline_spark/query.py",
+        "?? differential_sf1.json.bak",
+    ]
+    for ln in ignored:
+        assert _MEASUREMENT_OUTPUTS.match(ln), ln
+    for ln in counted:
+        assert not _MEASUREMENT_OUTPUTS.match(ln), ln
