@@ -155,8 +155,12 @@ def q143_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND s.st IS NOT NULL AND e.ts >= s.st
                   GROUP BY e.user_id)
     SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           round(quantile_cont(delta_us, 0.5) / 1000000.0, 6) AS p50_sec,
-           round(quantile_cont(delta_us, 0.9) / 1000000.0, 6) AS p90_sec
+           -- binary-floor 6dp rounding (see q266): engine round()s
+           -- split on decimal-half ties of midpoint percentiles
+           floor(quantile_cont(delta_us, 0.5) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS p50_sec,
+           floor(quantile_cont(delta_us, 0.9) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS p90_sec
     FROM conv
     """,
 )
@@ -178,8 +182,13 @@ def q144_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.min("ts")) - F.unix_micros(F.min("st"))).alias("delta_us")
         )
     )
+    def _sec6(expr: str):
+        # binary-floor 6dp rounding — identical IEEE ops both engines
+        x = F.expr(expr) / 1000000.0
+        return F.floor(x * 1000000.0 + 0.5) / 1000000.0
+
     return conv.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.round(F.expr("percentile(delta_us, 0.5)") / 1000000.0, 6).alias("p50_sec"),
-        F.round(F.expr("percentile(delta_us, 0.9)") / 1000000.0, 6).alias("p90_sec"),
+        _sec6("percentile(delta_us, 0.5)").alias("p50_sec"),
+        _sec6("percentile(delta_us, 0.9)").alias("p90_sec"),
     )

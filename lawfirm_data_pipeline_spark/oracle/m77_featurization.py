@@ -137,9 +137,13 @@ def q265_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(sum(cents) AS BIGINT) AS s
                FROM o GROUP BY 1)
     SELECT o.o_orderkey, o.cat,
-           round(CASE WHEN g.n > 1
+           -- binary-floor 6dp rounding: floor(x*1e6 + 0.5)/1e6 is the
+           -- same IEEE ops on the same double in BOTH engines, so ties
+           -- at a decimal half cannot split them the way each engine's
+           -- own round() does (r10 fresh-draw finding)
+           floor(CASE WHEN g.n > 1
                       THEN CAST(g.s - o.cents AS DOUBLE) / (g.n - 1) / 100.0
-                      ELSE 0.0 END, 6) AS loo_mean
+                      ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS loo_mean
     FROM o JOIN g ON g.cat = o.cat
     """,
 )
@@ -162,6 +166,9 @@ def q266_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") > 1,
         (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1) / 100.0,
     ).otherwise(0.0)
+    # binary-floor 6dp rounding — identical IEEE ops both engines (the
+    # engines' own round() split on a decimal-half tie, r10 fresh-draw)
+    loo6 = F.floor(loo * 1000000.0 + 0.5) / 1000000.0
     return o.join(F.broadcast(g), "cat").select(
-        "o_orderkey", "cat", F.round(loo, 6).alias("loo_mean")
+        "o_orderkey", "cat", loo6.alias("loo_mean")
     )

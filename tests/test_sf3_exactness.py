@@ -120,3 +120,36 @@ def test_q01_flagship_sums_are_exact_decimal(spark):
     # plain double sum of 0.1*3 is 0.30000000000000004; decimal is 0.3
     assert out["sum_base_price"] == 0.3
     assert out["avg_price"] == 0.3 / 3
+
+
+def test_binary_floor_rounding_ties_are_engine_stable(spark):
+    """r10 fresh-draw findings: engine round(x, 6) splits on decimal-
+    half ties (q144 percentile midpoints, q266 LOO quotients).  The
+    binary-floor form floor(x*1e6 + 0.5)/1e6 is the same IEEE ops on
+    the same double everywhere.  Pin a .5-microsecond percentile
+    midpoint: two converters 1us apart make p50 end in .5."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    import lawfirm_data_pipeline_spark.oracle.m29_mlops_market as m
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for uid, lag_us in ((1, 1_000_000), (2, 1_000_001)):
+        rows.append(Row(event_id=uid * 10, ts=base, user_id=uid,
+                        event_type="signup", value=0.0, props="{}"))
+        rows.append(Row(event_id=uid * 10 + 1,
+                        ts=base + datetime.timedelta(microseconds=lag_us),
+                        user_id=uid, event_type="purchase", value=1.0,
+                        props="{}"))
+    df = spark.createDataFrame(rows)
+    orig = m.load_table
+    m.load_table = lambda sp, sf, name: df
+    try:
+        out = m.q144_time_to_convert(spark, "unused").collect()[0]
+    finally:
+        m.load_table = orig
+    # p50 = 1000000.5 us = 1.0000005 s -> half-up at 6dp -> 1.000001
+    assert out["n_converted"] == 2
+    assert out["p50_sec"] == 1.000001
