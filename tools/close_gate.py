@@ -178,19 +178,32 @@ def main() -> None:
             errlog = os.path.join(
                 tempfile.gettempdir(), f"close_gate_{label}.stderr.log"
             )
-            stdout = open(out_path, "w") if out_path else None
+            # stdout goes to a TEMP file moved into place at step end:
+            # opening the in-repo artifact at launch would truncate a
+            # tracked file and flip every sibling's start-stamp dirty
+            tmp_out = (
+                os.path.join(tempfile.gettempdir(), f"close_gate_{label}.stdout")
+                if out_path
+                else None
+            )
             procs[label] = (
                 subprocess.Popen(
                     cmd, cwd=_REPO,
-                    stdout=stdout or subprocess.DEVNULL,
+                    stdout=open(tmp_out, "w") if tmp_out else subprocess.DEVNULL,
                     stderr=open(errlog, "w"), env=env or None,
                 ),
                 errlog,
+                tmp_out,
+                out_path,
             )
             print(f"== close-gate launched (parallel): {label}", flush=True)
         ok = True
-        for label, (proc, errlog) in procs.items():
+        for label, (proc, errlog, tmp_out, out_path) in procs.items():
             rc = proc.wait()
+            if tmp_out and out_path:
+                import shutil
+
+                shutil.move(tmp_out, os.path.join(_REPO, out_path))
             try:
                 err_lines = open(errlog).read().splitlines()
             except OSError:
