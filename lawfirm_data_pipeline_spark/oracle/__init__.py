@@ -163,46 +163,22 @@ from . import m17_retrieval_quality  # noqa: F401
 # to resolve to their canonical modules rather than the placeholder
 # delegates.
 #
-# ROUND-10 WINDOW (r9 verdict task #1): the 50 stalest greens by
-# (last green driver round, registry number) after CORRECTNESS_r09
-# re-greened the q41-q97 block — the remaining r3-green cohort
-# q98-q128 plus the r3/r4 stream/lake/graph rows.  All 50 are
-# deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS ==
-# this set); test_rotation.py::test_recheck_window_is_the_stalest_greens
-# recomputes the list from the on-disk CORRECTNESS files so it cannot
-# silently rot.
+# ROUND-11 WINDOW (r10 verdict task #1): the 50 stalest queries by
+# (last green driver round, registry number), where a query with NO
+# green driver row at all ranks stalest-of-all (last-green round 0) —
+# the never-green blind-spot fix.  That puts q295 (baseline JPEG
+# decode, registered r10 outside the pinned r10 window) at the head
+# for its FIRST driver row, followed by the r5-green round-4 additions
+# q224-q268 and the stragglers q69b/q129/q130/q212; q131 (the least-
+# stale slot of the old pre-stage) is displaced to the r12 head.
+# 49 slots are deliberate re-checks (tests/test_rotation.py::
+# _RECHECK_SLOTS == this set minus q295); test_rotation.py::
+# test_recheck_window_is_the_stalest_greens recomputes the list from
+# the on-disk CORRECTNESS files so it cannot silently rot.
 _ROTATION_FRONT = [
-    "q98_stream_enriched_window", "q99_label_centroids", "q100_resize_audit",
-    "q101_audio_windows", "q102_approx_quantiles", "q103_cross_source_overlap",
-    "q104_stream_stream_join", "q105_salted_agg", "q106_boilerplate_filter",
-    "q107_heavy_hitters", "q108_embedding_covariance", "q109_phrase_search",
-    "q110_stateful_totals", "q111_event_funnel", "q112_cohort_retention",
-    "q113_pmi_collocations", "q114_supply_chain", "q115_constraint_audit",
-    "q116_winsorized_stats", "q117_bigram_lm", "q118_cms_audit",
-    "q119_weighted_reservoir", "q120_column_correlations",
-    "q121_hourly_anomalies", "q122_containment_pairs", "q123_token_drift",
-    "q124_epoch_shuffle", "q125_pca_audit", "q126_copurchase_degrees",
-    "q127_triangle_count", "q128_pagerank", "q152_stream_history_dedup",
-    "q153_join_cardinality", "q154_audience_overlap", "q155_market_share",
-    "q156_bfs_3hop", "q175_lake_roundtrip", "q176_migration_roundtrip",
-    "q197_format_roundtrip", "q198_partition_pruning",
-    "q202_python_datasource", "q203_udtf_ngrams", "q204_variant_json",
-    "q205_golden_records", "q206_time_travel",
-    "q207_approx_percentile_gate", "q208_recursive_reach",
-    "q221_textrank_keywords", "q223_psi_drift", "q38_lsh_ann_topk",
-]
-if len(_ROTATION_FRONT) != 50:
-    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
-
-# PRE-STAGED ROUND-11 WINDOW: the next-50 stalest greens (staleness
-# ranks 51-100 today; once CORRECTNESS_r10 re-greens the current
-# window those become exactly the 50 stalest) — the r5-green round-4
-# additions q224-q268 plus the stragglers q69b/q129/q130/q131/q212.
-# The r11 opener swaps it into _ROTATION_FRONT; test_rotation.py::
-# test_prestaged_next_window_is_the_next_stalest_greens recomputes it.
-_ROTATION_NEXT_R11 = [
+    "q295_jpeg_decode",
     "q69b_ivf_ann_nprobe", "q129_name_variants", "q130_ivm_totals",
-    "q131_skyline_parts", "q212_interval_join",
+    "q212_interval_join",
     "q224_multi_table_transaction", "q225_semantic_dedup",
     "q226_keyword_tags", "q227_cuped_readout", "q228_l_diversity",
     "q229_frame_pooling", "q230_hard_negatives", "q231_er_clusters",
@@ -222,9 +198,39 @@ _ROTATION_NEXT_R11 = [
     "q266_target_encoding_loo", "q267_span_corruption",
     "q268_token_budget_trim",
 ]
-if len(_ROTATION_NEXT_R11) != 50:
+if len(_ROTATION_FRONT) != 50:
+    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
+
+# PRE-STAGED ROUND-12 WINDOW: the next-50 stalest (staleness ranks
+# 51-100 today; once CORRECTNESS_r11 greens the current window those
+# become exactly the 50 stalest) — q131 (displaced from the r11 window
+# by q295) plus the r6-green q132-q151 / q157-q174 / q177-q187 block.
+# The r12 opener swaps it into _ROTATION_FRONT; test_rotation.py::
+# test_prestaged_next_window_is_the_next_stalest recomputes it.
+_ROTATION_NEXT_R12 = [
+    "q131_skyline_parts", "q132_session_paths", "q133_prefix_jaccard",
+    "q134_state_intervals", "q135_zonemap_prune", "q136_attribution",
+    "q137_max_concurrency", "q138_mad_outliers",
+    "q139_chisq_independence", "q140_trend_slopes", "q141_split_leakage",
+    "q142_association_rules", "q143_token_fertility",
+    "q144_time_to_convert", "q145_rank_fusion", "q146_negative_samples",
+    "q147_bpe_merges", "q148_zipf_fit", "q149_vocab_stats",
+    "q150_impute_audit", "q151_table_checksum", "q157_salted_join",
+    "q158_twap", "q159_delta_bits", "q160_group_digests", "q161_ab_test",
+    "q162_selectivity_profile", "q163_rolling_correlation",
+    "q164_rec_precision", "q165_kfold_balance", "q166_cdc_chunking",
+    "q167_decayed_engagement", "q168_stickiness", "q169_rolling_median",
+    "q170_spend_deciles", "q171_spend_concentration",
+    "q172_shipping_priority", "q173_returned_items",
+    "q174_customer_distribution", "q177_label_separation",
+    "q178_cusum_bursts", "q179_epoch_repeat", "q180_data_card",
+    "q181_kmeans_clusters", "q182_winnow_overlap", "q183_bloom_semijoin",
+    "q184_event_transitions", "q185_source_overlap",
+    "q186_knn_label_noise", "q187_woe_binning",
+]
+if len(_ROTATION_NEXT_R12) != 50:
     raise RuntimeError(
-        f"pre-staged r11 window must hold 50 slots, got {len(_ROTATION_NEXT_R11)}"
+        f"pre-staged r12 window must hold 50 slots, got {len(_ROTATION_NEXT_R12)}"
     )
 
 

@@ -1,17 +1,26 @@
 """The driver checks the FIRST 50 registry entries each round; pin them.
 
-With CORRECTNESS_r07 landed the whole 299-query registry is
-driver-green, so from round 8 on the window is a RE-CHECK quota: the
-50 stalest greens by (last green driver round, registry number), per
-the r7 verdict task #1.  ``oracle.__init__._ROTATION_FRONT`` enforces
-the ordering explicitly after imports; these tests fail loudly if an
-import reshuffle, rename, or helper-import side effect perturbs the
-window — or if a window survives PAST one round boundary.
+With CORRECTNESS_r07 landed the whole registry became driver-green, so
+from round 8 on the window is a RE-CHECK quota: the 50 stalest queries
+by (last green driver round, registry number), per the r7 verdict task
+#1.  ``oracle.__init__._ROTATION_FRONT`` enforces the ordering
+explicitly after imports; these tests fail loudly if an import
+reshuffle, rename, or helper-import side effect perturbs the window —
+or if a window survives PAST one round boundary.
+
+NEVER-GREEN FIX (r10 verdict task #1): a query with NO green driver
+row in any CORRECTNESS file ranks stalest-of-all (last-green round 0),
+so a freshly registered query cannot stay invisible to the staleness
+ordering forever.  ``test_window_spends_slots_on_never_green_queries``
+now FAILS when a never-green query exists but is left OUT of the
+window — the r10 suite passed in that state, which inverted the
+guard's purpose (q295 was registered r10 with no driver row and the
+old ordering, computed over greens only, could never select it).
 
 Boundary semantics (r8 verdict task #7): when CORRECTNESS_rN lands
 green rows for the pinned window, those slots stop being the stalest.
-That exactly-one-boundary state is now ACCEPTED (the window equals the
-just-re-greened latest-file names and was not also the previous file's
+That exactly-one-boundary state is ACCEPTED (the window equals the
+just-greened latest-file names and was not also the previous file's
 window), so the suite is green at every commit; a window that is
 re-checked twice in a row — i.e. left pinned past a boundary — still
 fails loudly.
@@ -25,11 +34,12 @@ import os
 import re
 
 import __spark_entry__ as e
-from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT, _ROTATION_NEXT_R11
+from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT, _ROTATION_NEXT_R12
 
-# Every r10 slot is a deliberate re-check of an already-green query
-# (re-check era, r7 verdict task #1): the window IS the re-check quota.
-_RECHECK_SLOTS: set[str] = set(_ROTATION_FRONT)
+# 49 of the r11 slots are deliberate re-checks of already-green queries
+# (re-check era, r7 verdict task #1); q295 is the registry's only
+# never-driver-checked query, taking its FIRST driver row this round.
+_RECHECK_SLOTS: set[str] = set(_ROTATION_FRONT) - {"q295_jpeg_decode"}
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,17 +73,25 @@ def _green_last_round() -> dict[str, int]:
 
 
 def _staleness_order(last: dict[str, int]) -> list[str]:
+    """ALL registry names sorted stalest-first.
+
+    Never-green queries (no row in `last`) rank round 0 — stalest of
+    all — so a new registration is guaranteed a window slot at the
+    next swap (r10 verdict task #1's blind-spot fix)."""
+
     def qnum(n: str) -> int:
         return int(re.match(r"q(\d+)", n).group(1))
 
-    return sorted(last, key=lambda n: (last[n], qnum(n), n))
+    names = list(e.queries())
+    return sorted(names, key=lambda n: (last.get(n, 0), qnum(n), n))
 
 
-def test_round10_window_is_first_50():
+def test_round11_window_is_first_50():
     names = list(e.queries())
     assert names[:50] == _ROTATION_FRONT
-    assert names[0] == "q98_stream_enriched_window"
-    assert names[49] == "q38_lsh_ann_topk"
+    assert names[0] == "q295_jpeg_decode"
+    assert names[1] == "q69b_ivf_ann_nprobe"
+    assert names[49] == "q268_token_budget_trim"
 
 
 def test_registry_size_frozen_at_300():
@@ -98,29 +116,38 @@ def test_every_window_query_has_oracle_sql():
 
 
 def test_window_spends_slots_on_never_green_queries():
-    """Rotation-freshness guard: every window slot must target a query
-    with NO green driver row in any on-disk CORRECTNESS_r0*.json —
-    except slots listed in _RECHECK_SLOTS (deliberate re-checks, per
-    the README map).  From r8 on the registry is fully green, so the
-    whole window is a re-check quota;
-    test_recheck_window_is_the_stalest_greens below carries the
-    freshness burden instead."""
+    """Rotation-freshness guard, TIGHTENED per the r10 verdict: every
+    registry query with NO green driver row in any on-disk
+    CORRECTNESS_r0*.json MUST hold a window slot — the window's first
+    job is first-rows, re-checks only fill what's left.  (The pre-r11
+    version only checked the converse — that green slots were declared
+    re-checks — and so PASSED while never-green q295 sat outside the
+    window, inverting its stated purpose.)"""
     green = set(_green_last_round())
     assert green, "no CORRECTNESS files found — guard cannot run"
+    never_green = [n for n in e.queries() if n not in green]
+    left_out = [n for n in never_green if n not in _ROTATION_FRONT]
+    assert not left_out, (
+        f"{len(left_out)} never-driver-checked queries have no window "
+        f"slot — they can never earn a CORRECTNESS row: {left_out[:10]}"
+    )
+    # And the original direction: any green slot must be a declared
+    # re-check, so the window can't silently waste first-row capacity.
     stale = [n for n in _ROTATION_FRONT if n in green and n not in _RECHECK_SLOTS]
     assert not stale, (
         f"{len(stale)} window slots target already-driver-green queries "
-        f"(advance _ROTATION_FRONT per the README map): {stale[:10]}"
+        f"not declared as re-checks: {stale[:10]}"
     )
 
 
 def test_recheck_window_is_the_stalest_greens():
-    """The re-check window must be exactly the 50 stalest driver-green
-    queries by (last green round, registry number) — recomputed from
-    the on-disk CORRECTNESS files so the list cannot silently rot.
+    """The window must be exactly the 50 stalest queries by (last green
+    round, registry number), never-green ranking stalest-of-all —
+    recomputed from the on-disk CORRECTNESS files so the list cannot
+    silently rot.
 
     BOUNDARY TOLERANCE (r8 verdict task #7): the exactly-one-boundary
-    state — the pinned window just re-greened by the LATEST correctness
+    state — the pinned window just greened by the LATEST correctness
     file, pending its swap — also passes, provided the SAME window was
     not also the previous round's re-check (which would mean it
     survived past a boundary).  So the suite is green at every commit,
@@ -133,7 +160,7 @@ def test_recheck_window_is_the_stalest_greens():
     if front == stale:
         return  # normal mid-round state: window IS the stalest-50
 
-    # Boundary state: window was just re-greened by the latest file …
+    # Boundary state: window was just greened by the latest file …
     ordered = sorted(rounds)
     latest = rounds[ordered[-1]]
     assert front <= latest, (
@@ -152,16 +179,17 @@ def test_recheck_window_is_the_stalest_greens():
     )
 
 
-def test_prestaged_next_window_is_the_next_stalest_greens():
-    """The pre-staged r11 window must be the next-50 stalest greens
-    AFTER the current window's slots are excluded (equivalently:
-    staleness ranks 51-100 today; exactly the stalest 50 once
-    CORRECTNESS_r10 re-greens the current window).  Recomputed from
-    disk so the list cannot rot."""
+def test_prestaged_next_window_is_the_next_stalest():
+    """The pre-staged r12 window must be the next-50 stalest AFTER the
+    current window's slots are excluded (equivalently: staleness ranks
+    51-100 today; exactly the stalest 50 once CORRECTNESS_r11 greens
+    the current window).  Recomputed from disk so the list cannot
+    rot."""
     last = _green_last_round()
-    order = [n for n in _staleness_order(last) if n not in _RECHECK_SLOTS]
+    front = set(_ROTATION_FRONT)
+    order = [n for n in _staleness_order(last) if n not in front]
     expect = order[:50]
-    assert sorted(_ROTATION_NEXT_R11) == sorted(expect), (
-        sorted(set(_ROTATION_NEXT_R11) - set(expect)),
-        sorted(set(expect) - set(_ROTATION_NEXT_R11)),
+    assert sorted(_ROTATION_NEXT_R12) == sorted(expect), (
+        sorted(set(_ROTATION_NEXT_R12) - set(expect)),
+        sorted(set(expect) - set(_ROTATION_NEXT_R12)),
     )
