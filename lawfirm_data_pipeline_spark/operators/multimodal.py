@@ -19,6 +19,8 @@ than row count, because a 128 MB parquet split of 4 MB images is 32 rows
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -224,7 +226,11 @@ def decode_image(media: DataFrame) -> DataFrame:
                         raise ValueError(
                             f"unknown image magic {raw[:2].hex()}"
                         )
-                except ValueError as exc:
+                except (ValueError, zlib.error, struct.error) as exc:
+                    # zlib.error (valid-CRC PNG, corrupt deflate data)
+                    # and struct.error (<30-byte 'BM' header) escaped
+                    # unwrapped, losing the media-id context the
+                    # loud-fail contract promises (r10 ADVICE #3)
                     raise ValueError(f"media {mid}: {exc}") from exc
                 out.append((int(mid), w, h, total))
             yield pd.DataFrame(
@@ -396,7 +402,11 @@ def decode_bmp_stats(media: DataFrame) -> DataFrame:
             for mid, payload in zip(b["media_id"], b["payload"]):
                 try:
                     w, h, total = bmp_stats_of(bytes(payload))
-                except ValueError as exc:
+                except (ValueError, zlib.error, struct.error) as exc:
+                    # zlib.error (valid-CRC PNG, corrupt deflate data)
+                    # and struct.error (<30-byte 'BM' header) escaped
+                    # unwrapped, losing the media-id context the
+                    # loud-fail contract promises (r10 ADVICE #3)
                     raise ValueError(f"media {mid}: {exc}") from exc
                 out.append((int(mid), w, h, total))
             yield pd.DataFrame(
@@ -585,7 +595,11 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
             for mid, payload in zip(b["media_id"], b["payload"]):
                 try:
                     w, h, total = png_stats_of(bytes(payload))
-                except ValueError as exc:
+                except (ValueError, zlib.error, struct.error) as exc:
+                    # zlib.error (valid-CRC PNG, corrupt deflate data)
+                    # and struct.error (<30-byte 'BM' header) escaped
+                    # unwrapped, losing the media-id context the
+                    # loud-fail contract promises (r10 ADVICE #3)
                     raise ValueError(f"media {mid}: {exc}") from exc
                 out.append((int(mid), w, h, total))
             yield pd.DataFrame(
@@ -1052,6 +1066,16 @@ def decode_jpeg_bytes(raw: bytes) -> "np.ndarray":  # noqa: F821
             img[ys : ys + 8, xs : xs + 8] = px[
                 : min(8, h - ys), : min(8, w - xs)
             ]
+    # After the last MCU the next non-stuffed bytes must be the EOI
+    # marker (mirroring the PNG leg's missing-IEND loud-fail): without
+    # this, a payload cut just before 0xFFD9 decodes to a full image,
+    # violating the every-strict-prefix-raises contract (r10 ADVICE #1).
+    # 1-bit padding can force a stuffed 0xFF00 before EOI (F.1.2.3).
+    p = br.pos
+    if raw[p : p + 2] == b"\xff\x00":
+        p += 2
+    if raw[p : p + 2] != b"\xff\xd9":
+        raise ValueError("jpeg: missing EOI after final MCU (truncated)")
     return img
 
 

@@ -41,10 +41,16 @@ def _snap_lossless(col: Column) -> tuple[Column, Column]:
     sends NaN/±Inf/|x|>=1e24 to NULL (never raises under ANSI), and the
     round-trip comparison rejects sub-micro magnitudes and >6dp
     fractions, so the flag is 0 exactly when the snap would change the
-    answer.  Order-independent by construction (an all-rows MIN)."""
+    answer.  Order-independent by construction (an all-rows MIN).
+
+    The snapped column is NULL for rows that fail the round-trip (not
+    just for NULL inputs), so downstream decimal aggregates accumulate
+    ONLY lossless values: a fallback group's huge/non-finite rows can
+    never overflow an aggregate whose result the CASE discards anyway
+    (r11 ADVICE #2)."""
     dec = col.try_cast("decimal(30,6)")
-    row_ok = F.when(col.isNull() | (dec.cast("double") == col), 1).otherwise(0)
-    return dec, F.min(row_ok) == 1
+    ok = col.isNull() | (dec.cast("double") == col)
+    return F.when(ok, dec), F.min(F.when(ok, 1).otherwise(0)) == 1
 
 
 def _sum_exact(col: Column) -> Column:
@@ -63,20 +69,31 @@ def _sum_exact(col: Column) -> Column:
     aggregation pass (r10 ADVICE: the unconditional snap quantized
     generic floats at 1e-6 and raised under ANSI on non-finite input).
     Both branches are map-side-combinable aggregates; the CASE picks
-    between them after the shuffle."""
+    between them after the shuffle.
+
+    Residual ceiling (r11 ADVICE #2): the decimal accumulator is
+    DECIMAL(38,6), so a group of ≥~1e8 lossless values near the 1e24
+    row ceiling can overflow it even though each row round-trips.
+    ``try_sum`` turns that overflow into NULL instead of an ANSI raise
+    and the COALESCE falls back to the reference's ``SUM(double)`` —
+    exactness degrades to reference semantics at ~1e32 per group, it
+    never kills the query."""
     dec, lossless = _snap_lossless(col)
-    return F.when(lossless, F.sum(dec).cast("double")).otherwise(F.sum(col))
+    return F.coalesce(
+        F.when(lossless, F.try_sum(dec).cast("double")), F.sum(col)
+    )
 
 
 def _avg_exact(col: Column) -> Column:
     """AVG via the exact decimal sum over the non-null count — same
-    determinism + fallback argument as ``_sum_exact``; the lossless
-    branch's single final division is double, mirroring
-    ``CAST(sum AS DOUBLE) / count(col)``."""
+    determinism + fallback + overflow-degradation argument as
+    ``_sum_exact``; the lossless branch's single final division is
+    double, mirroring ``CAST(sum AS DOUBLE) / count(col)``."""
     dec, lossless = _snap_lossless(col)
-    return F.when(
-        lossless, F.sum(dec).cast("double") / F.count(col)
-    ).otherwise(F.avg(col))
+    return F.coalesce(
+        F.when(lossless, F.try_sum(dec).cast("double") / F.count(col)),
+        F.avg(col),
+    )
 
 
 def _agg_expr(df: DataFrame, agg_key: str, field: str) -> Column:

@@ -367,3 +367,110 @@ def test_git_stamp_ignores_untracked_measurement_outputs():
         assert _MEASUREMENT_OUTPUTS.match(ln), ln
     for ln in counted:
         assert not _MEASUREMENT_OUTPUTS.match(ln), ln
+
+
+# --- r11 ADVICE #1: JPEG decode requires EOI after the final MCU --------
+
+def test_jpeg_cut_before_eoi_raises():
+    """A payload truncated just before (or inside) the EOI marker must
+    raise — the old decoder returned a complete image for cuts at
+    len-2 and len-1, and the step-7 truncation fuzz happened to skip
+    exactly those offsets."""
+    from lawfirm_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_bytes,
+        synth_jpeg_bytes,
+    )
+
+    raw = synth_jpeg_bytes(7)
+    for cut in (len(raw) - 2, len(raw) - 1):
+        with pytest.raises(ValueError, match="EOI|truncated"):
+            decode_jpeg_bytes(raw[:cut])
+
+
+# --- r11 ADVICE #2: _sum_exact decimal overflow degrades, never raises --
+
+def test_sum_exact_decimal_overflow_degrades_to_double(spark):
+    """A lossless group whose DECIMAL(38,6) accumulator overflows
+    (~1e8 values near the 1e24 row ceiling) must fall back to the
+    reference's SUM(double)/AVG(double) instead of an ANSI raise; a
+    small fixed-point group must still get the exact decimal sum."""
+    from lawfirm_data_pipeline_spark.query import _avg_exact, _sum_exact
+
+    n, v = 120_000_000, 9.9e23  # sum ~1.19e32 > DECIMAL(38,6) max
+    df = spark.range(n).select(F.lit(v).alias("x"))
+    row = df.agg(_sum_exact(F.col("x")).alias("s"), _avg_exact(F.col("x")).alias("a")).first()
+    assert row["s"] == pytest.approx(n * v, rel=1e-9)
+    assert row["a"] == pytest.approx(v, rel=1e-9)
+
+    small = spark.createDataFrame([(0.1,), (0.2,), (0.3,)], "x double")
+    assert small.agg(_sum_exact(F.col("x")).alias("s")).first()["s"] == 0.6
+
+
+# --- r11 ADVICE #3: zlib/struct errors carry the media-id context -------
+
+def test_media_errors_carry_media_id_for_zlib_and_struct(spark):
+    """decode_image's loud-fail contract promises the media-id prefix;
+    zlib.error (valid-CRC PNG, corrupt deflate) and struct.error
+    (<30-byte 'BM' header) used to escape unwrapped."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from lawfirm_data_pipeline_spark.operators.multimodal import decode_image
+
+    def chunk(typ, data):
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"this is not deflate data")  # valid CRC
+        + chunk(b"IEND", b"")
+    )
+    media = spark.createDataFrame(
+        [(7, bad_png)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="media 7"):
+        decode_image(media).collect()
+
+    short_bmp = b"BM" + b"\x00" * 10  # header unpack -> struct.error
+    media = spark.createDataFrame(
+        [(9, short_bmp)], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="media 9"):
+        decode_image(media).collect()
+
+
+# --- r11 ADVICE #4: close-gate steps never clobber artifacts on crash ---
+
+def test_close_gate_run_preserves_artifact_on_failure(tmp_path, monkeypatch):
+    """A failing gate step must leave the previously committed artifact
+    intact (old behavior truncated it at launch / moved partial output
+    over it); a succeeding step replaces it.  The parallel path gates
+    its shutil.move on the same rc == 0."""
+    import sys as _sys
+
+    from tools import close_gate
+
+    monkeypatch.setattr(close_gate, "_REPO", str(tmp_path))
+    artifact = tmp_path / "plan_lint_r99.json"
+    artifact.write_text('{"valid": "committed artifact"}')
+
+    ok = close_gate._run(
+        "failstep",
+        [_sys.executable, "-c", "print('partial'); raise SystemExit(3)"],
+        "plan_lint_r99.json",
+    )
+    assert not ok
+    assert artifact.read_text() == '{"valid": "committed artifact"}'
+
+    ok = close_gate._run(
+        "okstep",
+        [_sys.executable, "-c", "print('{\"fresh\": 1}')"],
+        "plan_lint_r99.json",
+    )
+    assert ok
+    assert artifact.read_text().strip() == '{"fresh": 1}'

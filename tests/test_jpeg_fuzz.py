@@ -139,7 +139,10 @@ def test_ac_coefficients_match_direct_idct_mirror(data):
 
 def test_truncation_always_raises_never_partial():
     raw = synth_jpeg_bytes(7)
-    for cut in range(2, len(raw) - 1, 7):
+    # EVERY strict prefix must raise — no step that could skip the
+    # cuts just before EOI (the r10 ADVICE finding: step-7 sampling
+    # missed len-2/len-1, where the image is complete but EOI absent).
+    for cut in range(2, len(raw)):
         with pytest.raises(ValueError):
             decode_jpeg_bytes(raw[:cut])
 

@@ -62,10 +62,27 @@ def _run(name: str, cmd: list[str], out_path: str | None, env: dict | None = Non
     )
     with open(errlog, "w") as ef:
         if out_path:
-            with open(out_path, "w") as f:
+            # write to a temp file and move into place only on success:
+            # opening the tracked artifact directly would truncate it at
+            # launch, and a crashed step would leave partial JSON where
+            # a valid committed artifact used to be (r11 ADVICE #4)
+            tmp_out = os.path.join(
+                tempfile.gettempdir(), f"close_gate_{name.split()[0]}.stdout"
+            )
+            with open(tmp_out, "w") as f:
                 rc = subprocess.run(
                     cmd, cwd=_REPO, stdout=f, stderr=ef, env=full_env
                 ).returncode
+            if rc == 0:
+                import shutil
+
+                shutil.move(tmp_out, os.path.join(_REPO, out_path))
+            else:
+                print(
+                    f"   rc={rc}: leaving {out_path} intact; partial "
+                    f"output kept at {tmp_out}",
+                    flush=True,
+                )
         else:
             rc = subprocess.run(
                 cmd, cwd=_REPO, stderr=ef, env=full_env
@@ -201,9 +218,19 @@ def main() -> None:
         for label, (proc, errlog, tmp_out, out_path) in procs.items():
             rc = proc.wait()
             if tmp_out and out_path:
-                import shutil
+                if rc == 0:
+                    import shutil
 
-                shutil.move(tmp_out, os.path.join(_REPO, out_path))
+                    shutil.move(tmp_out, os.path.join(_REPO, out_path))
+                else:
+                    # a crashed step must not replace a previously valid
+                    # committed artifact with partial JSON; keep the temp
+                    # file for diagnosis (r11 ADVICE #4)
+                    print(
+                        f"   [{label}] rc={rc}: leaving {out_path} intact; "
+                        f"partial output kept at {tmp_out}",
+                        flush=True,
+                    )
             try:
                 err_lines = open(errlog).read().splitlines()
             except OSError:
