@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 def funnel_steps(
@@ -75,7 +76,7 @@ def funnel_steps(
                         # try_divide: a funnel whose first step converted
                         # nobody yields NULL conversions (ANSI division
                         # would throw; DuckDB's x/0 is NULL — parity)
-                        F.round(F.try_divide(F.col(f"__n{k}"), F.col("__n0")), 6).alias(
+                        bfround(F.try_divide(F.col(f"__n{k}"), F.col("__n0")), 6).alias(
                             "conversion"
                         ),
                     )
@@ -183,7 +184,7 @@ def hourly_anomalies(
             "etype",
             "bucket",
             "n",
-            (F.round(z, 6) + F.lit(0.0)).alias("z"),
+            (bfround(z, 6) + F.lit(0.0)).alias("z"),
         )
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
@@ -254,7 +255,7 @@ def last_touch_attribution(
         "ts",
         "event_id",
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        bfround(F.col("value") * 100).cast("long").alias("cents"),
         F.last(touch, ignorenulls=True).over(w).alias("src"),
         F.last(touch_ts, ignorenulls=True).over(w).alias("src_us"),
     ).filter(F.col("event_type") == conversion_type)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 FP = 1_000_000  # micro fixed-point: float32 -> exact int64 components
 
@@ -41,7 +42,7 @@ FP = 1_000_000  # micro fixed-point: float32 -> exact int64 components
 def to_fp_vec(col: Column | str, fp: int = FP) -> Column:
     """array<float> -> array<long> micro-fixed-point (exact, order-free)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c.cast("array<double>"), lambda x: F.round(x * fp).cast("long"))
+    return F.transform(c.cast("array<double>"), lambda x: bfround(x * fp).cast("long"))
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -127,7 +128,7 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iters: int = 2, fp: int = FP) -> Da
             "cluster_id",
             "n_vecs",
             "wcss_fp",
-            F.round(F.col("wcss_fp") / F.col("n_vecs") / F.lit(denom), 6).alias(
+            bfround(F.col("wcss_fp") / F.col("n_vecs") / F.lit(denom), 6).alias(
                 "mean_sq_dist"
             ),
         )

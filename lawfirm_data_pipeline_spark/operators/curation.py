@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from . import text as TX
 from .sampling import hash_bucket
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
 # RE2 (DuckDB), so the oracle twin is exact: no lookaround, no \b.
@@ -104,13 +105,13 @@ def repetition_stats(
     return arred.filter(n_tok > 0).select(
         id_col,
         n_tok.cast("long").alias("n_tok"),
-        F.round(1 - F.size("dist") / n_tok, 6).alias("dup_word_frac"),
-        F.round(_mode_count(F.col("sorted_toks")) / n_tok, 6).alias(
+        bfround(1 - F.size("dist") / n_tok, 6).alias("dup_word_frac"),
+        bfround(_mode_count(F.col("sorted_toks")) / n_tok, 6).alias(
             "top_word_frac"
         ),
         F.when(
             n_big > 0,
-            F.round(_mode_count(F.col("sorted_bigs")) / n_big, 6),
+            bfround(_mode_count(F.col("sorted_bigs")) / n_big, 6),
         )
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
@@ -249,7 +250,7 @@ def oov_stats(
         id_col,
         "n_tok",
         "n_oov",
-        F.round(F.col("n_oov").cast("double") / F.col("n_tok"), 6).alias("oov_rate"),
+        bfround(F.col("n_oov").cast("double") / F.col("n_tok"), 6).alias("oov_rate"),
     )
 
 
@@ -295,8 +296,8 @@ def winsorized_stats(
     scan.  Output is O(groups).
     """
     bounds = df.groupBy(group_col).agg(
-        (F.round(F.percentile(value_col, F.lit(p_low)) * 1e6) / 1e6).alias("__lo"),
-        (F.round(F.percentile(value_col, F.lit(p_high)) * 1e6) / 1e6).alias("__hi"),
+        (bfround(F.percentile(value_col, F.lit(p_low)) * 1e6) / 1e6).alias("__lo"),
+        (bfround(F.percentile(value_col, F.lit(p_high)) * 1e6) / 1e6).alias("__hi"),
     )
     clipped = (
         df.select(group_col, value_col)
@@ -318,13 +319,13 @@ def winsorized_stats(
         clipped.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.max("__lo"), 4).alias("p_low"),
-            F.round(F.max("__hi"), 4).alias("p_high"),
+            bfround(F.max("__lo"), 4).alias("p_low"),
+            bfround(F.max("__hi"), 4).alias("p_high"),
             F.sum("__low").alias("n_clipped_low"),
             F.sum("__high").alias("n_clipped_high"),
             # r10 q227-class audit: Σ of 1e6-snapped values reaches
             # N·1e6·|v| — past 2^63 near 1e12 rows/group; d29 is exact
-            F.sum(F.round(F.col("__v") * 1e6).cast("decimal(19,0)")).alias("__s_fp"),
+            F.sum(bfround(F.col("__v") * 1e6).cast("decimal(19,0)")).alias("__s_fp"),
         )
         .select(
             group_col,
@@ -333,7 +334,7 @@ def winsorized_stats(
             "p_high",
             "n_clipped_low",
             "n_clipped_high",
-            F.round(F.col("__s_fp").cast("double") / 1e6 / F.col("n"), 4).alias(
+            bfround(F.col("__s_fp").cast("double") / 1e6 / F.col("n"), 4).alias(
                 "clipped_mean"
             ),
         )
@@ -401,7 +402,7 @@ def token_drift_kl(
     )
     pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
     pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
-    contrib = F.round(pa * F.log(pa / pb) * 1e12).cast("long")
+    contrib = bfround(pa * F.log(pa / pb) * 1e12).cast("long")
     return (
         merged.join(F.broadcast(per_src), "src")
         .select("src", contrib.alias("k_fp"))
@@ -411,6 +412,6 @@ def token_drift_kl(
         .select(
             F.col("src").alias(source_col),
             F.col("v").alias("n_terms"),
-            F.round(F.col("s").cast("double") / 1e12, 6).alias("kl"),
+            bfround(F.col("s").cast("double") / 1e12, 6).alias("kl"),
         )
     )

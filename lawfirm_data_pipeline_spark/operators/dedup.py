@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, shingles_of, tokenized
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 def exact_dedup(
@@ -260,7 +261,7 @@ def ngram_jaccard_pairs(
         .join(sb, "idb")
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+            bfround(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("ida", "idb", "jaccard")
@@ -371,11 +372,8 @@ def minhash_lsh_dedup(
         .select(
             "ida",
             "idb",
-            F.round(
-                F.col("common")
-                / (F.col("sza") + F.col("szb") - F.col("common")),
-                6,
-            ).alias("jaccard"),
+            bfround(F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -496,7 +494,7 @@ def passage_dedup_stats(
             F.col("did").alias(id_col),
             "n_passages",
             "n_dup_passages",
-            F.round(F.col("n_dup_passages") / F.col("n_passages"), 6).alias("dup_frac"),
+            bfround(F.col("n_dup_passages") / F.col("n_passages"), 6).alias("dup_frac"),
         )
     )
 
@@ -654,7 +652,7 @@ def containment_pairs(
         .select(
             "ida",
             "idb",
-            F.round(F.col("common") / F.col("sz_a"), 6).alias("containment"),
+            bfround(F.col("common") / F.col("sz_a"), 6).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)
     )
@@ -738,7 +736,7 @@ def prefix_filter_jaccard_pairs(
         .select(
             "ida",
             "idb",
-            F.round(F.col("common").cast("double") / union, 6).alias("jaccard"),
+            bfround(F.col("common").cast("double") / union, 6).alias("jaccard"),
         )
     )
 
@@ -844,6 +842,6 @@ def winnow_overlap_pairs(
             "doc_a",
             "doc_b",
             "shared_fps",
-            F.round(F.col("shared_fps").cast("double") / mn, 6).alias("overlap"),
+            bfround(F.col("shared_fps").cast("double") / mn, 6).alias("overlap"),
         )
     )

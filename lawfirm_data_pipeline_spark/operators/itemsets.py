@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 def basket_pairs(
@@ -112,12 +113,9 @@ def association_rules(
             "ante",
             "cons",
             F.col("sup_ab").alias("support"),
-            F.round(F.col("sup_ab").cast("double") / F.col("sup_a").cast("double"), 6)
+            bfround(F.col("sup_ab").cast("double") / F.col("sup_a").cast("double"), 6)
             .alias("confidence"),
-            F.round(
-                (F.col("sup_ab") * F.col("nb")).cast("double")
-                / (F.col("sup_a") * F.col("sup_b")).cast("double"),
-                6,
-            ).alias("lift"),
+            bfround((F.col("sup_ab") * F.col("nb")).cast("double")
+                / (F.col("sup_a") * F.col("sup_b")).cast("double"), 6).alias("lift"),
         )
     )

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 MEDIA_META = T.StructType(
     [
@@ -301,7 +302,7 @@ def pool_frame_embeddings(
     ).select(
         media_col,
         (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("x").cast("double") * fp).cast("long").alias("micro"),
+        bfround(F.col("x").cast("double") * fp).cast("long").alias("micro"),
     )
     return exploded.groupBy(media_col, "pos").agg(
         F.count(F.lit(1)).cast("long").alias("n_frames"),

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokenized
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _FP = int(1e9)  # nano fixed-point: exact integer accumulation of scores
 
@@ -105,12 +106,12 @@ def bm25_scores(
             ).alias("term_score"),
         )
         # snap per-term score to fixed point BEFORE summing: exact ints
-        .select(id_col, F.round(F.col("term_score") * _FP).cast("long").alias("s_fp"))
+        .select(id_col, bfround(F.col("term_score") * _FP).cast("long").alias("s_fp"))
         .groupBy(id_col)
         .agg(F.sum("s_fp").alias("s_fp"))
     )
     return scored.select(
-        id_col, F.round(F.col("s_fp").cast("double") / _FP, 6).alias("score")
+        id_col, bfround(F.col("s_fp").cast("double") / _FP, 6).alias("score")
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 def hash_bucket(key: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
@@ -106,7 +107,7 @@ def temperature_mixture_weights(
     # last-ULP pow() difference between engines is absorbed by the snap)
     scaled = per.withColumn(
         "_pa_fp",
-        F.round(F.pow(F.col("size").cast("double"), F.lit(alpha)) * 1e9).cast("long"),
+        bfround(F.pow(F.col("size").cast("double"), F.lit(alpha)) * 1e9).cast("long"),
     )
     # normalizer via a global window over the per-stratum AGGREGATE (a
     # |strata|-row frame — the single-partition exchange is trivially
@@ -119,12 +120,12 @@ def temperature_mixture_weights(
     keep = [stratum] + ([count_alias] if count_alias else []) + ["size"]
     out = scaled.withColumn("_z_fp", F.sum("_pa_fp").over(Window.partitionBy())).select(
         *keep,
-        F.round(F.col("_pa_fp").cast("double") / F.col("_z_fp"), 6).alias("weight"),
+        bfround(F.col("_pa_fp").cast("double") / F.col("_z_fp"), 6).alias("weight"),
     )
     if budget_tokens is not None:
         out = out.withColumn(
             "expected_tokens",
-            F.round(F.col("weight") * F.lit(float(budget_tokens))).cast("long"),
+            bfround(F.col("weight") * F.lit(float(budget_tokens))).cast("long"),
         )
     return out
 
@@ -216,7 +217,7 @@ def weighted_reservoir_sample(
         "long"
     )
     u = (h + 1).cast("double") / F.lit(4294967296.0)
-    sel = F.round(F.log(u) / wc.cast("double"), 12)
+    sel = bfround(F.log(u) / wc.cast("double"), 12)
     return (
         df.withColumn("sel_key", sel)
         .orderBy(F.col("sel_key").desc(), kc)

@@ -27,6 +27,7 @@ import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 def _dvec(col: Column | str) -> Column:
@@ -76,7 +77,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+        .select(query_id_col, id_col, bfround("score", 6).alias("score"), "rank")
     )
 
 
@@ -302,7 +303,7 @@ def lsh_topk(
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+        .select(query_id_col, id_col, bfround("score", 6).alias("score"), "rank")
     )
 
 
@@ -415,7 +416,7 @@ def ivf_topk(
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+        .select(query_id_col, id_col, bfround("score", 6).alias("score"), "rank")
     )
 
 
@@ -466,11 +467,11 @@ def quantize_int8(
 
     return vectors.select(F.col(id_col), audit(_dvec(vec_col)).alias("__a")).select(
         id_col,
-        F.round("__a.scale", 6).alias("scale6"),
+        bfround("__a.scale", 6).alias("scale6"),
         F.col("__a.qsum").alias("qsum"),
         F.col("__a.qmin").alias("qmin"),
         F.col("__a.qmax").alias("qmax"),
-        F.round("__a.err", 6).alias("max_err"),
+        bfround("__a.err", 6).alias("max_err"),
     )
 
 
@@ -560,7 +561,7 @@ def lsh_neardup_pairs(
         .select(
             F.col("a.vid").alias("ida"),
             F.col("b.vid").alias("idb"),
-            F.round("score", 6).alias("score"),
+            bfround("score", 6).alias("score"),
         )
         .dropDuplicates(["ida", "idb"])
     )
@@ -588,7 +589,7 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.vid").alias("ida"),
             F.col("b.vid").alias("idb"),
-            F.round("score", 6).alias("score"),
+            bfround("score", 6).alias("score"),
         )
     )
 
@@ -620,7 +621,7 @@ def label_centroids(
     fixed = ex.select(
         "label",
         "pos",
-        F.round(F.col("x").cast("double") * 1e9).cast("long").alias("x_fp"),
+        bfround(F.col("x").cast("double") * 1e9).cast("long").alias("x_fp"),
     )
     # r10 q227-class audit: Σ|x_fp| ≤ N·1e9·|x| per (label, pos) —
     # past 2^63 around 1e9 rows/label at unit norm; d29 sum is exact
@@ -629,7 +630,7 @@ def label_centroids(
         F.sum(F.col("x_fp").cast("decimal(19,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    cen = F.round(F.col("s").cast("double") / 1e9 / F.col("n"), 6)
+    cen = bfround(F.col("s").cast("double") / 1e9 / F.col("n"), 6)
     return agg.select(
         "label",
         "pos",
@@ -737,7 +738,7 @@ def embedding_covariance(
         embeddings.select(F.posexplode(vec_col).alias("pos", "x"))
         .select(
             "pos",
-            F.round(F.col("x").cast("double") * 1e6).cast("long").alias("x_fp"),
+            bfround(F.col("x").cast("double") * 1e6).cast("long").alias("x_fp"),
         )
         .groupBy("pos")
         # d29 sum: Σ|x_fp| ≤ N·1e6·|x|max overflows long at N ≈ 1e12
@@ -762,12 +763,9 @@ def embedding_covariance(
             # + 0.0 collapses IEEE -0.0 to +0.0 (DuckDB's round keeps the
             # sign; the driver hashes the rendered string, so -0.0 != 0.0)
             (
-                F.round(
-                    F.col("s_xy").cast("double") / F.lit(1e12) / F.col("n")
+                bfround(F.col("s_xy").cast("double") / F.lit(1e12) / F.col("n")
                     - (F.col("s_i").cast("double") / F.lit(1e6) / F.col("n"))
-                    * (F.col("s_j").cast("double") / F.lit(1e6) / F.col("n")),
-                    6,
-                )
+                    * (F.col("s_j").cast("double") / F.lit(1e6) / F.col("n")), 6)
                 + F.lit(0.0)
             ).alias("cov"),
         )
@@ -832,7 +830,7 @@ def rrf_fusion(
         .select(
             query_id_col,
             id_col,
-            F.round(F.col("rrf_raw"), 6).alias("rrf"),
+            bfround(F.col("rrf_raw"), 6).alias("rrf"),
             F.col("fused_rank").cast("long").alias("fused_rank"),
         )
     )
@@ -919,7 +917,7 @@ def hard_negative_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+        .select(query_id_col, id_col, bfround("score", 6).alias("score"), "rank")
     )
 
 
@@ -958,7 +956,7 @@ def pq_codes(
         F.col(id_col),
         F.transform(
             F.col(vec_col).cast("array<double>"),
-            lambda x: F.round(x * fp).cast("long"),
+            lambda x: bfround(x * fp).cast("long"),
         ).alias("fp"),
     )
     seeds = (
@@ -1034,7 +1032,7 @@ def pq_adc_topk(
         F.col(id_col),
         F.transform(
             F.col(vec_col).cast("array<double>"),
-            lambda x: F.round(x * fp).cast("long"),
+            lambda x: bfround(x * fp).cast("long"),
         ).alias("fp"),
     )
     seeds = vec.orderBy(id_col).limit(max(n_centroids, n_queries)).collect()

@@ -25,12 +25,13 @@ from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _SCALE = 100  # inputs carry <= 2 decimals; exact at integer cents
 
 
 def _fp(col: str):
-    return F.round(F.col(col) * _SCALE).cast("long")
+    return bfround(F.col(col) * _SCALE).cast("long")
 
 
 def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -60,7 +61,7 @@ def column_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         sxy = F.col(f"sp_{a}_{b}").cast("double")
         num = n * sxy - sx * sy
         den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-        return F.round(num / den, 6) + F.lit(0.0)
+        return bfround(num / den, 6) + F.lit(0.0)
 
     pairs = F.array(
         *[
@@ -218,7 +219,7 @@ def chisq_independence(
     # a single cell's contribution is O(n) when association is strong,
     # so the nano-snapped value reaches n*1e9 — DECIMAL(38,0), not long
     # (which capped the statistic at ~9.2e9 before raising)
-    snapped = F.round(contrib * F.lit(float(scale))).cast("decimal(38,0)")
+    snapped = bfround(contrib * F.lit(float(scale))).cast("decimal(38,0)")
     # densify to the full R x C grid: a zero cell contributes E to the
     # statistic and MUST appear (groupBy alone omits it — chi2 would be
     # silently understated exactly when association is strongest)
@@ -231,7 +232,7 @@ def chisq_independence(
         .groupBy("n", "nr", "nc")
         .agg(F.sum("k_fp").alias("s"))
         .select(
-            F.round(F.col("s").cast("double") / F.lit(float(scale)), 6).alias("chi2"),
+            bfround(F.col("s").cast("double") / F.lit(float(scale)), 6).alias("chi2"),
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
             F.col("n").alias("n_rows"),
         )
@@ -311,17 +312,14 @@ def impute_group_median_audit(
     )
     joined = df.join(F.broadcast(med), group_col)
     half = F.when(
-        F.col(cents_col).isNull(), F.round(F.col("med_cents") * 2).cast("long")
+        F.col(cents_col).isNull(), bfround(F.col("med_cents") * 2).cast("long")
     ).otherwise(F.col(cents_col) * 2)
     return joined.groupBy(group_col, "med_cents").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.when(F.col(cents_col).isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_imputed"),
-        F.round(
-            (F.sum(half).cast("double") / F.lit(2.0)) / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("mean_cents_after"),
+        bfround((F.sum(half).cast("double") / F.lit(2.0)) / F.count(F.lit(1)).cast("double"), 6).alias("mean_cents_after"),
     ).select(group_col, "n_rows", "n_imputed", "med_cents", "mean_cents_after")
 
 
@@ -401,9 +399,7 @@ def cuped_adjusted_means(per_user: DataFrame) -> DataFrame:
         .select(
             "arm",
             F.col("n_a").alias("n_users"),
-            F.round(raw_mean / 100.0, 6).alias("raw_mean"),
-            F.round(
-                (raw_mean - theta * (pre_mean_arm - pre_mean_global)) / 100.0, 6
-            ).alias("adjusted_mean"),
+            bfround(raw_mean / 100.0, 6).alias("raw_mean"),
+            bfround((raw_mean - theta * (pre_mean_arm - pre_mean_global)) / 100.0, 6).alias("adjusted_mean"),
         )
     )

@@ -21,6 +21,7 @@ import pandas as pd  # noqa: F401 — pandas_udf type hints at runtime
 
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # Tiny per-language marker vocabularies for the heuristic language id.
 # Real pipelines use char-n-gram models; the *operator shape* (argmax of
@@ -106,7 +107,7 @@ def quality_score_of(text: Column | str, toks: Column, ltoks: Column) -> Column:
     shape = F.when((wl >= 3.0) & (wl <= 10.0), 1.0).otherwise(0.3)
     punct = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.2)
     stop = F.when(stopword_ratio_of(ltoks) >= 0.05, 1.0).otherwise(0.4)
-    return F.round((len_band + shape + punct + stop) / 4.0, 6)
+    return bfround((len_band + shape + punct + stop) / 4.0, 6)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -205,9 +206,7 @@ def tfidf_topk(docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
-                (F.col("tc") / F.col("dl")) * F.log(F.col("n_docs") / F.col("df")), 6
-            ),
+            bfround((F.col("tc") / F.col("dl")) * F.log(F.col("n_docs") / F.col("df")), 6),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -261,7 +260,7 @@ def unigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id")
     total = corpus.agg(F.sum("cw").alias("n"))
     lp = corpus.crossJoin(F.broadcast(total)).select(
         "w",
-        F.round(F.log(F.col("cw").cast("double") / F.col("n")) * 1e9)
+        bfround(F.log(F.col("cw").cast("double") / F.col("n")) * 1e9)
         .cast("long")
         .alias("lp_fp"),
     )
@@ -271,7 +270,7 @@ def unigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id")
     )
     return doc.select(
         id_col,
-        F.round((F.col("s").cast("double") / 1e9) / F.col("ntok"), 6).alias("avg_logp"),
+        bfround((F.col("s").cast("double") / 1e9) / F.col("ntok"), 6).alias("avg_logp"),
     )
 
 
@@ -379,14 +378,11 @@ def pmi_bigrams(
             "w1",
             "w2",
             "c_ab",
-            F.round(
-                F.log(
+            bfround(F.log(
                     F.col("c_ab").cast("double")
                     * F.col("n_total").cast("double")
                     / (F.col("c_l").cast("double") * F.col("c_r").cast("double"))
-                ),
-                6,
-            ).alias("pmi"),
+                ), 6).alias("pmi"),
         )
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
@@ -440,13 +436,11 @@ def bigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
         .select(
             "w1",
             "w2",
-            F.round(
-                F.log(
+            bfround(F.log(
                     (F.col("c12") + 1).cast("double")
                     / (F.col("c1") + F.col("v")).cast("double")
                 )
-                * 1e9
-            )
+                * 1e9)
             .cast("long")
             .alias("lp_fp"),
         )
@@ -458,7 +452,7 @@ def bigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
     return doc.select(
         id_col,
         "nbig",
-        F.round((F.col("s").cast("double") / 1e9) / F.col("nbig"), 6).alias(
+        bfround((F.col("s").cast("double") / 1e9) / F.col("nbig"), 6).alias(
             "avg_bigram_logp"
         ),
     )
@@ -523,8 +517,8 @@ def zipf_fit(docs: DataFrame, text_col: str = "text", group_col: str = "source")
     )
     w = Window.partitionBy("g").orderBy(F.desc("f"), "w")
     ranked = freq.withColumn("r", F.row_number().over(w))
-    x = F.round(F.log(F.col("r").cast("double")) * 1e6).cast("long")
-    y = F.round(F.log(F.col("f").cast("double")) * 1e6).cast("long")
+    x = bfround(F.log(F.col("r").cast("double")) * 1e6).cast("long")
+    y = bfround(F.log(F.col("f").cast("double")) * 1e6).cast("long")
     t = ranked.select("g", x.alias("x"), y.alias("y"))
     d38 = "decimal(38,0)"
     agg = t.groupBy("g").agg(
@@ -539,7 +533,7 @@ def zipf_fit(docs: DataFrame, text_col: str = "text", group_col: str = "source")
     return agg.select(
         F.col("g").alias(group_col),
         F.col("m").alias("vocab_size"),
-        F.round(num / den, 6).alias("zipf_slope"),
+        bfround(num / den, 6).alias("zipf_slope"),
     )
 
 
@@ -561,14 +555,9 @@ def vocab_stats(docs: DataFrame, text_col: str = "text", group_col: str = "sourc
         F.sum("f").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("vocab"),
         F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
-        F.round(
-            F.count(F.lit(1)).cast("double") / F.sum("f").cast("double"), 6
-        ).alias("type_token_ratio"),
-        F.round(
-            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("hapax_ratio"),
+        bfround(F.count(F.lit(1)).cast("double") / F.sum("f").cast("double"), 6).alias("type_token_ratio"),
+        bfround(F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"), 6).alias("hapax_ratio"),
     )
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 def resample_ffill(
@@ -45,7 +46,7 @@ def resample_ffill(
     sum (sum NULL in gap buckets), ``filled_micros`` carries the last
     observed sum forward, ``is_gap`` flags synthesized buckets.
     """
-    micros = F.round(F.col(value_col) * 1e6).cast("long")
+    micros = bfround(F.col(value_col) * 1e6).cast("long")
     b = events.groupBy(
         F.col(key_col), F.date_trunc(unit, F.col(ts_col)).alias("bucket")
     ).agg(

@@ -123,6 +123,6 @@ BRUTE_FORCE_TOP10_SQL = f"""
                                       ORDER BY score DESC, vec_id) AS rank
             FROM scored
          )
-    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    SELECT query_id, vec_id, CASE WHEN isnan(CAST((score) AS DOUBLE)) OR abs(CAST((score) AS DOUBLE)) >= 9007199254.740992 THEN CAST((score) AS DOUBLE) ELSE floor(CAST((score) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS score, rank
     FROM ranked WHERE rank <= 10
 """

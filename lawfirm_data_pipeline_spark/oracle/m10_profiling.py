@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.profile import profile_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
 
@@ -38,8 +39,8 @@ def q59_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q60_window_misc",
     """
     SELECT o_custkey, o_orderkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd,
+           CASE WHEN isnan(CAST((percent_rank() OVER w) AS DOUBLE)) OR abs(CAST((percent_rank() OVER w) AS DOUBLE)) >= 9007199254.740992 THEN CAST((percent_rank() OVER w) AS DOUBLE) ELSE floor(CAST((percent_rank() OVER w) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS pr,
+           CASE WHEN isnan(CAST((cume_dist() OVER w) AS DOUBLE)) OR abs(CAST((cume_dist() OVER w) AS DOUBLE)) >= 9007199254.740992 THEN CAST((cume_dist() OVER w) AS DOUBLE) ELSE floor(CAST((cume_dist() OVER w) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS cd,
            first_value(o_orderkey) OVER w AS first_ok,
            nth_value(o_orderkey, 2) OVER w AS second_ok
     FROM orders
@@ -54,8 +55,8 @@ def q60_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        bfround(F.percent_rank().over(w), 6).alias("pr"),
+        bfround(F.cume_dist().over(w), 6).alias("cd"),
         F.first("o_orderkey").over(w).alias("first_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
     )

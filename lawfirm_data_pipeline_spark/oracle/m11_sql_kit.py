@@ -23,6 +23,7 @@ from ..operators.similarity import (
 )
 from ..queries import query
 from ._shared import BRUTE_FORCE_TOP10_SQL
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # The coarse quantizer is a build artifact: at scale you train it once
 # and serve many queries from it.  Memoize per (sf_dir, K) so q69/q69b
@@ -38,7 +39,7 @@ def _centroids(spark: SparkSession, sf_dir: str, n_centroids: int = 16) -> list[
         _IVF_CENTROIDS[key] = ivf_train_centroids(emb, n_centroids=n_centroids)
     return _IVF_CENTROIDS[key]
 
-_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_CENTS = "CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)"
 
 
 # -- q62: conditional aggregation (FILTER/CASE-WHEN per-group slices)
@@ -50,8 +51,11 @@ _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN {_CENTS} END), 0) AS BIGINT)
                AS open_cents,
-           round(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
-                 * 1.0 / count(*), 6) AS high_value_ratio
+           CASE WHEN isnan(CAST((sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*)) AS DOUBLE)) OR abs(CAST((sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*)) AS DOUBLE) ELSE floor(CAST((sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS high_value_ratio
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -59,18 +63,15 @@ def q62_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Many filtered aggregates in ONE pass (one scan, one shuffle) —
     the alternative of N filtered sub-queries scans the table N times."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = bfround(F.col("o_totalprice") * 100).cast("long")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         F.coalesce(
             F.sum(F.when(F.col("o_orderstatus") == "O", cents)), F.lit(0)
         ).alias("open_cents"),
-        F.round(
-            F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("high_value_ratio"),
+        bfround(F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0))
+            / F.count(F.lit(1)), 6).alias("high_value_ratio"),
     )
 
 
@@ -133,10 +134,19 @@ def q63_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum({_CENTS}) OVER (PARTITION BY o_custkey
                                     ORDER BY o_orderdate, o_orderkey
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
-           round(avg({_CENTS}) OVER (PARTITION BY o_custkey
+           CASE WHEN isnan(CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey
                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
-                 / 100.0, 6) AS moving4_avg
+                 / 100.0) AS DOUBLE)) OR abs(CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 / 100.0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 / 100.0) AS DOUBLE) ELSE floor(CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                 / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS moving4_avg
     FROM orders WHERE o_custkey % 11 = 0
     """,
 )
@@ -145,7 +155,7 @@ def q64_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE frame) so ties can't make results engine-dependent.  All three
     frames share one window spec → one sort within one shuffle."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 11 == 0)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = bfround(F.col("o_totalprice") * 100).cast("long")
     order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     moving = order.rowsBetween(-3, 0)
     cum = order.rowsBetween(Window.unboundedPreceding, 0)
@@ -154,7 +164,7 @@ def q64_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.sum(cents).over(moving).alias("moving4_cents"),
         F.sum(cents).over(cum).alias("cum_cents"),
-        F.round(F.avg(cents).over(moving) / 100.0, 6).alias("moving4_avg"),
+        bfround(F.avg(cents).over(moving) / 100.0, 6).alias("moving4_avg"),
     )
 
 
@@ -249,7 +259,7 @@ def q67_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation key.  `cents*n > tot` keeps the comparison in exact
     integer space (no float average crosses the gate)."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = bfround(F.col("o_totalprice") * 100).cast("long")
     w = Window.partitionBy("o_custkey")
     df = orders.select(
         "o_orderkey",
@@ -278,7 +288,7 @@ def q68_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 100 TB: the groupBy key has ≤10 values, so partial
     (map-side) aggregation collapses everything before the shuffle."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = bfround(F.col("o_totalprice") * 100).cast("long")
     return (
         orders.select(
             F.least(F.expr(f"{_CENTS} div 5000000"), F.lit(9).cast("long")).alias("bucket"),

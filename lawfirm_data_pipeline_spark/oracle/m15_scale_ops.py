@@ -109,8 +109,11 @@ def q82_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_passages,
            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
-           round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / count(*), 6) AS dup_frac
+           CASE WHEN isnan(CAST((CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE) ELSE floor(CAST((CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS dup_frac
     FROM r GROUP BY doc_id
     """,
 )

@@ -23,6 +23,13 @@ from ..operators.text import normalize_text
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
 from ._shared import PLANTED_CORPUS_SQL as _CORPUS_SQL
+from lawfirm_data_pipeline_spark.functions.rounding import bfround, bfround_sql
+
+# q93/q97 expected-token twin: the 1e6-scaled weight, binary-floored
+# at d=0 exactly like the Spark side's bfround(weight * 1e6)
+_W6 = bfround_sql("CAST(pa AS DOUBLE) / z", 6)
+_ETOK_FP = bfround_sql(f"({_W6}) * 1000000.0", 0)
+
 
 _BM25_TERMS = ["spark", "window", "hash"]
 _BM25_IN = "('spark', 'window', 'hash')"
@@ -41,13 +48,19 @@ _BM25_IN = "('spark', 'window', 'hash')"
          idf AS (SELECT w, ln(1.0 + (n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
                  FROM tf CROSS JOIN consts GROUP BY w, n_docs),
          sc AS (SELECT tf.doc_id,
-                       CAST(round(idf.idf * (tf.tf * 2.2)
+                       CAST(CASE WHEN isnan(CAST((idf.idf * (tf.tf * 2.2)
                             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
-                               / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1e9) AS BIGINT)
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1e9) AS DOUBLE)) OR abs(CAST((idf.idf * (tf.tf * 2.2)
+                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1e9) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((idf.idf * (tf.tf * 2.2)
+                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1e9) AS DOUBLE) ELSE floor(CAST((idf.idf * (tf.tf * 2.2)
+                            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                               / (CAST(sum_dl AS DOUBLE) / n_docs))) * 1e9) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
                        AS s_fp
                 FROM tf JOIN dl USING (doc_id) JOIN idf USING (w) CROSS JOIN consts),
          doc AS (SELECT doc_id, sum(s_fp) AS s_fp FROM sc GROUP BY 1)
-    SELECT doc_id, round(CAST(s_fp AS DOUBLE) / 1e9, 6) AS score
+    SELECT doc_id, CASE WHEN isnan(CAST((CAST(s_fp AS DOUBLE) / 1e9) AS DOUBLE)) OR abs(CAST((CAST(s_fp AS DOUBLE) / 1e9) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(s_fp AS DOUBLE) / 1e9) AS DOUBLE) ELSE floor(CAST((CAST(s_fp AS DOUBLE) / 1e9) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS score
     FROM doc ORDER BY score DESC, doc_id LIMIT 10
     """,
 )
@@ -118,16 +131,16 @@ def q92_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- q93: temperature-scaled (alpha) mixture weights per source
 @query(
     "q93_mixture_weights",
-    """
+    f"""
     WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS size
                  FROM documents GROUP BY source),
          s AS (SELECT source, size,
-                      CAST(round(power(CAST(size AS DOUBLE), 0.3) * 1e9) AS BIGINT) AS pa
+                      CAST(CASE WHEN isnan(CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE)) OR abs(CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE) ELSE floor(CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS pa
                FROM per),
          z AS (SELECT sum(pa) AS z FROM s)
     SELECT source, size,
-           round(CAST(pa AS DOUBLE) / z, 6) AS weight,
-           CAST(round(round(CAST(pa AS DOUBLE) / z, 6) * 1000000.0) AS BIGINT)
+           CASE WHEN isnan(CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE)) OR abs(CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE) ELSE floor(CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS weight,
+           CAST({_ETOK_FP} AS BIGINT)
                AS expected_tokens
     FROM s CROSS JOIN z
     """,
@@ -156,7 +169,7 @@ def q93_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
                FROM tok LEFT JOIN vocab ON tok.w = vocab.w)
     SELECT doc_id, count(*) AS n_tok, CAST(sum(oov) AS BIGINT) AS n_oov,
-           round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+           CASE WHEN isnan(CAST((CAST(sum(oov) AS DOUBLE) / count(*)) AS DOUBLE)) OR abs(CAST((CAST(sum(oov) AS DOUBLE) / count(*)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(oov) AS DOUBLE) / count(*)) AS DOUBLE) ELSE floor(CAST((CAST(sum(oov) AS DOUBLE) / count(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS oov_rate
     FROM m GROUP BY doc_id
     """,
 )
@@ -214,9 +227,9 @@ def q95_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q96_source_quantiles",
     """
     SELECT source, count(*) AS n_docs,
-           round(quantile_cont(n_chars, 0.25), 4) AS q25,
-           round(quantile_cont(n_chars, 0.50), 4) AS q50,
-           round(quantile_cont(n_chars, 0.75), 4) AS q75,
+           CASE WHEN isnan(CAST((quantile_cont(n_chars, 0.25)) AS DOUBLE)) OR abs(CAST((quantile_cont(n_chars, 0.25)) AS DOUBLE)) >= 900719925474.0992 THEN CAST((quantile_cont(n_chars, 0.25)) AS DOUBLE) ELSE floor(CAST((quantile_cont(n_chars, 0.25)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS q25,
+           CASE WHEN isnan(CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE)) OR abs(CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE)) >= 900719925474.0992 THEN CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE) ELSE floor(CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS q50,
+           CASE WHEN isnan(CAST((quantile_cont(n_chars, 0.75)) AS DOUBLE)) OR abs(CAST((quantile_cont(n_chars, 0.75)) AS DOUBLE)) >= 900719925474.0992 THEN CAST((quantile_cont(n_chars, 0.75)) AS DOUBLE) ELSE floor(CAST((quantile_cont(n_chars, 0.75)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS q75,
            min(n_chars) AS min_chars, max(n_chars) AS max_chars
     FROM documents GROUP BY source
     """,
@@ -230,9 +243,9 @@ def q96_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.percentile("n_chars", F.lit(0.25)), 4).alias("q25"),
-        F.round(F.percentile("n_chars", F.lit(0.50)), 4).alias("q50"),
-        F.round(F.percentile("n_chars", F.lit(0.75)), 4).alias("q75"),
+        bfround(F.percentile("n_chars", F.lit(0.25)), 4).alias("q25"),
+        bfround(F.percentile("n_chars", F.lit(0.50)), 4).alias("q50"),
+        bfround(F.percentile("n_chars", F.lit(0.75)), 4).alias("q75"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )

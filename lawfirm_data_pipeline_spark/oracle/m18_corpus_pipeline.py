@@ -41,6 +41,13 @@ from ..operators.dedup import keep_best_in_group
 from ..operators.sampling import temperature_mixture_weights
 from ..operators.text import normalize_text
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround, bfround_sql
+
+# q93/q97 expected-token twin: the 1e6-scaled weight, binary-floored
+# at d=0 exactly like the Spark side's bfround(weight * 1e6)
+_W6 = bfround_sql("CAST(pa AS DOUBLE) / z", 6)
+_ETOK_FP = bfround_sql(f"({_W6}) * 1000000.0", 0)
+
 
 # Shared quality fragments (identical derivation to q54's oracle —
 # lowercase-token stats; see oracle/m8_training_ops.py).
@@ -96,12 +103,12 @@ _LTOKS_RAW = "list_filter(str_split_regex(trim(text), '\\s+'), t -> t != '')"
                    CAST(sum(n_tok) AS BIGINT) AS size
             FROM kept GROUP BY source),
     s AS (SELECT source, n_docs, size,
-                 CAST(round(power(CAST(size AS DOUBLE), 0.3) * 1e9) AS BIGINT) AS pa
+                 CAST(CASE WHEN isnan(CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE)) OR abs(CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE) ELSE floor(CAST((power(CAST(size AS DOUBLE), 0.3) * 1e9) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS pa
           FROM per),
     z AS (SELECT sum(pa) AS z FROM s)
     SELECT source, n_docs, size,
-           round(CAST(pa AS DOUBLE) / z, 6) AS weight,
-           CAST(round(round(CAST(pa AS DOUBLE) / z, 6) * 1000000.0) AS BIGINT)
+           CASE WHEN isnan(CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE)) OR abs(CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE) ELSE floor(CAST((CAST(pa AS DOUBLE) / z) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS weight,
+           CAST({_ETOK_FP} AS BIGINT)
                AS expected_tokens
     FROM s CROSS JOIN z
     """,
@@ -157,7 +164,7 @@ def q97_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            time_bucket(INTERVAL '6 hours', e.ts) + INTERVAL '6 hours' AS wend,
            c.c_nationkey,
            count(*) AS n,
-           round(sum(e.value), 2) AS sum_value
+           CASE WHEN isnan(CAST((sum(e.value)) AS DOUBLE)) OR abs(CAST((sum(e.value)) AS DOUBLE)) >= 90071992547409.92 THEN CAST((sum(e.value)) AS DOUBLE) ELSE floor(CAST((sum(e.value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1, 2, 3
     """,
@@ -181,7 +188,7 @@ def q98_stream_enriched_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q98_enriched",
         output_mode="complete",
     )
-    return out.withColumn("sum_value", F.round("sum_value", 2))
+    return out.withColumn("sum_value", bfround("sum_value", 2))
 
 
 # -- q99: per-label embedding centroids (class prototypes)
@@ -190,7 +197,7 @@ def q98_stream_enriched_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
          u AS (SELECT label, i - 1 AS pos,
-                      CAST(round(v[i] * 1e9) AS BIGINT) AS x_fp
+                      CAST(CASE WHEN isnan(CAST((v[i] * 1e9) AS DOUBLE)) OR abs(CAST((v[i] * 1e9) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((v[i] * 1e9) AS DOUBLE) ELSE floor(CAST((v[i] * 1e9) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS x_fp
                FROM e, unnest(generate_series(1, 64)) AS t(i)),
          agg AS (SELECT label, pos, sum(x_fp) AS s, count(*) AS n
                  FROM u GROUP BY 1, 2)
@@ -198,8 +205,8 @@ def q98_stream_enriched_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- normalize -0.0 (a tiny negative exact sum rounds to a
            -- NEGATIVE zero here but a positive one in Spark; the sign
            -- of zero is noise, not value)
-           CASE WHEN round(CAST(s AS DOUBLE) / 1e9 / n, 6) = 0 THEN 0.0
-                ELSE round(CAST(s AS DOUBLE) / 1e9 / n, 6) END AS centroid
+           CASE WHEN CASE WHEN isnan(CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE)) OR abs(CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE) ELSE floor(CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END = 0 THEN 0.0
+                ELSE CASE WHEN isnan(CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE)) OR abs(CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE) ELSE floor(CAST((CAST(s AS DOUBLE) / 1e9 / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END END AS centroid
     FROM agg
     """,
 )
@@ -301,7 +308,7 @@ def q101_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q102_approx_quantiles",
     """
     SELECT source,
-           round(quantile_cont(n_chars, 0.50), 4) AS exact_q50,
+           CASE WHEN isnan(CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE)) OR abs(CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE)) >= 900719925474.0992 THEN CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE) ELSE floor(CAST((quantile_cont(n_chars, 0.50)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS exact_q50,
            true AS within_tol
     FROM documents GROUP BY source
     """,
@@ -315,7 +322,7 @@ def q102_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     agg = docs.groupBy("source").agg(
         F.percentile_approx("n_chars", F.lit(0.5), F.lit(1000)).alias("approx_q50"),
-        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("exact_q50"),
+        bfround(F.percentile("n_chars", F.lit(0.5)), 4).alias("exact_q50"),
     )
     return agg.select(
         "source",

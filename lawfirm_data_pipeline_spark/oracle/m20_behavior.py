@@ -40,11 +40,11 @@ _LTOKS = "list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
                       CAST(count(t1) AS BIGINT) AS n1,
                       CAST(count(t2) AS BIGINT) AS n2 FROM pu)
     SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users,
-           round(CAST(n0 AS DOUBLE) / n0, 6) AS conversion FROM c
+           CASE WHEN isnan(CAST((CAST(n0 AS DOUBLE) / n0) AS DOUBLE)) OR abs(CAST((CAST(n0 AS DOUBLE) / n0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n0 AS DOUBLE) / n0) AS DOUBLE) ELSE floor(CAST((CAST(n0 AS DOUBLE) / n0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS conversion FROM c
     UNION ALL
-    SELECT 1, 'click', n1, round(CAST(n1 AS DOUBLE) / n0, 6) FROM c
+    SELECT 1, 'click', n1, CASE WHEN isnan(CAST((CAST(n1 AS DOUBLE) / n0) AS DOUBLE)) OR abs(CAST((CAST(n1 AS DOUBLE) / n0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n1 AS DOUBLE) / n0) AS DOUBLE) ELSE floor(CAST((CAST(n1 AS DOUBLE) / n0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END FROM c
     UNION ALL
-    SELECT 2, 'purchase', n2, round(CAST(n2 AS DOUBLE) / n0, 6) FROM c
+    SELECT 2, 'purchase', n2, CASE WHEN isnan(CAST((CAST(n2 AS DOUBLE) / n0) AS DOUBLE)) OR abs(CAST((CAST(n2 AS DOUBLE) / n0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n2 AS DOUBLE) / n0) AS DOUBLE) ELSE floor(CAST((CAST(n2 AS DOUBLE) / n0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END FROM c
     """,
 )
 def q111_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,8 +92,11 @@ def q112_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
          l AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_l FROM big GROUP BY w1),
          r AS (SELECT w2, CAST(sum(c_ab) AS BIGINT) AS c_r FROM big GROUP BY w2)
     SELECT big.w1, big.w2, c_ab,
-           round(ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
-                    / (CAST(c_l AS DOUBLE) * CAST(c_r AS DOUBLE))), 6) + 0.0 AS pmi
+           CASE WHEN isnan(CAST((ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(c_l AS DOUBLE) * CAST(c_r AS DOUBLE)))) AS DOUBLE)) OR abs(CAST((ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(c_l AS DOUBLE) * CAST(c_r AS DOUBLE)))) AS DOUBLE)) >= 9007199254.740992 THEN CAST((ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(c_l AS DOUBLE) * CAST(c_r AS DOUBLE)))) AS DOUBLE) ELSE floor(CAST((ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(c_l AS DOUBLE) * CAST(c_r AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END + 0.0 AS pmi
     FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
     WHERE c_ab >= 25
     ORDER BY pmi DESC, w1, w2 LIMIT 20

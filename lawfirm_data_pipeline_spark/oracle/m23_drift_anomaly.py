@@ -49,10 +49,19 @@ _LTOKS = "list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
          z AS (SELECT etype, bucket, n,
                       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m)
                       / (m - 1) AS var,
-                      round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / m)
+                      CASE WHEN isnan(CAST(((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / m)
                             / sqrt((CAST(ss AS DOUBLE)
                                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m)
-                                   / (m - 1)), 6) + 0.0 AS z
+                                   / (m - 1))) AS DOUBLE)) OR abs(CAST(((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / m)
+                            / sqrt((CAST(ss AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m)
+                                   / (m - 1))) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / m)
+                            / sqrt((CAST(ss AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m)
+                                   / (m - 1))) AS DOUBLE) ELSE floor(CAST(((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / m)
+                            / sqrt((CAST(ss AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / m)
+                                   / (m - 1))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END + 0.0 AS z
                FROM w WHERE m >= 12)
     SELECT etype, bucket, n, z FROM z WHERE var > 0 AND abs(z) >= 2
     """,
@@ -81,9 +90,9 @@ def q121_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
          directed AS (SELECT da AS ida, db AS idb, common FROM common
                       UNION ALL
                       SELECT db AS ida, da AS idb, common FROM common)
-    SELECT ida, idb, round(CAST(common AS DOUBLE) / sz, 6) AS containment
+    SELECT ida, idb, CASE WHEN isnan(CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE)) OR abs(CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE) ELSE floor(CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS containment
     FROM directed JOIN sizes ON sizes.did = directed.ida
-    WHERE sz >= 5 AND round(CAST(common AS DOUBLE) / sz, 6) >= 0.9
+    WHERE sz >= 5 AND CASE WHEN isnan(CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE)) OR abs(CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE) ELSE floor(CAST((CAST(common AS DOUBLE) / sz) AS DOUBLE) * 1e6 + 0.5) / 1e6 END >= 0.9
     """,
 )
 def q122_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,13 +122,22 @@ def q122_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(count(*) AS BIGINT) AS v
                  FROM merged GROUP BY src),
          c AS (SELECT m.src,
-                      CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                      CAST(CASE WHEN isnan(CAST(((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
                                  * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
                                       / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
-                                 * 1e12) AS BIGINT) AS k_fp
+                                 * 1e12) AS DOUBLE)) OR abs(CAST(((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                                 * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                                      / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+                                 * 1e12) AS DOUBLE)) >= 9007199254740992.0 THEN CAST(((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                                 * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                                      / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+                                 * 1e12) AS DOUBLE) ELSE floor(CAST(((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                                 * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                                      / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)))
+                                 * 1e12) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS k_fp
                FROM merged m JOIN per USING (src))
     SELECT c.src AS source, max(per.v) AS n_terms,
-           round(CAST(sum(k_fp) AS DOUBLE) / 1e12, 6) AS kl
+           CASE WHEN isnan(CAST((CAST(sum(k_fp) AS DOUBLE) / 1e12) AS DOUBLE)) OR abs(CAST((CAST(sum(k_fp) AS DOUBLE) / 1e12) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(k_fp) AS DOUBLE) / 1e12) AS DOUBLE) ELSE floor(CAST((CAST(sum(k_fp) AS DOUBLE) / 1e12) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS kl
     FROM c JOIN per ON per.src = c.src
     GROUP BY c.src
     """,

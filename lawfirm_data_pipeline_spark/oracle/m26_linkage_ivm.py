@@ -25,8 +25,9 @@ from ..operators.ivm import maintain_group_totals
 from ..operators.linkage import name_variant_pairs
 from ..operators.pareto import skyline_2d
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
-_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_CENTS = "CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)"
 
 
 # -- q129: blocked edit-distance matching over the name dictionary
@@ -73,7 +74,7 @@ def q130_ivm_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cents integers make the two bit-identical
     (operators/ivm.maintain_group_totals)."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = bfround(F.col("o_totalprice") * 100).cast("long")
     base = orders.select(
         "o_orderkey",
         F.col("o_orderpriority").alias("priority"),
@@ -96,7 +97,7 @@ def q130_ivm_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q131_skyline_parts",
     """
     WITH t AS (SELECT p_partkey, p_size,
-                      CAST(round(p_retailprice * 100) AS BIGINT) AS c
+                      CAST(CASE WHEN isnan(CAST((p_retailprice * 100) AS DOUBLE)) OR abs(CAST((p_retailprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((p_retailprice * 100) AS DOUBLE) ELSE floor(CAST((p_retailprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS c
                FROM part)
     SELECT p.p_partkey, p.p_size, p.c AS cost_cents
     FROM t p
@@ -114,7 +115,7 @@ def q131_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     out = skyline_2d(
         part,
-        cost_col=F.round(F.col("p_retailprice") * 100).cast("long"),
+        cost_col=bfround(F.col("p_retailprice") * 100).cast("long"),
         gain_col="p_size",
         carry=["p_partkey"],
     )

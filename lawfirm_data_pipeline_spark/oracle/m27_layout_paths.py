@@ -50,7 +50,7 @@ _DAY_LO, _DAY_HI = 9935, 10387
                     FROM idx a JOIN idx b ON a.sh = b.sh AND a.did < b.did
                     GROUP BY 1, 2)
     SELECT da AS ida, db AS idb,
-           round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+           CASE WHEN isnan(CAST((CAST(c AS DOUBLE) / (sa.sz + sb.sz - c)) AS DOUBLE)) OR abs(CAST((CAST(c AS DOUBLE) / (sa.sz + sb.sz - c)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(c AS DOUBLE) / (sa.sz + sb.sz - c)) AS DOUBLE) ELSE floor(CAST((CAST(c AS DOUBLE) / (sa.sz + sb.sz - c)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS jaccard
     FROM common JOIN sizes sa ON sa.did = da JOIN sizes sb ON sb.did = db
     WHERE 5 * c >= 4 * (sa.sz + sb.sz - c)
     """,
@@ -135,7 +135,7 @@ def q135_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q136_attribution",
     """
     WITH t AS (SELECT user_id, ts, event_id, event_type,
-                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                       last_value(CASE WHEN event_type != 'purchase'
                                       THEN event_type END IGNORE NULLS)
                         OVER w AS src,

@@ -22,6 +22,7 @@ from ..io import load_table
 from ..operators.stats import chisq_independence, mad_outliers, trend_slopes
 from ..operators.timeseries import max_concurrency, state_intervals
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # q134's interval build, shared by the concurrency sweep
 _INTERVALS_SQL = """
@@ -73,7 +74,7 @@ def q137_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q138_mad_outliers",
     """
-    WITH t AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    WITH t AS (SELECT event_type, CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM events),
          med AS (SELECT event_type, CAST(median(cents) AS DOUBLE) AS med_cents,
                         CAST(count(*) AS BIGINT) AS n
@@ -97,7 +98,7 @@ def q138_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason the value column is cents, not raw floats
     (operators/stats.mad_outliers)."""
     events = load_table(spark, sf_dir, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        "event_type", bfround(F.col("value") * 100).cast("long").alias("cents")
     )
     return mad_outliers(events, group_col="event_type", cents_col="cents")
 
@@ -117,15 +118,30 @@ def q138_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
          grid AS (SELECT r, c, rn, cn, COALESCE(o, 0) AS o
                   FROM rows_ CROSS JOIN cols_
                   LEFT JOIN cells USING (r, c)),
-         k AS (SELECT CAST(round(((CAST(o AS DOUBLE)
+         k AS (SELECT CAST(CASE WHEN isnan(CAST((((CAST(o AS DOUBLE)
                                    - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
                                   * (CAST(o AS DOUBLE)
                                      - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
                                   / (CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE)))
-                                 * 1000000000.0) AS BIGINT) AS k_fp,
+                                 * 1000000000.0) AS DOUBLE)) OR abs(CAST((((CAST(o AS DOUBLE)
+                                   - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(o AS DOUBLE)
+                                     - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / (CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE)))
+                                 * 1000000000.0) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((((CAST(o AS DOUBLE)
+                                   - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(o AS DOUBLE)
+                                     - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / (CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE)))
+                                 * 1000000000.0) AS DOUBLE) ELSE floor(CAST((((CAST(o AS DOUBLE)
+                                   - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(o AS DOUBLE)
+                                     - CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / (CAST(rn * cn AS DOUBLE) / CAST(n AS DOUBLE)))
+                                 * 1000000000.0) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS k_fp,
                       n, nr, nc
                FROM grid, tot)
-    SELECT round(CAST(sum(k_fp) AS DOUBLE) / 1000000000.0, 6) AS chi2,
+    SELECT CASE WHEN isnan(CAST((CAST(sum(k_fp) AS DOUBLE) / 1000000000.0) AS DOUBLE)) OR abs(CAST((CAST(sum(k_fp) AS DOUBLE) / 1000000000.0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(k_fp) AS DOUBLE) / 1000000000.0) AS DOUBLE) ELSE floor(CAST((CAST(sum(k_fp) AS DOUBLE) / 1000000000.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS chi2,
            CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
            n AS n_rows
     FROM k GROUP BY n, nr, nc

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.itemsets import association_rules
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _CUTOFF = "2024-01-16"
 
@@ -85,8 +86,8 @@ def q141_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                       UNION ALL
                       SELECT y AS ante, x AS cons, sab FROM pairs)
     SELECT ante, cons, sab AS support,
-           round(CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE), 6) AS confidence,
-           round(CAST(sab * nb.nb AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+           CASE WHEN isnan(CAST((CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sab AS DOUBLE) / CAST(sa.s AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS confidence,
+           CASE WHEN isnan(CAST((CAST(sab * nb.nb AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sab * nb.nb AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sab * nb.nb AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sab * nb.nb AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS lift
     FROM directed
     JOIN sup sa ON sa.pk = directed.ante
     JOIN sup sb ON sb.pk = directed.cons
@@ -115,7 +116,7 @@ def q142_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(nch) AS BIGINT) AS total_chars,
            CAST(sum(ntok) AS BIGINT) AS total_tokens,
-           round(CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sum(nch) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS chars_per_token
     FROM t GROUP BY 1
     """,
@@ -135,9 +136,7 @@ def q143_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("nch").cast("long").alias("total_chars"),
         F.sum("ntok").cast("long").alias("total_tokens"),
-        F.round(
-            F.sum("nch").cast("double") / F.sum("ntok").cast("double"), 6
-        ).alias("chars_per_token"),
+        bfround(F.sum("nch").cast("double") / F.sum("ntok").cast("double"), 6).alias("chars_per_token"),
     )
 
 
@@ -155,7 +154,7 @@ def q143_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND s.st IS NOT NULL AND e.ts >= s.st
                   GROUP BY e.user_id)
     SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           -- binary-floor 6dp rounding (see q266): engine round()s
+           -- binary-floor 6dp rounding (see q266): engine CASE WHEN isnan(CAST(() AS DOUBLE)) OR abs(CAST(() AS DOUBLE)) >= 9007199254740992.0 THEN CAST(() AS DOUBLE) ELSE floor(CAST(() AS DOUBLE) * 1e0 + 0.5) / 1e0 ENDs
            -- split on decimal-half ties of midpoint percentiles
            floor(quantile_cont(delta_us, 0.5) / 1000000.0
                  * 1000000.0 + 0.5) / 1000000.0 AS p50_sec,

@@ -57,7 +57,7 @@ _COS = (
                                            ORDER BY rrf_raw DESC, vec_id)
                           AS fused_rank
                  FROM fused)
-    SELECT query_id, vec_id, round(rrf_raw, 6) AS rrf,
+    SELECT query_id, vec_id, CASE WHEN isnan(CAST((rrf_raw) AS DOUBLE)) OR abs(CAST((rrf_raw) AS DOUBLE)) >= 9007199254.740992 THEN CAST((rrf_raw) AS DOUBLE) ELSE floor(CAST((rrf_raw) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS rrf,
            CAST(fused_rank AS BIGINT) AS fused_rank
     FROM top WHERE fused_rank <= 10
     """,

@@ -23,6 +23,7 @@ from ..operators.stats import impute_group_median_audit
 from ..operators.text import vocab_stats, zipf_fit
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q148: Zipf slope per source
@@ -37,16 +38,19 @@ from ._shared import LTOKS_SQL as _LTOKS
                                               ORDER BY f DESC, w) AS r
                     FROM freq),
          t AS (SELECT g,
-                      CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
-                      CAST(round(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+                      CAST(CASE WHEN isnan(CAST((ln(CAST(r AS DOUBLE)) * 1000000.0) AS DOUBLE)) OR abs(CAST((ln(CAST(r AS DOUBLE)) * 1000000.0) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((ln(CAST(r AS DOUBLE)) * 1000000.0) AS DOUBLE) ELSE floor(CAST((ln(CAST(r AS DOUBLE)) * 1000000.0) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS x,
+                      CAST(CASE WHEN isnan(CAST((ln(CAST(f AS DOUBLE)) * 1000000.0) AS DOUBLE)) OR abs(CAST((ln(CAST(f AS DOUBLE)) * 1000000.0) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((ln(CAST(f AS DOUBLE)) * 1000000.0) AS DOUBLE) ELSE floor(CAST((ln(CAST(f AS DOUBLE)) * 1000000.0) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS y
                FROM ranked),
          agg AS (SELECT g, CAST(count(*) AS BIGINT) AS m,
                         sum(x) AS sx, sum(y) AS sy,
                         sum(x * x) AS sx2, sum(x * y) AS sxy
                  FROM t GROUP BY g)
     SELECT g AS source, m AS vocab_size,
-           round(CAST(m * sxy - sx * sy AS DOUBLE)
-                 / CAST(m * sx2 - sx * sx AS DOUBLE), 6) AS zipf_slope
+           CASE WHEN isnan(CAST((CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sx2 - sx * sx AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sx2 - sx * sx AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sx2 - sx * sx AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(m * sxy - sx * sy AS DOUBLE)
+                 / CAST(m * sx2 - sx * sx AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS zipf_slope
     FROM agg
     """,
 )
@@ -69,10 +73,13 @@ def q148_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS source, CAST(sum(f) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS vocab,
            CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-           round(CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS type_token_ratio,
-           round(CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+           CASE WHEN isnan(CAST((CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS hapax_ratio
     FROM freq GROUP BY g
     """,
 )
@@ -90,20 +97,20 @@ def q149_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (SELECT event_type,
                       CASE WHEN event_id % 13 = 0 THEN NULL
-                           ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+                           ELSE CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) END AS cents
                FROM events),
          med AS (SELECT event_type, CAST(median(cents) AS DOUBLE) AS med_cents
                  FROM t GROUP BY 1),
          j AS (SELECT t.event_type, med.med_cents, t.cents,
                       CASE WHEN t.cents IS NULL
-                           THEN CAST(round(med.med_cents * 2) AS BIGINT)
+                           THEN CAST(CASE WHEN isnan(CAST((med.med_cents * 2) AS DOUBLE)) OR abs(CAST((med.med_cents * 2) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((med.med_cents * 2) AS DOUBLE) ELSE floor(CAST((med.med_cents * 2) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
                            ELSE t.cents * 2 END AS half
                FROM t JOIN med USING (event_type))
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_imputed,
            med_cents,
-           round((CAST(sum(half) AS DOUBLE) / 2.0) / CAST(count(*) AS DOUBLE), 6)
+           CASE WHEN isnan(CAST(((CAST(sum(half) AS DOUBLE) / 2.0) / CAST(count(*) AS DOUBLE)) AS DOUBLE)) OR abs(CAST(((CAST(sum(half) AS DOUBLE) / 2.0) / CAST(count(*) AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(sum(half) AS DOUBLE) / 2.0) / CAST(count(*) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST(((CAST(sum(half) AS DOUBLE) / 2.0) / CAST(count(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS mean_cents_after
     FROM j GROUP BY event_type, med_cents
     """,
@@ -117,7 +124,7 @@ def q150_impute_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events.select(
         "event_type",
         F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
-            F.round(F.col("value") * 100).cast("long")
+            bfround(F.col("value") * 100).cast("long")
         ).alias("cents"),
     )
     return impute_group_median_audit(t, "event_type", "cents")

@@ -23,9 +23,10 @@ from ..io import load_events_stream, load_table
 from ..operators.graph_metrics import bfs_distances, graph_artifacts_for
 from ..queries import query
 from ..streaming.windows import run_stream_to_table
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _CUTOFF = "2024-01-16"
-_CENTS = "CAST(round(value * 100) AS BIGINT)"
+_CENTS = "CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)"
 
 
 # -- q152: streaming ingest deduplicated against a static history
@@ -52,7 +53,7 @@ def q152_stream_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then aggregated — the exactly-once-shaped "drop what the lake
     already has" ingest path; the static side is the broadcastable
     fingerprint projection, never full rows."""
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = bfround(F.col("value") * 100).cast("long")
     hist = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"))
@@ -95,8 +96,11 @@ def q152_stream_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  JOIN (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
                        FROM orders GROUP BY 1) kb USING (k))
     SELECT est_fp, actual,
-           round(abs(CAST(est_fp AS DOUBLE) / 1000000.0
-                     - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((abs(CAST(est_fp AS DOUBLE) / 1000000.0
+                     - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)) AS DOUBLE)) OR abs(CAST((abs(CAST(est_fp AS DOUBLE) / 1000000.0
+                     - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((abs(CAST(est_fp AS DOUBLE) / 1000000.0
+                     - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((abs(CAST(est_fp AS DOUBLE) / 1000000.0
+                     - CAST(actual AS DOUBLE)) / CAST(actual AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS rel_err
     FROM est, act
     """,
@@ -139,14 +143,11 @@ def q153_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(act)).select(
         "est_fp",
         "actual",
-        F.round(
-            F.abs(
+        bfround(F.abs(
                 F.col("est_fp").cast("double") / 1000000.0
                 - F.col("actual").cast("double")
             )
-            / F.col("actual").cast("double"),
-            6,
-        ).alias("rel_err"),
+            / F.col("actual").cast("double"), 6).alias("rel_err"),
     )
 
 
@@ -193,7 +194,7 @@ def q154_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
                         r.r_name AS region,
-                        CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        CAST(CASE WHEN isnan(CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE)) OR abs(CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE) ELSE floor(CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                              AS BIGINT) AS fp
                  FROM lineitem l
                  JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -203,9 +204,9 @@ def q154_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
          tot AS (SELECT yr, CAST(sum(fp) AS BIGINT) AS total_fp FROM rev GROUP BY 1),
          eu AS (SELECT yr, CAST(sum(fp) AS BIGINT) AS eu_fp FROM rev
                 WHERE region = 'EUROPE' GROUP BY 1)
-    SELECT tot.yr, round(CAST(COALESCE(eu_fp, 0) AS DOUBLE) / 100, 2) AS europe_revenue,
-           round(CAST(total_fp AS DOUBLE) / 100, 2) AS total_revenue,
-           round(CAST(COALESCE(eu_fp, 0) AS DOUBLE) / CAST(total_fp AS DOUBLE), 6)
+    SELECT tot.yr, CASE WHEN isnan(CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / 100) AS DOUBLE)) OR abs(CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / 100) AS DOUBLE)) >= 90071992547409.92 THEN CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / 100) AS DOUBLE) ELSE floor(CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / 100) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS europe_revenue,
+           CASE WHEN isnan(CAST((CAST(total_fp AS DOUBLE) / 100) AS DOUBLE)) OR abs(CAST((CAST(total_fp AS DOUBLE) / 100) AS DOUBLE)) >= 90071992547409.92 THEN CAST((CAST(total_fp AS DOUBLE) / 100) AS DOUBLE) ELSE floor(CAST((CAST(total_fp AS DOUBLE) / 100) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS total_revenue,
+           CASE WHEN isnan(CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / CAST(total_fp AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / CAST(total_fp AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / CAST(total_fp AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(COALESCE(eu_fp, 0) AS DOUBLE) / CAST(total_fp AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS share
     FROM tot LEFT JOIN eu ON eu.yr = tot.yr
     """,
@@ -221,7 +222,7 @@ def q155_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    fp = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    fp = bfround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     rev = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
@@ -241,15 +242,12 @@ def q155_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tot.join(eu, "yr", "left").select(
         "yr",
-        F.round(F.coalesce(F.col("eu_fp"), F.lit(0)).cast("double") / 100, 2).alias(
+        bfround(F.coalesce(F.col("eu_fp"), F.lit(0)).cast("double") / 100, 2).alias(
             "europe_revenue"
         ),
-        F.round(F.col("total_fp").cast("double") / 100, 2).alias("total_revenue"),
-        F.round(
-            F.coalesce(F.col("eu_fp"), F.lit(0)).cast("double")
-            / F.col("total_fp").cast("double"),
-            6,
-        ).alias("share"),
+        bfround(F.col("total_fp").cast("double") / 100, 2).alias("total_revenue"),
+        bfround(F.coalesce(F.col("eu_fp"), F.lit(0)).cast("double")
+            / F.col("total_fp").cast("double"), 6).alias("share"),
     )
 
 

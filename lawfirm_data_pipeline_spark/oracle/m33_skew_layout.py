@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.skew import salted_join
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q157: salted join == plain join (skew mitigation is invisible)
@@ -59,7 +60,7 @@ def q157_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q158_twap",
     """
-    WITH seq AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+    WITH seq AS (SELECT user_id, CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                         epoch_us(ts) AS t0,
                         epoch_us(lead(ts) OVER (PARTITION BY user_id
                                                 ORDER BY ts, event_id)) AS t1
@@ -67,7 +68,7 @@ def q157_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          iv AS (SELECT user_id, cents, t1 - t0 AS dt
                 FROM seq WHERE t1 IS NOT NULL)
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
-           round(CAST(sum(cents * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(sum(cents * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(cents * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(cents * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sum(cents * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS twap_cents
     FROM iv GROUP BY 1
     """,
@@ -81,7 +82,7 @@ def q158_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        bfround(F.col("value") * 100).cast("long").alias("cents"),
         F.unix_micros(F.col("ts")).alias("t0"),
         F.unix_micros(F.lead("ts").over(w)).alias("t1"),
     ).filter(F.col("t1").isNotNull())
@@ -93,11 +94,8 @@ def q158_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d19 = "decimal(19,0)"
     return iv.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals"),
-        F.round(
-            F.sum(F.col("cents").cast(d19) * F.col("dt").cast(d19)).cast("double")
-            / F.sum("dt").cast("double"),
-            6,
-        ).alias("twap_cents"),
+        bfround(F.sum(F.col("cents").cast(d19) * F.col("dt").cast(d19)).cast("double")
+            / F.sum("dt").cast("double"), 6).alias("twap_cents"),
     )
 
 
@@ -115,7 +113,7 @@ def q158_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS delta_bits
                FROM seq)
     SELECT n_rows, CAST(64 * n_rows AS BIGINT) AS raw_bits, delta_bits,
-           round(CAST(delta_bits AS DOUBLE) / CAST(64 * n_rows AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(delta_bits AS DOUBLE) / CAST(64 * n_rows AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(delta_bits AS DOUBLE) / CAST(64 * n_rows AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(delta_bits AS DOUBLE) / CAST(64 * n_rows AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(delta_bits AS DOUBLE) / CAST(64 * n_rows AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS ratio
     FROM b
     """,
@@ -145,11 +143,8 @@ def q159_delta_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.lit(64) * F.col("n_rows")).cast("long").alias("raw_bits"),
         "delta_bits",
-        F.round(
-            F.col("delta_bits").cast("double")
-            / (F.lit(64) * F.col("n_rows")).cast("double"),
-            6,
-        ).alias("ratio"),
+        bfround(F.col("delta_bits").cast("double")
+            / (F.lit(64) * F.col("n_rows")).cast("double"), 6).alias("ratio"),
     )
 
 
@@ -159,7 +154,7 @@ def q159_delta_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT user_id,
                       bit_xor(('0x' || substring(md5(concat_ws(chr(1),
-                          event_type, CAST(CAST(round(value * 100) AS BIGINT)
+                          event_type, CAST(CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
                                            AS VARCHAR))), 1, 15))::BIGINT) AS dig
                FROM events GROUP BY 1)
     SELECT CAST(count(*) AS BIGINT) AS n_users,
@@ -181,7 +176,7 @@ def q160_group_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(
                     "\x01",
                     F.col("event_type"),
-                    F.round(F.col("value") * 100).cast("long").cast("string"),
+                    bfround(F.col("value") * 100).cast("long").cast("string"),
                 )
             ),
             1,

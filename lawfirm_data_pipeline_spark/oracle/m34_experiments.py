@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q161: hash-randomized A/B conversion readout with z-statistic
@@ -44,13 +45,25 @@ from ..queries import query
                       max(CASE WHEN variant = 'B' THEN n_converted END) AS cb
                FROM per)
     SELECT na, ca, nb, cb,
-           round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
-           round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_b,
-           round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+           CASE WHEN isnan(CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS rate_a,
+           CASE WHEN isnan(CAST((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS rate_b,
+           CASE WHEN isnan(CAST(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
                   - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
                  / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
                         * (1 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
-                        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6)
+                        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))) AS DOUBLE)) OR abs(CAST(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))) AS DOUBLE) ELSE floor(CAST(((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / sqrt((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS z_stat
     FROM w
     """,
@@ -95,9 +108,9 @@ def q161_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.select(
         "na", "ca", "nb", "cb",
-        F.round(ra, 6).alias("rate_a"),
-        F.round(rb, 6).alias("rate_b"),
-        F.round(z, 6).alias("z_stat"),
+        bfround(ra, 6).alias("rate_a"),
+        bfround(rb, 6).alias("rate_b"),
+        bfround(z, 6).alias("z_stat"),
     )
 
 
@@ -127,8 +140,8 @@ def q161_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FROM (SELECT count(*) AS cnt FROM orders
                               GROUP BY o_orderstatus)) AS top_count)
     SELECT col, n, n_distinct, top_count,
-           round(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS distinct_ratio,
-           round(CAST(top_count AS DOUBLE) / CAST(n AS DOUBLE), 6) AS top_share
+           CASE WHEN isnan(CAST((CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS distinct_ratio,
+           CASE WHEN isnan(CAST((CAST(top_count AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(top_count AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(top_count AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(top_count AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS top_share
     FROM (SELECT * FROM s UNION ALL SELECT * FROM p UNION ALL SELECT * FROM st)
     """,
 )
@@ -170,9 +183,9 @@ def q162_selectivity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_distinct",
         "top_count",
-        F.round(F.col("n_distinct").cast("double") / F.col("n").cast("double"), 6)
+        bfround(F.col("n_distinct").cast("double") / F.col("n").cast("double"), 6)
         .alias("distinct_ratio"),
-        F.round(F.col("top_count").cast("double") / F.col("n").cast("double"), 6)
+        bfround(F.col("top_count").cast("double") / F.col("n").cast("double"), 6)
         .alias("top_share"),
     )
 
@@ -195,12 +208,27 @@ def q162_selectivity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM daily
                WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
     SELECT CAST(d AS TIMESTAMP) AS day,
-           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+           CASE WHEN isnan(CAST(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / sqrt((CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS DOUBLE)) OR abs(CAST(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS DOUBLE) ELSE floor(CAST(((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(m AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS corr7
     FROM w WHERE m = 7
       AND (m * sx2 - sx * sx) > 0 AND (m * sy2 - sy * sy) > 0
@@ -251,5 +279,5 @@ def q163_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) > 0
     return (
         w.filter((F.col("m") == 7) & var_pos_x & var_pos_y)
-        .select(F.col("d").cast("timestamp").alias("day"), F.round(corr, 6).alias("corr7"))
+        .select(F.col("d").cast("timestamp").alias("day"), bfround(corr, 6).alias("corr7"))
     )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.itemsets import basket_pairs
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q164: offline precision@3 of the co-purchase recommender
@@ -49,7 +50,7 @@ from ..queries import query
     SELECT CAST(count(*) AS BIGINT) AS n_parts_scored,
            CAST(sum(n_rec) AS BIGINT) AS n_recommended,
            CAST(sum(n_hit) AS BIGINT) AS n_hits,
-           round(CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_rec) AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_rec) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_rec) AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_rec) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_rec) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS precision_at_3
     FROM hits
     """,
@@ -105,9 +106,7 @@ def q164_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts_scored"),
         F.sum("n_rec").cast("long").alias("n_recommended"),
         F.sum("n_hit").cast("long").alias("n_hits"),
-        F.round(
-            F.sum("n_hit").cast("double") / F.sum("n_rec").cast("double"), 6
-        ).alias("precision_at_3"),
+        bfround(F.sum("n_hit").cast("double") / F.sum("n_rec").cast("double"), 6).alias("precision_at_3"),
     )
 
 
@@ -126,7 +125,7 @@ def q164_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(count(*) AS BIGINT) AS n_folds
                  FROM f GROUP BY 1)
     SELECT source, total, n_folds, max_fold, min_fold,
-           round(CAST(max_fold AS DOUBLE) / CAST(min_fold AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(max_fold AS DOUBLE) / CAST(min_fold AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(max_fold AS DOUBLE) / CAST(min_fold AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(max_fold AS DOUBLE) / CAST(min_fold AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(max_fold AS DOUBLE) / CAST(min_fold AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS balance_ratio
     FROM per
     """,
@@ -153,7 +152,7 @@ def q165_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_folds"),
         F.max("n").cast("long").alias("max_fold"),
         F.min("n").cast("long").alias("min_fold"),
-        F.round(F.max("n").cast("double") / F.min("n").cast("double"), 6).alias(
+        bfround(F.max("n").cast("double") / F.min("n").cast("double"), 6).alias(
             "balance_ratio"
         ),
     ).select("source", "total", "n_folds", "max_fold", "min_fold", "balance_ratio")
@@ -172,7 +171,7 @@ def q165_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM t)
     SELECT doc_id, CAST(len AS BIGINT) AS n_chars,
            CAST(n_cuts + 1 AS BIGINT) AS n_chunks,
-           round(CAST(len AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(len AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(len AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(len AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(len AS DOUBLE) / CAST(n_cuts + 1 AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS avg_chunk_len
     FROM cuts
     """,
@@ -198,7 +197,5 @@ def q166_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("len").cast("long").alias("n_chars"),
         (F.col("n_cuts") + 1).cast("long").alias("n_chunks"),
-        F.round(
-            F.col("len").cast("double") / (F.col("n_cuts") + 1).cast("double"), 6
-        ).alias("avg_chunk_len"),
+        bfround(F.col("len").cast("double") / (F.col("n_cuts") + 1).cast("double"), 6).alias("avg_chunk_len"),
     )

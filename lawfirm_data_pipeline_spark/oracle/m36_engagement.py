@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # decay: half-life 7 days -> lambda = ln(2) / 7 per day; reference
 # point is the fixed end of the generated month (identical constants
@@ -32,18 +33,18 @@ _LAMBDA = 0.0990210257942779  # ln(2)/7
     "q167_decayed_engagement",
     f"""
     WITH t AS (SELECT user_id,
-                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                       (epoch_us(TIMESTAMP '{_REF}') - epoch_us(ts))
                         / 86400000000.0 AS age_days
                FROM events WHERE event_type = 'purchase'),
          s AS (SELECT user_id,
-                      CAST(round(cents * exp(-{_LAMBDA} * age_days) * 1000000.0)
+                      CAST(CASE WHEN isnan(CAST((cents * exp(-{_LAMBDA} * age_days) * 1000000.0) AS DOUBLE)) OR abs(CAST((cents * exp(-{_LAMBDA} * age_days) * 1000000.0) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((cents * exp(-{_LAMBDA} * age_days) * 1000000.0) AS DOUBLE) ELSE floor(CAST((cents * exp(-{_LAMBDA} * age_days) * 1000000.0) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                            AS BIGINT) AS fp,
                       cents
                FROM t)
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(sum(cents) AS BIGINT) AS raw_cents,
-           round(CAST(sum(fp) AS DOUBLE) / 1000000.0 / 100.0, 4) AS decayed_value
+           CASE WHEN isnan(CAST((CAST(sum(fp) AS DOUBLE) / 1000000.0 / 100.0) AS DOUBLE)) OR abs(CAST((CAST(sum(fp) AS DOUBLE) / 1000000.0 / 100.0) AS DOUBLE)) >= 900719925474.0992 THEN CAST((CAST(sum(fp) AS DOUBLE) / 1000000.0 / 100.0) AS DOUBLE) ELSE floor(CAST((CAST(sum(fp) AS DOUBLE) / 1000000.0 / 100.0) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS decayed_value
     FROM s GROUP BY 1
     """,
 )
@@ -58,13 +59,13 @@ def q167_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     age_days = (
         F.unix_micros(F.lit(_REF).cast("timestamp")) - F.unix_micros(F.col("ts"))
     ) / 86400000000.0
-    cents = F.round(F.col("value") * 100).cast("long")
-    fp = F.round(cents * F.exp(F.lit(-_LAMBDA) * age_days) * 1000000.0).cast("long")
+    cents = bfround(F.col("value") * 100).cast("long")
+    fp = bfround(cents * F.exp(F.lit(-_LAMBDA) * age_days) * 1000000.0).cast("long")
     s = events.select("user_id", cents.alias("cents"), fp.alias("fp"))
     return s.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_purchases"),
         F.sum("cents").cast("long").alias("raw_cents"),
-        F.round(F.sum("fp").cast("double") / 1000000.0 / 100.0, 4).alias(
+        bfround(F.sum("fp").cast("double") / 1000000.0 / 100.0, 4).alias(
             "decayed_value"
         ),
     )
@@ -82,7 +83,7 @@ def q167_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
                  GROUP BY 1)
     SELECT CAST(dau.d AS TIMESTAMP) AS day, dau.dau, wau.wau,
-           round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS stickiness
     FROM dau JOIN wau ON wau.d = dau.d
     WHERE dau.d >= (SELECT min(d) FROM days) + INTERVAL 6 DAY
@@ -117,7 +118,7 @@ def q168_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").cast("timestamp").alias("day"),
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
+            bfround(F.col("dau").cast("double") / F.col("wau").cast("double"), 6).alias(
                 "stickiness"
             ),
         )

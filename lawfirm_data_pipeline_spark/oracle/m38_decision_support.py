@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
-_FP = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+_FP = "CAST(CASE WHEN isnan(CAST((l_extendedprice * (1 - l_discount) * 100) AS DOUBLE)) OR abs(CAST((l_extendedprice * (1 - l_discount) * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((l_extendedprice * (1 - l_discount) * 100) AS DOUBLE) ELSE floor(CAST((l_extendedprice * (1 - l_discount) * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)"
 
 
 # -- q172: shipping priority (TPC-H Q3 shape), top-10 by revenue
@@ -30,7 +31,7 @@ _FP = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
     f"""
     SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS orderdate,
            o.o_orderpriority,
-           round(CAST(sum({_FP}) AS DOUBLE) / 100, 2) AS revenue
+           CASE WHEN isnan(CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE)) OR abs(CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE)) >= 90071992547409.92 THEN CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE) ELSE floor(CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -54,7 +55,7 @@ def q172_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    fp = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    fp = bfround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -70,7 +71,7 @@ def q172_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "orderdate",
             "o_orderpriority",
-            F.round(F.col("fp").cast("double") / 100, 2).alias("revenue"),
+            bfround(F.col("fp").cast("double") / 100, 2).alias("revenue"),
         )
     )
 
@@ -80,7 +81,7 @@ def q172_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q173_returned_items",
     f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(CAST(sum({_FP}) AS DOUBLE) / 100, 2) AS lost_revenue
+           CASE WHEN isnan(CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE)) OR abs(CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE)) >= 90071992547409.92 THEN CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE) ELSE floor(CAST((CAST(sum({_FP}) AS DOUBLE) / 100) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS lost_revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -102,7 +103,7 @@ def q173_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    fp = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    fp = bfround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -115,7 +116,7 @@ def q173_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "n_name",
-            F.round(F.col("fp").cast("double") / 100, 2).alias("lost_revenue"),
+            bfround(F.col("fp").cast("double") / 100, 2).alias("lost_revenue"),
         )
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.similarity import cosine, _dvec
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _COS = (
     "list_dot_product({a}, {b}) / "
@@ -34,7 +35,7 @@ _COS = (
     f"""
     WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
          u AS (SELECT label, i - 1 AS pos,
-                      CAST(round(v[i] * 1e9) AS BIGINT) AS x_fp
+                      CAST(CASE WHEN isnan(CAST((v[i] * 1e9) AS DOUBLE)) OR abs(CAST((v[i] * 1e9) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((v[i] * 1e9) AS DOUBLE) ELSE floor(CAST((v[i] * 1e9) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS x_fp
                FROM e, unnest(generate_series(1, 64)) AS t(i)),
          agg AS (SELECT label, pos, sum(x_fp) AS s, count(*) AS n
                  FROM u GROUP BY 1, 2),
@@ -43,14 +44,17 @@ _COS = (
                         FROM agg)
                   GROUP BY label),
          intra AS (SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
-                          CAST(sum(CAST(round({_COS.format(a='e.v', b='cent.c')}
-                                              * 1e9) AS BIGINT)) AS BIGINT) AS sfp
+                          CAST(sum(CAST(CASE WHEN isnan(CAST(({_COS.format(a='e.v', b='cent.c')}
+                                              * 1e9) AS DOUBLE)) OR abs(CAST(({_COS.format(a='e.v', b='cent.c')}
+                                              * 1e9) AS DOUBLE)) >= 9007199254740992.0 THEN CAST(({_COS.format(a='e.v', b='cent.c')}
+                                              * 1e9) AS DOUBLE) ELSE floor(CAST(({_COS.format(a='e.v', b='cent.c')}
+                                              * 1e9) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT) AS sfp
                    FROM e JOIN cent USING (label) GROUP BY 1),
          inter AS (SELECT a.label, max({_COS.format(a='a.c', b='b.c')}) AS mx
                    FROM cent a JOIN cent b ON a.label != b.label GROUP BY 1)
     SELECT intra.label, n_vecs,
-           round(CAST(sfp AS DOUBLE) / n_vecs / 1e9, 6) AS intra_mean_cos,
-           round(mx, 6) AS nearest_other_cos
+           CASE WHEN isnan(CAST((CAST(sfp AS DOUBLE) / n_vecs / 1e9) AS DOUBLE)) OR abs(CAST((CAST(sfp AS DOUBLE) / n_vecs / 1e9) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sfp AS DOUBLE) / n_vecs / 1e9) AS DOUBLE) ELSE floor(CAST((CAST(sfp AS DOUBLE) / n_vecs / 1e9) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS intra_mean_cos,
+           CASE WHEN isnan(CAST((mx) AS DOUBLE)) OR abs(CAST((mx) AS DOUBLE)) >= 9007199254.740992 THEN CAST((mx) AS DOUBLE) ELSE floor(CAST((mx) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS nearest_other_cos
     FROM intra JOIN inter ON inter.label = intra.label
     """,
 )
@@ -65,7 +69,7 @@ def q177_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("label", _dvec("embedding").alias("v"))
     ex = e.select("label", F.posexplode("v").alias("pos", "x"))
     agg = ex.select(
-        "label", "pos", F.round(F.col("x") * 1e9).cast("long").alias("x_fp")
+        "label", "pos", bfround(F.col("x") * 1e9).cast("long").alias("x_fp")
     ).groupBy("label", "pos").agg(
         F.sum("x_fp").alias("s"), F.count(F.lit(1)).alias("n")
     )
@@ -86,7 +90,7 @@ def q177_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(cent), "label")
         .select(
             "label",
-            F.round(cosine(F.col("v"), F.col("c")) * 1e9).cast("long").alias("cfp"),
+            bfround(cosine(F.col("v"), F.col("c")) * 1e9).cast("long").alias("cfp"),
         )
         .groupBy("label")
         .agg(
@@ -105,10 +109,10 @@ def q177_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intra.join(inter, "label").select(
         "label",
         "n_vecs",
-        F.round(F.col("sfp").cast("double") / F.col("n_vecs") / 1e9, 6).alias(
+        bfround(F.col("sfp").cast("double") / F.col("n_vecs") / 1e9, 6).alias(
             "intra_mean_cos"
         ),
-        F.round(F.col("mx"), 6).alias("nearest_other_cos"),
+        bfround(F.col("mx"), 6).alias("nearest_other_cos"),
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # per-source epoch weights for the upsampling demo (driver sources are
 # src0..src19): >1 upsamples, fractional parts hash-sample, <1
@@ -44,12 +45,12 @@ def _weight_case_sql() -> str:
                       CAST(floor(wt) AS BIGINT)
                       + CASE WHEN ('0x' || substring(md5('rep:'
                                 || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
-                             < CAST(round((wt - floor(wt)) * 10000) AS BIGINT)
+                             < CAST(CASE WHEN isnan(CAST(((wt - floor(wt)) * 10000) AS DOUBLE)) OR abs(CAST(((wt - floor(wt)) * 10000) AS DOUBLE)) >= 9007199254740992.0 THEN CAST(((wt - floor(wt)) * 10000) AS DOUBLE) ELSE floor(CAST(((wt - floor(wt)) * 10000) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
                              THEN 1 ELSE 0 END AS copies
                FROM w)
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs_in,
            CAST(sum(copies) AS BIGINT) AS n_docs_out,
-           round(CAST(sum(copies) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           CASE WHEN isnan(CAST((CAST(sum(copies) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE)) OR abs(CAST((CAST(sum(copies) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(copies) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE) ELSE floor(CAST((CAST(sum(copies) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS realized_ratio
     FROM c GROUP BY 1
     """,
@@ -73,7 +74,7 @@ def q179_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
             16, 10,
         ).cast("long") % 10000
     )
-    frac_fp = F.round((wt - F.floor(wt)) * 10000).cast("long")
+    frac_fp = bfround((wt - F.floor(wt)) * 10000).cast("long")
     copies = (F.floor(wt).cast("long") + F.when(bucket < frac_fp, 1).otherwise(0)).alias(
         "copies"
     )
@@ -81,9 +82,7 @@ def q179_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_in"),
         F.sum("copies").cast("long").alias("n_docs_out"),
-        F.round(
-            F.sum("copies").cast("double") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("realized_ratio"),
+        bfround(F.sum("copies").cast("double") / F.count(F.lit(1)).cast("double"), 6).alias("realized_ratio"),
     )
 
 
@@ -98,10 +97,16 @@ def q179_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM t GROUP BY 1),
          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS all_tokens FROM per)
     SELECT source, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / all_tokens, 6) AS token_share,
-           round(CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+           CASE WHEN isnan(CAST((CAST(n_tokens AS DOUBLE) / all_tokens) AS DOUBLE)) OR abs(CAST((CAST(n_tokens AS DOUBLE) / all_tokens) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_tokens AS DOUBLE) / all_tokens) AS DOUBLE) ELSE floor(CAST((CAST(n_tokens AS DOUBLE) / all_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS token_share,
+           CASE WHEN isnan(CAST((CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                 / all_tokens, 6) AS cum_share
+                 / all_tokens) AS DOUBLE)) OR abs(CAST((CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / all_tokens) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / all_tokens) AS DOUBLE) ELSE floor(CAST((CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / all_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS cum_share
     FROM per, tot
     """,
 )
@@ -126,10 +131,8 @@ def q180_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("all_tokens"), 6).alias(
+        bfround(F.col("n_tokens").cast("double") / F.col("all_tokens"), 6).alias(
             "token_share"
         ),
-        F.round(
-            F.sum("n_tokens").over(w).cast("double") / F.col("all_tokens"), 6
-        ).alias("cum_share"),
+        bfround(F.sum("n_tokens").over(w).cast("double") / F.col("all_tokens"), 6).alias("cum_share"),
     )

@@ -33,6 +33,7 @@ from ._shared import (
     PLANTED_CORPUS_SQL as _CORPUS_SQL,
     planted_corpus as _planted_corpus,
 )
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q181: fixed-iteration Lloyd k-means on the embeddings table
@@ -41,7 +42,7 @@ from ._shared import (
     """
     WITH v AS (SELECT vec_id,
                       list_transform(embedding::DOUBLE[],
-                                     x -> CAST(round(x * 1e6) AS BIGINT)) AS v
+                                     x -> CAST(CASE WHEN isnan(CAST((x * 1e6) AS DOUBLE)) OR abs(CAST((x * 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((x * 1e6) AS DOUBLE) ELSE floor(CAST((x * 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS v
                FROM embeddings),
          vl AS (SELECT vec_id, i AS pos, v[i] AS x
                 FROM v, unnest(generate_series(1, 64)) AS t(i)),
@@ -69,7 +70,7 @@ from ._shared import (
                    FROM d2) WHERE rn = 1)
     SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(dist) AS BIGINT) AS wcss_fp,
-           round(CAST(sum(dist) AS DOUBLE) / count(*) / 1e12, 6) AS mean_sq_dist
+           CASE WHEN isnan(CAST((CAST(sum(dist) AS DOUBLE) / count(*) / 1e12) AS DOUBLE)) OR abs(CAST((CAST(sum(dist) AS DOUBLE) / count(*) / 1e12) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(dist) AS DOUBLE) / count(*) / 1e12) AS DOUBLE) ELSE floor(CAST((CAST(sum(dist) AS DOUBLE) / count(*) / 1e12) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS mean_sq_dist
     FROM a2 GROUP BY 1
     """,
 )
@@ -115,7 +116,7 @@ def q181_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ON a.fp = b.fp AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
     SELECT doc_a, doc_b, shared_fps,
-           round(CAST(shared_fps AS DOUBLE) / least(na.nf, nb.nf), 6) AS overlap
+           CASE WHEN isnan(CAST((CAST(shared_fps AS DOUBLE) / least(na.nf, nb.nf)) AS DOUBLE)) OR abs(CAST((CAST(shared_fps AS DOUBLE) / least(na.nf, nb.nf)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(shared_fps AS DOUBLE) / least(na.nf, nb.nf)) AS DOUBLE) ELSE floor(CAST((CAST(shared_fps AS DOUBLE) / least(na.nf, nb.nf)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS overlap
     FROM shared
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
@@ -145,7 +146,7 @@ def q182_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    WHERE d.o_orderkey = l.l_orderkey))
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_items,
-           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(CASE WHEN isnan(CAST((l_extendedprice * 100) AS DOUBLE)) OR abs(CAST((l_extendedprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((l_extendedprice * 100) AS DOUBLE) ELSE floor(CAST((l_extendedprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
              AS revenue_cents
     FROM matched GROUP BY 1
     """,
@@ -166,7 +167,7 @@ def q183_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey", n_bits=1 << 14)
     return matched.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        F.sum(bfround(F.col("l_extendedprice") * 100).cast("long"))
         .cast("long")
         .alias("revenue_cents"),
     )
@@ -184,8 +185,11 @@ def q183_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(count(*) AS BIGINT) AS n
                FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
     SELECT src, dst, n,
-           round(CAST(n AS DOUBLE)
-                 / sum(n) OVER (PARTITION BY src), 6) AS p
+           CASE WHEN isnan(CAST((CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src)) AS DOUBLE)) OR abs(CAST((CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src)) AS DOUBLE) ELSE floor(CAST((CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY src)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS p
     FROM c
     """,
 )
@@ -209,5 +213,5 @@ def q184_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         "n",
-        F.round(F.col("n") / F.sum("n").over(Window.partitionBy("src")), 6).alias("p"),
+        bfround(F.col("n") / F.sum("n").over(Window.partitionBy("src")), 6).alias("p"),
     )

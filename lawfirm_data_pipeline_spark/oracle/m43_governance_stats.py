@@ -32,6 +32,7 @@ from ..operators.similarity import brute_force_topk
 from ..operators.text import shingles_of, tokenized
 from ..queries import query
 from ._shared import _COS, LTOKS_SQL as _LTOKS, SHINGLES_SQL as _SHINGLES
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 def guarded_max_source_bit(t: DataFrame) -> DataFrame:
@@ -62,8 +63,8 @@ def guarded_max_source_bit(t: DataFrame) -> DataFrame:
                FROM p a JOIN p b ON a.sh = b.sh AND a.s < b.s
                GROUP BY 1, 2)
     SELECT 'src' || ia AS source_a, 'src' || ib AS source_b, n_shared,
-           round(CAST(n_shared AS DOUBLE) / da.nd, 6) AS containment_a,
-           round(CAST(n_shared AS DOUBLE) / db.nd, 6) AS containment_b
+           CASE WHEN isnan(CAST((CAST(n_shared AS DOUBLE) / da.nd) AS DOUBLE)) OR abs(CAST((CAST(n_shared AS DOUBLE) / da.nd) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_shared AS DOUBLE) / da.nd) AS DOUBLE) ELSE floor(CAST((CAST(n_shared AS DOUBLE) / da.nd) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS containment_a,
+           CASE WHEN isnan(CAST((CAST(n_shared AS DOUBLE) / db.nd) AS DOUBLE)) OR abs(CAST((CAST(n_shared AS DOUBLE) / db.nd) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_shared AS DOUBLE) / db.nd) AS DOUBLE) ELSE floor(CAST((CAST(n_shared AS DOUBLE) / db.nd) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS containment_b
     FROM c JOIN d da ON da.s = ia JOIN d db ON db.s = ib
     """,
 )
@@ -125,8 +126,8 @@ def q185_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("src"), F.col("ia")).alias("source_a"),
             F.concat(F.lit("src"), F.col("ib")).alias("source_b"),
             "n_shared",
-            F.round(F.col("n_shared") / F.col("na"), 6).alias("containment_a"),
-            F.round(F.col("n_shared") / F.col("nb"), 6).alias("containment_b"),
+            bfround(F.col("n_shared") / F.col("na"), 6).alias("containment_a"),
+            bfround(F.col("n_shared") / F.col("nb"), 6).alias("containment_b"),
         )
     )
 
@@ -192,12 +193,12 @@ def q186_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q187_woe_binning",
     """
-    WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    WITH o AS (SELECT CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                       (o_orderpriority = '1-URGENT') AS ev
                FROM orders),
          cuts AS (SELECT list_transform(quantile_cont(cents,
                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
-                      x -> round(x * 1e6) / 1e6) AS c
+                      x -> CASE WHEN isnan(CAST((x * 1e6) AS DOUBLE)) OR abs(CAST((x * 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((x * 1e6) AS DOUBLE) ELSE floor(CAST((x * 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END / 1e6) AS c
                   FROM o),
          b AS (SELECT 1 + len(list_filter(cuts.c, x -> o.cents > x)) AS bin,
                       ev
@@ -208,13 +209,25 @@ def q186_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM b GROUP BY 1),
          t AS (SELECT sum(n_event) AS te, sum(n) - sum(n_event) AS tn FROM g)
     SELECT bin, n, n_event,
-           round(CAST(n_event AS DOUBLE) / n, 6) AS event_rate,
-           round(ln((CAST(n_event AS DOUBLE) / te)
-                    / (CAST(n - n_event AS DOUBLE) / tn)), 6) AS woe,
-           round((CAST(n_event AS DOUBLE) / te
+           CASE WHEN isnan(CAST((CAST(n_event AS DOUBLE) / n) AS DOUBLE)) OR abs(CAST((CAST(n_event AS DOUBLE) / n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_event AS DOUBLE) / n) AS DOUBLE) ELSE floor(CAST((CAST(n_event AS DOUBLE) / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS event_rate,
+           CASE WHEN isnan(CAST((ln((CAST(n_event AS DOUBLE) / te)
+                    / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE)) OR abs(CAST((ln((CAST(n_event AS DOUBLE) / te)
+                    / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE)) >= 9007199254.740992 THEN CAST((ln((CAST(n_event AS DOUBLE) / te)
+                    / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE) ELSE floor(CAST((ln((CAST(n_event AS DOUBLE) / te)
+                    / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS woe,
+           CASE WHEN isnan(CAST(((CAST(n_event AS DOUBLE) / te
                   - CAST(n - n_event AS DOUBLE) / tn)
                  * ln((CAST(n_event AS DOUBLE) / te)
-                      / (CAST(n - n_event AS DOUBLE) / tn)), 6) AS iv_term
+                      / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE)) OR abs(CAST(((CAST(n_event AS DOUBLE) / te
+                  - CAST(n - n_event AS DOUBLE) / tn)
+                 * ln((CAST(n_event AS DOUBLE) / te)
+                      / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(n_event AS DOUBLE) / te
+                  - CAST(n - n_event AS DOUBLE) / tn)
+                 * ln((CAST(n_event AS DOUBLE) / te)
+                      / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE) ELSE floor(CAST(((CAST(n_event AS DOUBLE) / te
+                  - CAST(n - n_event AS DOUBLE) / tn)
+                 * ln((CAST(n_event AS DOUBLE) / te)
+                      / (CAST(n - n_event AS DOUBLE) / tn))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS iv_term
     FROM g, t
     """,
 )
@@ -227,13 +240,13 @@ def q187_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer, and WOE/IV are single double expressions over
     those integers, written identically on both sides."""
     o = load_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        bfround(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (F.col("o_orderpriority") == "1-URGENT").alias("ev"),
     )
     cuts = o.agg(
         F.expr(
             "transform(percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
-            " x -> round(x * 1e6) / 1e6)"
+            " x -> CASE WHEN isnan(CAST((x * 1e6) AS DOUBLE)) OR abs(CAST((x * 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((x * 1e6) AS DOUBLE) ELSE floor(CAST((x * 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END / 1e6)"
         ).alias("c")
     )
     b = o.crossJoin(F.broadcast(cuts)).select(
@@ -260,9 +273,9 @@ def q187_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n",
             "n_event",
-            F.round(F.col("n_event") / F.col("n"), 6).alias("event_rate"),
-            F.round(woe, 6).alias("woe"),
-            F.round((ev_share - ne_share) * woe, 6).alias("iv_term"),
+            bfround(F.col("n_event") / F.col("n"), 6).alias("event_rate"),
+            bfround(woe, 6).alias("woe"),
+            bfround((ev_share - ne_share) * woe, 6).alias("iv_term"),
         )
     )
 
@@ -271,7 +284,7 @@ def q187_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q188_jackknife_ci",
     """
-    WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    WITH o AS (SELECT CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                       ('0x' || substring(md5('jk:' || CAST(o_orderkey AS VARCHAR)),
                                          1, 8))::BIGINT % 10 AS stratum
                FROM orders),
@@ -282,7 +295,7 @@ def q187_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(sum(n) AS BIGINT) AS tn,
                         CAST(count(*) AS BIGINT) AS g
                  FROM s),
-         m AS (SELECT CAST(round(CAST(ts - sc AS DOUBLE) / (tn - n) * 1e6)
+         m AS (SELECT CAST(CASE WHEN isnan(CAST((CAST(ts - sc AS DOUBLE) / (tn - n) * 1e6) AS DOUBLE)) OR abs(CAST((CAST(ts - sc AS DOUBLE) / (tn - n) * 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((CAST(ts - sc AS DOUBLE) / (tn - n) * 1e6) AS DOUBLE) ELSE floor(CAST((CAST(ts - sc AS DOUBLE) / (tn - n) * 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                            AS BIGINT) AS m_fp
                FROM s, tot),
          j AS (SELECT CAST(count(*) AS BIGINT) AS g,
@@ -290,10 +303,16 @@ def q187_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
                       sum(CAST(m_fp AS HUGEINT) * m_fp) AS sm2
                FROM m)
     SELECT tot.tn AS n_orders,
-           round(CAST(tot.ts AS DOUBLE) / tot.tn, 2) AS mean_cents,
-           round(sqrt(CAST(j.g - 1 AS DOUBLE) / j.g
+           CASE WHEN isnan(CAST((CAST(tot.ts AS DOUBLE) / tot.tn) AS DOUBLE)) OR abs(CAST((CAST(tot.ts AS DOUBLE) / tot.tn) AS DOUBLE)) >= 90071992547409.92 THEN CAST((CAST(tot.ts AS DOUBLE) / tot.tn) AS DOUBLE) ELSE floor(CAST((CAST(tot.ts AS DOUBLE) / tot.tn) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS mean_cents,
+           CASE WHEN isnan(CAST((sqrt(CAST(j.g - 1 AS DOUBLE) / j.g
                       * CAST(j.g * j.sm2 - CAST(j.sm AS HUGEINT) * j.sm AS DOUBLE)
-                      / (CAST(j.g AS DOUBLE) * j.g)) / 1e6, 2) AS jk_se_cents
+                      / (CAST(j.g AS DOUBLE) * j.g)) / 1e6) AS DOUBLE)) OR abs(CAST((sqrt(CAST(j.g - 1 AS DOUBLE) / j.g
+                      * CAST(j.g * j.sm2 - CAST(j.sm AS HUGEINT) * j.sm AS DOUBLE)
+                      / (CAST(j.g AS DOUBLE) * j.g)) / 1e6) AS DOUBLE)) >= 90071992547409.92 THEN CAST((sqrt(CAST(j.g - 1 AS DOUBLE) / j.g
+                      * CAST(j.g * j.sm2 - CAST(j.sm AS HUGEINT) * j.sm AS DOUBLE)
+                      / (CAST(j.g AS DOUBLE) * j.g)) / 1e6) AS DOUBLE) ELSE floor(CAST((sqrt(CAST(j.g - 1 AS DOUBLE) / j.g
+                      * CAST(j.g * j.sm2 - CAST(j.sm AS HUGEINT) * j.sm AS DOUBLE)
+                      / (CAST(j.g AS DOUBLE) * j.g)) / 1e6) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS jk_se_cents
     FROM tot, j
     """,
 )
@@ -306,7 +325,7 @@ def q188_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the scan; all jackknife algebra runs on a 10-row
     summary."""
     o = load_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        bfround(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         (
             F.conv(
                 F.substring(
@@ -330,7 +349,7 @@ def q188_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("g"),
     )
     m = s.crossJoin(F.broadcast(tot)).select(
-        F.round((F.col("ts") - F.col("sc")).cast("double") / (F.col("tn") - F.col("n")) * 1e6)
+        bfround((F.col("ts") - F.col("sc")).cast("double") / (F.col("tn") - F.col("n")) * 1e6)
         .cast("long")
         .alias("m_fp")
     )
@@ -355,7 +374,7 @@ def q188_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.crossJoin(j)
         .select(
             F.col("tn").alias("n_orders"),
-            F.round(F.col("ts").cast("double") / F.col("tn"), 2).alias("mean_cents"),
-            F.round(se, 2).alias("jk_se_cents"),
+            bfround(F.col("ts").cast("double") / F.col("tn"), 2).alias("mean_cents"),
+            bfround(se, 2).alias("jk_se_cents"),
         )
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # shared daily-count grid (one groupBy over the events scan; ~30 rows
 # per event type at every sf — all downstream math is grid-sized)
@@ -65,9 +66,12 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM g GROUP BY 1)
     SELECT t.etype,
            t.m AS n_days,
-           round(CAST(t.s AS DOUBLE) / t.m, 4) AS mean_daily,
-           round(1 - (t.ss - r.fit)
-                     / (t.ss - CAST(t.s AS DOUBLE) * t.s / t.m), 6)
+           CASE WHEN isnan(CAST((CAST(t.s AS DOUBLE) / t.m) AS DOUBLE)) OR abs(CAST((CAST(t.s AS DOUBLE) / t.m) AS DOUBLE)) >= 900719925474.0992 THEN CAST((CAST(t.s AS DOUBLE) / t.m) AS DOUBLE) ELSE floor(CAST((CAST(t.s AS DOUBLE) / t.m) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS mean_daily,
+           CASE WHEN isnan(CAST((1 - (t.ss - r.fit)
+                     / (t.ss - CAST(t.s AS DOUBLE) * t.s / t.m)) AS DOUBLE)) OR abs(CAST((1 - (t.ss - r.fit)
+                     / (t.ss - CAST(t.s AS DOUBLE) * t.s / t.m)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((1 - (t.ss - r.fit)
+                     / (t.ss - CAST(t.s AS DOUBLE) * t.s / t.m)) AS DOUBLE) ELSE floor(CAST((1 - (t.ss - r.fit)
+                     / (t.ss - CAST(t.s AS DOUBLE) * t.s / t.m)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS seasonal_strength
     FROM t JOIN r ON r.etype = t.etype
     """,
@@ -102,8 +106,8 @@ def q189_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "etype",
             F.col("m").alias("n_days"),
-            F.round(F.col("s").cast("double") / F.col("m"), 4).alias("mean_daily"),
-            F.round(1 - (ss_d - F.col("fit")) / tot_ss, 6).alias(
+            bfround(F.col("s").cast("double") / F.col("m"), 4).alias("mean_daily"),
+            bfround(1 - (ss_d - F.col("fit")) / tot_ss, 6).alias(
                 "seasonal_strength"
             ),
         )
@@ -130,12 +134,18 @@ _ALPHA = 0.3
                         + power(1 - {_ALPHA}, t - 1) * y[1]) AS fc
                FROM arr),
          e AS (SELECT etype, t,
-                      round(fc[t - 1], 4) AS last_forecast,
-                      round(y[t], 4) AS last_actual,
+                      CASE WHEN isnan(CAST((fc[t - 1]) AS DOUBLE)) OR abs(CAST((fc[t - 1]) AS DOUBLE)) >= 900719925474.0992 THEN CAST((fc[t - 1]) AS DOUBLE) ELSE floor(CAST((fc[t - 1]) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS last_forecast,
+                      CASE WHEN isnan(CAST((y[t]) AS DOUBLE)) OR abs(CAST((y[t]) AS DOUBLE)) >= 900719925474.0992 THEN CAST((y[t]) AS DOUBLE) ELSE floor(CAST((y[t]) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS last_actual,
                       CASE WHEN t >= 8 THEN
-                        round(list_sum(list_transform(
+                        CASE WHEN isnan(CAST((list_sum(list_transform(
                                   generate_series(8, t),
-                                  i -> abs(y[i] - fc[i - 1]))) / (t - 7), 4)
+                                  i -> abs(y[i] - fc[i - 1]))) / (t - 7)) AS DOUBLE)) OR abs(CAST((list_sum(list_transform(
+                                  generate_series(8, t),
+                                  i -> abs(y[i] - fc[i - 1]))) / (t - 7)) AS DOUBLE)) >= 900719925474.0992 THEN CAST((list_sum(list_transform(
+                                  generate_series(8, t),
+                                  i -> abs(y[i] - fc[i - 1]))) / (t - 7)) AS DOUBLE) ELSE floor(CAST((list_sum(list_transform(
+                                  generate_series(8, t),
+                                  i -> abs(y[i] - fc[i - 1]))) / (t - 7)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END
                       END AS mae
                FROM f WHERE t >= 2)
     SELECT etype, CAST(t AS BIGINT) AS n_days, last_forecast, last_actual, mae
@@ -199,9 +209,9 @@ def q190_ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return withf.select(
         "etype",
         F.col("t").cast("long").alias("n_days"),
-        F.round(F.element_at("fc", F.col("t") - 1), 4).alias("last_forecast"),
-        F.round(F.element_at("y", F.col("t")), 4).alias("last_actual"),
-        F.round(mae, 4).alias("mae"),
+        bfround(F.element_at("fc", F.col("t") - 1), 4).alias("last_forecast"),
+        bfround(F.element_at("y", F.col("t")), 4).alias("last_actual"),
+        bfround(mae, 4).alias("mae"),
     )
 
 
@@ -238,8 +248,11 @@ def q190_ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM l2)
     SELECT CAST(level AS BIGINT) AS level, quasi_ids, n_groups,
            groups_below_k, rows_at_risk, min_group,
-           round(CAST(rows_at_risk AS DOUBLE)
-                 / (SELECT count(*) FROM customer), 6) AS risk_share
+           CASE WHEN isnan(CAST((CAST(rows_at_risk AS DOUBLE)
+                 / (SELECT count(*) FROM customer)) AS DOUBLE)) OR abs(CAST((CAST(rows_at_risk AS DOUBLE)
+                 / (SELECT count(*) FROM customer)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(rows_at_risk AS DOUBLE)
+                 / (SELECT count(*) FROM customer)) AS DOUBLE) ELSE floor(CAST((CAST(rows_at_risk AS DOUBLE)
+                 / (SELECT count(*) FROM customer)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS risk_share
     FROM s
     """,
 )
@@ -278,7 +291,7 @@ def q191_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level(2, "segment", ["seg"]))
     )
     return s.withColumn(
-        "risk_share", F.round(F.col("rows_at_risk") / F.lit(total), 6)
+        "risk_share", bfround(F.col("rows_at_risk") / F.lit(total), 6)
     )
 
 
@@ -286,17 +299,20 @@ def q191_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q192_benford_audit",
     """
-    WITH c AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+    WITH c AS (SELECT CAST(substring(CAST(CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                                            AS BIGINT) AS VARCHAR), 1, 1)
                            AS BIGINT) AS digit
                FROM orders),
          g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g)
     SELECT digit, n,
-           round(CAST(n AS DOUBLE) / t.tot, 6) AS share,
-           round(log10(1 + 1.0 / digit), 6) AS benford,
-           round(power(n - t.tot * log10(1 + 1.0 / digit), 2)
-                 / (t.tot * log10(1 + 1.0 / digit)), 6) AS chi2_term
+           CASE WHEN isnan(CAST((CAST(n AS DOUBLE) / t.tot) AS DOUBLE)) OR abs(CAST((CAST(n AS DOUBLE) / t.tot) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n AS DOUBLE) / t.tot) AS DOUBLE) ELSE floor(CAST((CAST(n AS DOUBLE) / t.tot) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS share,
+           CASE WHEN isnan(CAST((log10(1 + 1.0 / digit)) AS DOUBLE)) OR abs(CAST((log10(1 + 1.0 / digit)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((log10(1 + 1.0 / digit)) AS DOUBLE) ELSE floor(CAST((log10(1 + 1.0 / digit)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS benford,
+           CASE WHEN isnan(CAST((power(n - t.tot * log10(1 + 1.0 / digit), 2)
+                 / (t.tot * log10(1 + 1.0 / digit))) AS DOUBLE)) OR abs(CAST((power(n - t.tot * log10(1 + 1.0 / digit), 2)
+                 / (t.tot * log10(1 + 1.0 / digit))) AS DOUBLE)) >= 9007199254.740992 THEN CAST((power(n - t.tot * log10(1 + 1.0 / digit), 2)
+                 / (t.tot * log10(1 + 1.0 / digit))) AS DOUBLE) ELSE floor(CAST((power(n - t.tot * log10(1 + 1.0 / digit), 2)
+                 / (t.tot * log10(1 + 1.0 / digit))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS chi2_term
     FROM g, t
     """,
 )
@@ -308,7 +324,7 @@ def q192_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     math runs on that summary."""
     o = load_table(spark, sf_dir, "orders").select(
         F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            bfround(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
         )
         .cast("long")
         .alias("digit")
@@ -321,12 +337,9 @@ def q192_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n",
-            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
-            F.round(benford, 6).alias("benford"),
-            F.round(
-                F.pow(F.col("n") - F.col("tot") * benford, 2)
-                / (F.col("tot") * benford),
-                6,
-            ).alias("chi2_term"),
+            bfround(F.col("n") / F.col("tot"), 6).alias("share"),
+            bfround(benford, 6).alias("benford"),
+            bfround(F.pow(F.col("n") - F.col("tot") * benford, 2)
+                / (F.col("tot") * benford), 6).alias("chi2_term"),
         )
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.ranking import top_k_ranked
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q193: Neyman allocation over nation strata (budget n = 1000)
@@ -36,10 +37,10 @@ from ..queries import query
     """
     WITH s AS (SELECT c_nationkey AS nat,
                       CAST(count(*) AS BIGINT) AS nh,
-                      CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                      CAST(sum(CAST(CASE WHEN isnan(CAST((c_acctbal * 100) AS DOUBLE)) OR abs(CAST((c_acctbal * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((c_acctbal * 100) AS DOUBLE) ELSE floor(CAST((c_acctbal * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
                         AS sc,
-                      CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
-                               * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                      CAST(sum(CAST(CASE WHEN isnan(CAST((c_acctbal * 100) AS DOUBLE)) OR abs(CAST((c_acctbal * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((c_acctbal * 100) AS DOUBLE) ELSE floor(CAST((c_acctbal * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
+                               * CAST(CASE WHEN isnan(CAST((c_acctbal * 100) AS DOUBLE)) OR abs(CAST((c_acctbal * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((c_acctbal * 100) AS DOUBLE) ELSE floor(CAST((c_acctbal * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
                         AS sc2
                FROM customer GROUP BY 1),
          v AS (SELECT nat, nh,
@@ -48,9 +49,9 @@ from ..queries import query
                FROM s WHERE nh >= 2),
          t AS (SELECT sum(nh * sd) AS denom FROM v)
     SELECT nat, nh,
-           round(sd / 100, 4) AS sd_bal,
-           round(nh * sd / t.denom, 6) AS weight,
-           CAST(round(1000 * nh * sd / t.denom) AS BIGINT) AS alloc
+           CASE WHEN isnan(CAST((sd / 100) AS DOUBLE)) OR abs(CAST((sd / 100) AS DOUBLE)) >= 900719925474.0992 THEN CAST((sd / 100) AS DOUBLE) ELSE floor(CAST((sd / 100) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS sd_bal,
+           CASE WHEN isnan(CAST((nh * sd / t.denom) AS DOUBLE)) OR abs(CAST((nh * sd / t.denom) AS DOUBLE)) >= 9007199254.740992 THEN CAST((nh * sd / t.denom) AS DOUBLE) ELSE floor(CAST((nh * sd / t.denom) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS weight,
+           CAST(CASE WHEN isnan(CAST((1000 * nh * sd / t.denom) AS DOUBLE)) OR abs(CAST((1000 * nh * sd / t.denom) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((1000 * nh * sd / t.denom) AS DOUBLE) ELSE floor(CAST((1000 * nh * sd / t.denom) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS alloc
     FROM v, t
     """,
 )
@@ -60,7 +61,7 @@ def q193_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     one combinable groupBy; the sd/weight algebra runs on the 25-row
     stratum summary.  (Proportional allocation is the weight column
     with S_h struck out — the comparison is why the sd column ships.)"""
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cents = bfround(F.col("c_acctbal") * 100).cast("long")
     s = (
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_nationkey").alias("nat"), cents.alias("c"))
@@ -92,9 +93,9 @@ def q193_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nat",
             "nh",
-            F.round(F.col("sd") / 100, 4).alias("sd_bal"),
-            F.round(F.col("nh") * F.col("sd") / F.col("denom"), 6).alias("weight"),
-            F.round(F.lit(1000) * F.col("nh") * F.col("sd") / F.col("denom"))
+            bfround(F.col("sd") / 100, 4).alias("sd_bal"),
+            bfround(F.col("nh") * F.col("sd") / F.col("denom"), 6).alias("weight"),
+            bfround(F.lit(1000) * F.col("nh") * F.col("sd") / F.col("denom"))
             .cast("long")
             .alias("alloc"),
         )
@@ -119,8 +120,8 @@ def q193_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS BIGINT) AS nab
                FROM m)
     SELECT n_true, na, nb, nab,
-           CAST(round(CAST(na AS DOUBLE) * nb / nab) AS BIGINT) AS n_est,
-           round(abs(CAST(na AS DOUBLE) * nb / nab - n_true) / n_true, 6)
+           CAST(CASE WHEN isnan(CAST((CAST(na AS DOUBLE) * nb / nab) AS DOUBLE)) OR abs(CAST((CAST(na AS DOUBLE) * nb / nab) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((CAST(na AS DOUBLE) * nb / nab) AS DOUBLE) ELSE floor(CAST((CAST(na AS DOUBLE) * nb / nab) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS n_est,
+           CASE WHEN isnan(CAST((abs(CAST(na AS DOUBLE) * nb / nab - n_true) / n_true) AS DOUBLE)) OR abs(CAST((abs(CAST(na AS DOUBLE) * nb / nab - n_true) / n_true) AS DOUBLE)) >= 9007199254.740992 THEN CAST((abs(CAST(na AS DOUBLE) * nb / nab - n_true) / n_true) AS DOUBLE) ELSE floor(CAST((abs(CAST(na AS DOUBLE) * nb / nab - n_true) / n_true) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS rel_error
     FROM c
     """,
@@ -165,8 +166,8 @@ def q194_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "na",
         "nb",
         "nab",
-        F.round(est).cast("long").alias("n_est"),
-        F.round(F.abs(est - F.col("n_true")) / F.col("n_true"), 6).alias("rel_error"),
+        bfround(est).cast("long").alias("n_est"),
+        bfround(F.abs(est - F.col("n_true")) / F.col("n_true"), 6).alias("rel_error"),
     )
 
 
@@ -189,10 +190,13 @@ def q194_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(sum(syllables) AS BIGINT) AS tsy
                FROM d GROUP BY 1)
     SELECT source, n_docs,
-           round(CAST(tw AS DOUBLE) / ts, 4) AS words_per_sentence,
-           round(CAST(tsy AS DOUBLE) / tw, 4) AS syllables_per_word,
-           round(206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
-                 - 84.6 * (CAST(tsy AS DOUBLE) / tw), 4) AS flesch
+           CASE WHEN isnan(CAST((CAST(tw AS DOUBLE) / ts) AS DOUBLE)) OR abs(CAST((CAST(tw AS DOUBLE) / ts) AS DOUBLE)) >= 900719925474.0992 THEN CAST((CAST(tw AS DOUBLE) / ts) AS DOUBLE) ELSE floor(CAST((CAST(tw AS DOUBLE) / ts) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS words_per_sentence,
+           CASE WHEN isnan(CAST((CAST(tsy AS DOUBLE) / tw) AS DOUBLE)) OR abs(CAST((CAST(tsy AS DOUBLE) / tw) AS DOUBLE)) >= 900719925474.0992 THEN CAST((CAST(tsy AS DOUBLE) / tw) AS DOUBLE) ELSE floor(CAST((CAST(tsy AS DOUBLE) / tw) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS syllables_per_word,
+           CASE WHEN isnan(CAST((206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+                 - 84.6 * (CAST(tsy AS DOUBLE) / tw)) AS DOUBLE)) OR abs(CAST((206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+                 - 84.6 * (CAST(tsy AS DOUBLE) / tw)) AS DOUBLE)) >= 900719925474.0992 THEN CAST((206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+                 - 84.6 * (CAST(tsy AS DOUBLE) / tw)) AS DOUBLE) ELSE floor(CAST((206.835 - 1.015 * (CAST(tw AS DOUBLE) / ts)
+                 - 84.6 * (CAST(tsy AS DOUBLE) / tw)) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS flesch
     FROM s
     """,
 )
@@ -230,9 +234,9 @@ def q195_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "source",
         "n_docs",
-        F.round(wps, 4).alias("words_per_sentence"),
-        F.round(spw, 4).alias("syllables_per_word"),
-        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
+        bfround(wps, 4).alias("words_per_sentence"),
+        bfround(spw, 4).alias("syllables_per_word"),
+        bfround(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
     )
 
 
@@ -263,16 +267,27 @@ _TOPK = 20
          tail_part AS (
             -- tail keys of A assumed uniform: avg tail multiplicity x
             -- the b-rows whose keys are NOT top keys of A
-            SELECT CAST(round(
-                     (CAST(astats.tot - topstats.toptot AS DOUBLE)
+            SELECT CAST(CASE WHEN isnan(CAST(((CAST(astats.tot - topstats.toptot AS DOUBLE)
                       / nullif(astats.nk - topstats.topn, 0))
                      * (SELECT sum(cb) FROM b
-                        WHERE key NOT IN (SELECT key FROM atop))) AS BIGINT) AS e
+                        WHERE key NOT IN (SELECT key FROM atop))) AS DOUBLE)) OR abs(CAST(((CAST(astats.tot - topstats.toptot AS DOUBLE)
+                      / nullif(astats.nk - topstats.topn, 0))
+                     * (SELECT sum(cb) FROM b
+                        WHERE key NOT IN (SELECT key FROM atop))) AS DOUBLE)) >= 9007199254740992.0 THEN CAST(((CAST(astats.tot - topstats.toptot AS DOUBLE)
+                      / nullif(astats.nk - topstats.topn, 0))
+                     * (SELECT sum(cb) FROM b
+                        WHERE key NOT IN (SELECT key FROM atop))) AS DOUBLE) ELSE floor(CAST(((CAST(astats.tot - topstats.toptot AS DOUBLE)
+                      / nullif(astats.nk - topstats.topn, 0))
+                     * (SELECT sum(cb) FROM b
+                        WHERE key NOT IN (SELECT key FROM atop))) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS e
             FROM astats, topstats)
     SELECT truth.actual,
            exact_part.e + coalesce(tail_part.e, 0) AS estimate,
-           round(abs(CAST(exact_part.e + coalesce(tail_part.e, 0) AS DOUBLE)
-                     - truth.actual) / truth.actual, 6) AS rel_error
+           CASE WHEN isnan(CAST((abs(CAST(exact_part.e + coalesce(tail_part.e, 0) AS DOUBLE)
+                     - truth.actual) / truth.actual) AS DOUBLE)) OR abs(CAST((abs(CAST(exact_part.e + coalesce(tail_part.e, 0) AS DOUBLE)
+                     - truth.actual) / truth.actual) AS DOUBLE)) >= 9007199254.740992 THEN CAST((abs(CAST(exact_part.e + coalesce(tail_part.e, 0) AS DOUBLE)
+                     - truth.actual) / truth.actual) AS DOUBLE) ELSE floor(CAST((abs(CAST(exact_part.e + coalesce(tail_part.e, 0) AS DOUBLE)
+                     - truth.actual) / truth.actual) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS rel_error
     FROM truth, exact_part, tail_part
     """,
 )
@@ -328,11 +343,9 @@ def q196_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_tail = b.join(atop.select("key"), "key", "left_anti").agg(
         F.sum("cb").cast("long").alias("cb_tail")
     )
-    est_tail = F.round(
-        (F.col("tot") - F.col("toptot")).cast("double")
+    est_tail = bfround((F.col("tot") - F.col("toptot")).cast("double")
         / F.nullif((F.col("nk") - F.col("topn")).cast("double"), F.lit(0.0))
-        * F.col("cb_tail")
-    ).cast("long")
+        * F.col("cb_tail")).cast("long")
     combined = (
         truth.crossJoin(exact_part)
         .crossJoin(astats)
@@ -346,9 +359,6 @@ def q196_join_card_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combined.select(
         "actual",
         "estimate",
-        F.round(
-            F.abs(F.col("estimate").cast("double") - F.col("actual"))
-            / F.col("actual"),
-            6,
-        ).alias("rel_error"),
+        bfround(F.abs(F.col("estimate").cast("double") - F.col("actual"))
+            / F.col("actual"), 6).alias("rel_error"),
     )

@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -155,7 +156,7 @@ def q197_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
              AS value_cents
     FROM events
     WHERE CAST(date_trunc('day', ts) AS DATE) = DATE '2024-01-15'
@@ -176,7 +177,7 @@ def q198_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        bfround(F.col("value") * 100).cast("long").alias("cents"),
         F.to_date(F.date_trunc("day", "ts")).alias("day"),
     )
     scratch = os.path.join(_TMP_ROOT, f"part_{uuid.uuid4().hex}")

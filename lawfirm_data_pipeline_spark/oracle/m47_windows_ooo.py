@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q199: trailing-10-minute velocity per user (RANGE frame)
@@ -81,7 +82,7 @@ def q199_event_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
                 AS BIGINT) AS gid,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
              AS revenue_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
@@ -97,7 +98,7 @@ def q200_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        bfround(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     g = o.groupingSets(
         [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
@@ -141,9 +142,9 @@ def q200_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(quantile_disc(late_us, 0.99) AS BIGINT) AS p99_late_us
                FROM l GROUP BY 1)
     SELECT etype, n, n_late,
-           round(CAST(n_late AS DOUBLE) / n, 6) AS late_share,
-           CAST(round(max_late_us / 1e6) AS BIGINT) AS max_late_s,
-           CAST(round(p99_late_us / 1e6) AS BIGINT) AS p99_late_s
+           CASE WHEN isnan(CAST((CAST(n_late AS DOUBLE) / n) AS DOUBLE)) OR abs(CAST((CAST(n_late AS DOUBLE) / n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_late AS DOUBLE) / n) AS DOUBLE) ELSE floor(CAST((CAST(n_late AS DOUBLE) / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS late_share,
+           CAST(CASE WHEN isnan(CAST((max_late_us / 1e6) AS DOUBLE)) OR abs(CAST((max_late_us / 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((max_late_us / 1e6) AS DOUBLE) ELSE floor(CAST((max_late_us / 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS max_late_s,
+           CAST(CASE WHEN isnan(CAST((p99_late_us / 1e6) AS DOUBLE)) OR abs(CAST((p99_late_us / 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((p99_late_us / 1e6) AS DOUBLE) ELSE floor(CAST((p99_late_us / 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS p99_late_s
     FROM s
     """,
 )
@@ -185,7 +186,7 @@ def q201_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "etype",
         "n",
         "n_late",
-        F.round(F.col("n_late") / F.col("n"), 6).alias("late_share"),
-        F.round(F.col("max_late_us") / 1e6).cast("long").alias("max_late_s"),
-        F.round(F.col("p99_late_us") / 1e6).cast("long").alias("p99_late_s"),
+        bfround(F.col("n_late") / F.col("n"), 6).alias("late_share"),
+        bfround(F.col("max_late_us") / 1e6).cast("long").alias("max_late_s"),
+        bfround(F.col("p99_late_us") / 1e6).cast("long").alias("p99_late_s"),
     )

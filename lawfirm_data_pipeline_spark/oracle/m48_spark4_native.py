@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..queries import query
 from ..sources import pydatasource
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q202: Python DataSource connector, value-gated
@@ -121,7 +122,7 @@ def q203_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
            CAST(max(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS max_k,
-           round(avg(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+           CASE WHEN isnan(CAST((avg(CAST(props->>'$.k' AS INTEGER))) AS DOUBLE)) OR abs(CAST((avg(CAST(props->>'$.k' AS INTEGER))) AS DOUBLE)) >= 900719925474.0992 THEN CAST((avg(CAST(props->>'$.k' AS INTEGER))) AS DOUBLE) ELSE floor(CAST((avg(CAST(props->>'$.k' AS INTEGER))) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS avg_k
     FROM events GROUP BY 1
     """,
 )
@@ -144,5 +145,5 @@ def q204_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("k").cast("long").alias("sum_k"),
         F.max("k").cast("long").alias("max_k"),
-        F.round(F.avg("k"), 4).alias("avg_k"),
+        bfround(F.avg("k"), 4).alias("avg_k"),
     )

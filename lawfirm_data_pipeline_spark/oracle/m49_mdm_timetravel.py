@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..queries import query
 from ..sources import lake
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -82,7 +83,7 @@ def _messy(spark: SparkSession, sf_dir: str) -> DataFrame:
          g AS (SELECT lower(trim(name)) AS ckey,
                       CAST(min(src_id) AS BIGINT) AS canonical_id,
                       CAST(count(*) AS BIGINT) AS n_members,
-                      CAST(max(CAST(round(bal * 100) AS BIGINT)) AS BIGINT)
+                      CAST(max(CAST(CASE WHEN isnan(CAST((bal * 100) AS DOUBLE)) OR abs(CAST((bal * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((bal * 100) AS DOUBLE) ELSE floor(CAST((bal * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
                         AS best_bal_cents,
                       CAST(min(nat) AS BIGINT) AS nat,
                       CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END)
@@ -106,7 +107,7 @@ def q205_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("src_id").cast("long").alias("canonical_id"),
             F.count(F.lit(1)).cast("long").alias("n_members"),
-            F.max(F.round(F.col("bal") * 100).cast("long")).cast("long").alias(
+            F.max(bfround(F.col("bal") * 100).cast("long")).cast("long").alias(
                 "best_bal_cents"
             ),
             F.min("nat").cast("long").alias("nat"),
@@ -199,10 +200,10 @@ def q206_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q207_approx_percentile_gate",
     """
-    WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    WITH c AS (SELECT CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM orders),
          e AS (SELECT quantile_cont(cents, [0.5, 0.9, 0.99]) AS p FROM c)
-    SELECT CAST(q AS DOUBLE) AS q, CAST(round(exact_cents) AS BIGINT)
+    SELECT CAST(q AS DOUBLE) AS q, CAST(CASE WHEN isnan(CAST((exact_cents) AS DOUBLE)) OR abs(CAST((exact_cents) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((exact_cents) AS DOUBLE) ELSE floor(CAST((exact_cents) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
              AS exact_cents,
            TRUE AS within_1pct
     FROM (SELECT 0.5 AS q, p[1] AS exact_cents FROM e
@@ -218,7 +219,7 @@ def q207_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact quantiles ship in the output; the approx values stay
     internal so the gate is sketch-implementation-agnostic."""
     c = load_table(spark, sf_dir, "orders").select(
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        bfround(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     # one combinable pass for the exact interpolated quantiles (q170's
     # broadcast-cuts pattern) + one for the t-digest — three separate

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _VNODES = 64
 _RING = 1 << 32
@@ -68,10 +69,10 @@ def _pos_sql(expr: str) -> str:
                             AS BIGINT) AS moved
                 FROM keys)
     SELECT 'consistent' AS strategy, n, moved,
-           round(CAST(moved AS DOUBLE) / n, 6) AS moved_share
+           CASE WHEN isnan(CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE)) OR abs(CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE) ELSE floor(CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS moved_share
     FROM ch
     UNION ALL
-    SELECT 'mod', n, moved, round(CAST(moved AS DOUBLE) / n, 6) FROM md
+    SELECT 'mod', n, moved, CASE WHEN isnan(CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE)) OR abs(CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE) ELSE floor(CAST((CAST(moved AS DOUBLE) / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END FROM md
     """,
 )
 def q210_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,7 +165,7 @@ def q210_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("consistent").alias("strategy"),
             "n",
             "moved",
-            F.round(F.col("moved") / F.col("n"), 6).alias("moved_share"),
+            bfround(F.col("moved") / F.col("n"), 6).alias("moved_share"),
         )
     )
     md = keys.agg(
@@ -176,7 +177,7 @@ def q210_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mod").alias("strategy"),
         "n",
         "moved",
-        F.round(F.col("moved") / F.col("n"), 6).alias("moved_share"),
+        bfround(F.col("moved") / F.col("n"), 6).alias("moved_share"),
     )
     return ch.unionByName(md)
 
@@ -193,7 +194,7 @@ def q210_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          b AS (SELECT CAST(ceil(CAST(t.total AS DOUBLE) / 32 / 4) AS BIGINT)
                  AS budget FROM t)
     SELECT c.key, c.cnt,
-           round(CAST(c.cnt AS DOUBLE) / t.total, 6) AS share,
+           CASE WHEN isnan(CAST((CAST(c.cnt AS DOUBLE) / t.total) AS DOUBLE)) OR abs(CAST((CAST(c.cnt AS DOUBLE) / t.total) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(c.cnt AS DOUBLE) / t.total) AS DOUBLE) ELSE floor(CAST((CAST(c.cnt AS DOUBLE) / t.total) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS share,
            CAST(ceil(CAST(c.cnt AS DOUBLE) / b.budget) AS BIGINT) AS salt_factor
     FROM c, t, b
     WHERE c.cnt > b.budget
@@ -223,7 +224,7 @@ def q211_salt_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "key",
             "cnt",
-            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            bfround(F.col("cnt") / F.col("total"), 6).alias("share"),
             F.ceil(F.col("cnt").cast("double") / F.col("budget"))
             .cast("long")
             .alias("salt_factor"),

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _MAXP = 60  # bounded co-purchase subgraph (parts < 60): pairwise stays small
 
@@ -47,7 +48,7 @@ _EDGE_SQL = f"""
                     FROM wedge GROUP BY 1, 2),
          linked AS (SELECT src AS x, dst AS y FROM e0)
     SELECT c.x, c.y, c.cn,
-           round(CAST(c.cn AS DOUBLE) / (dx.d + dy.d - c.cn), 6) AS jaccard,
+           CASE WHEN isnan(CAST((CAST(c.cn AS DOUBLE) / (dx.d + dy.d - c.cn)) AS DOUBLE)) OR abs(CAST((CAST(c.cn AS DOUBLE) / (dx.d + dy.d - c.cn)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(c.cn AS DOUBLE) / (dx.d + dy.d - c.cn)) AS DOUBLE) ELSE floor(CAST((CAST(c.cn AS DOUBLE) / (dx.d + dy.d - c.cn)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS jaccard,
            (l.x IS NOT NULL) AS already_linked
     FROM common c
     JOIN deg dx ON dx.u = c.x
@@ -103,7 +104,7 @@ def q213_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "y",
             "cn",
-            F.round(F.col("cn").cast("double") / union_sz, 6).alias("jaccard"),
+            bfround(F.col("cn").cast("double") / union_sz, 6).alias("jaccard"),
             F.col("lk").isNotNull().alias("already_linked"),
         )
     )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q217: discrete Kaplan-Meier churn curve over activity weeks
@@ -47,9 +48,12 @@ from ..queries import query
                          AS n_churned
                 FROM grid g)
     SELECT w, n_risk, n_churned,
-           round(CAST(n_churned AS DOUBLE) / n_risk, 6) AS hazard,
-           round(exp(sum(ln(1 - CAST(n_churned AS DOUBLE) / n_risk))
-                     OVER (ORDER BY w)), 6) AS survival
+           CASE WHEN isnan(CAST((CAST(n_churned AS DOUBLE) / n_risk) AS DOUBLE)) OR abs(CAST((CAST(n_churned AS DOUBLE) / n_risk) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_churned AS DOUBLE) / n_risk) AS DOUBLE) ELSE floor(CAST((CAST(n_churned AS DOUBLE) / n_risk) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS hazard,
+           CASE WHEN isnan(CAST((exp(sum(ln(1 - CAST(n_churned AS DOUBLE) / n_risk))
+                     OVER (ORDER BY w))) AS DOUBLE)) OR abs(CAST((exp(sum(ln(1 - CAST(n_churned AS DOUBLE) / n_risk))
+                     OVER (ORDER BY w))) AS DOUBLE)) >= 9007199254.740992 THEN CAST((exp(sum(ln(1 - CAST(n_churned AS DOUBLE) / n_risk))
+                     OVER (ORDER BY w))) AS DOUBLE) ELSE floor(CAST((exp(sum(ln(1 - CAST(n_churned AS DOUBLE) / n_risk))
+                     OVER (ORDER BY w))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS survival
     FROM km
     """,
 )
@@ -103,8 +107,8 @@ def q217_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         "n_risk",
         "n_churned",
-        F.round(hazard, 6).alias("hazard"),
-        F.round(surv, 6).alias("survival"),
+        bfround(hazard, 6).alias("hazard"),
+        bfround(surv, 6).alias("survival"),
     )
 
 
@@ -113,7 +117,7 @@ def q217_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q218_position_attribution",
     """
     WITH e AS (SELECT user_id, ts, event_id, event_type,
-                      CAST(round(value * 100) AS BIGINT) AS cents
+                      CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM events),
          conv AS (SELECT user_id, ts, event_id, cents FROM e
                   WHERE event_type = 'purchase'),
@@ -159,7 +163,7 @@ def q218_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        bfround(F.col("value") * 100).cast("long").alias("cents"),
     )
     conv = e.filter(F.col("event_type") == "purchase").select(
         "user_id",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _BUCKET_US = 600_000_000  # 10 minutes
 
@@ -31,7 +32,7 @@ _BUCKET_US = 600_000_000  # 10 minutes
     "q219_duplicate_payments",
     f"""
     WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-                      CAST(round(value * 100) AS BIGINT) AS cents
+                      CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM events WHERE event_type = 'purchase'),
          pairs AS (SELECT a.user_id, a.cents,
                           a.event_id AS first_id, b.event_id AS second_id,
@@ -60,7 +61,7 @@ def q219_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             F.unix_micros("ts").alias("us"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            bfround(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
     p = p.withColumn("bkt", F.floor(F.col("us") / _BUCKET_US).cast("long"))
@@ -106,7 +107,7 @@ def q219_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q220_cohort_ltv",
     """
     WITH e AS (SELECT user_id, ts,
-                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                       event_type
                FROM events),
          first AS (SELECT user_id,
@@ -129,8 +130,11 @@ def q219_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.cohort, g.age, sz.n_users,
            CAST(sum(g.wk_cents) OVER (PARTITION BY g.cohort
                                       ORDER BY g.age) AS BIGINT) AS cum_cents,
-           round(CAST(sum(g.wk_cents) OVER (PARTITION BY g.cohort ORDER BY g.age)
-                      AS DOUBLE) / sz.n_users / 100, 4) AS ltv_per_user
+           CASE WHEN isnan(CAST((CAST(sum(g.wk_cents) OVER (PARTITION BY g.cohort ORDER BY g.age)
+                      AS DOUBLE) / sz.n_users / 100) AS DOUBLE)) OR abs(CAST((CAST(sum(g.wk_cents) OVER (PARTITION BY g.cohort ORDER BY g.age)
+                      AS DOUBLE) / sz.n_users / 100) AS DOUBLE)) >= 900719925474.0992 THEN CAST((CAST(sum(g.wk_cents) OVER (PARTITION BY g.cohort ORDER BY g.age)
+                      AS DOUBLE) / sz.n_users / 100) AS DOUBLE) ELSE floor(CAST((CAST(sum(g.wk_cents) OVER (PARTITION BY g.cohort ORDER BY g.age)
+                      AS DOUBLE) / sz.n_users / 100) AS DOUBLE) * 1e4 + 0.5) / 1e4 END AS ltv_per_user
     FROM g JOIN sz USING (cohort)
     """,
 )
@@ -144,7 +148,7 @@ def q220_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        bfround(F.col("value") * 100).cast("long").alias("cents"),
         "event_type",
     )
 
@@ -173,7 +177,7 @@ def q220_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "age",
             "n_users",
             cum.alias("cum_cents"),
-            F.round(cum.cast("double") / F.col("n_users") / 100, 4).alias(
+            bfround(cum.cast("double") / F.col("n_users") / 100, 4).alias(
                 "ltv_per_user"
             ),
         )

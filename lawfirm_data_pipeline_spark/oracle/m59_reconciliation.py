@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q222: order header vs line-item detail reconciliation
@@ -32,12 +33,15 @@ from ..queries import query
     "q222_order_reconciliation",
     """
     WITH l AS (SELECT l_orderkey AS k,
-                      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                          * (1 + l_tax) * 100) AS BIGINT))
+                      CAST(sum(CAST(CASE WHEN isnan(CAST((l_extendedprice * (1 - l_discount)
+                                          * (1 + l_tax) * 100) AS DOUBLE)) OR abs(CAST((l_extendedprice * (1 - l_discount)
+                                          * (1 + l_tax) * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((l_extendedprice * (1 - l_discount)
+                                          * (1 + l_tax) * 100) AS DOUBLE) ELSE floor(CAST((l_extendedprice * (1 - l_discount)
+                                          * (1 + l_tax) * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT))
                            AS BIGINT) AS calc_cents
                FROM lineitem GROUP BY 1),
          j AS (SELECT o.o_orderkey,
-                      CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+                      CAST(CASE WHEN isnan(CAST((o.o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o.o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o.o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o.o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS o_cents,
                       l.calc_cents
                FROM orders o LEFT JOIN l ON l.k = o.o_orderkey),
          d AS (SELECT o_orderkey,
@@ -49,7 +53,7 @@ from ..queries import query
            CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT) AS n_no_items,
            CAST(sum(CASE WHEN delta <= 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_reconciled,
-           CAST(round(quantile_cont(delta, 0.5)) AS BIGINT) AS p50_delta_cents,
+           CAST(CASE WHEN isnan(CAST((quantile_cont(delta, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(delta, 0.5)) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((quantile_cont(delta, 0.5)) AS DOUBLE) ELSE floor(CAST((quantile_cont(delta, 0.5)) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS p50_delta_cents,
            CAST(max(delta) AS BIGINT) AS max_delta_cents
     FROM d
     """,
@@ -60,16 +64,14 @@ def q222_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped by an inner join), one summary row: counts, the reconciled
     tally at a 1-cent tolerance, and the p50/max delta that tell
     finance whether the gap is rounding or structural."""
-    line_cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
-    ).cast("long")
+    line_cents = bfround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100).cast("long")
     l = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_orderkey").alias("k"))
         .agg(F.sum(line_cents).cast("long").alias("calc_cents"))
     )
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents")
+        "o_orderkey", bfround(F.col("o_totalprice") * 100).cast("long").alias("o_cents")
     )
     j = o.join(l, o.o_orderkey == l.k, "left")
     d = j.select(
@@ -87,6 +89,6 @@ def q222_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("delta") <= 1, 1).otherwise(0))
         .cast("long")
         .alias("n_reconciled"),
-        F.round(F.expr("percentile(delta, 0.5)")).cast("long").alias("p50_delta_cents"),
+        bfround(F.expr("percentile(delta, 0.5)")).cast("long").alias("p50_delta_cents"),
         F.max("delta").cast("long").alias("max_delta_cents"),
     )

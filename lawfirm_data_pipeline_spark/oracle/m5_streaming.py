@@ -24,6 +24,7 @@ from ..streaming.windows import (
     sliding_counts,
     tumbling_counts,
 )
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 @query(
@@ -33,7 +34,7 @@ from ..streaming.windows import (
            time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS wend,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 90071992547409.92 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS sum_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -47,7 +48,7 @@ def q22_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q22_tumbling",
         output_mode="complete",
     )
-    return out.withColumn("sum_value", F.round("sum_value", 2))
+    return out.withColumn("sum_value", bfround("sum_value", 2))
 
 
 @query(
@@ -85,14 +86,14 @@ def q23_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) + INTERVAL '30 minutes' AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 90071992547409.92 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS sum_value
     FROM islands
     GROUP BY user_id, sid
     """,
 )
 def q24_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = session_windows(load_table(spark, sf_dir, "events"), "30 minutes")
-    return out.withColumn("sum_value", F.round("sum_value", 2))
+    return out.withColumn("sum_value", bfround("sum_value", 2))
 
 
 @query(

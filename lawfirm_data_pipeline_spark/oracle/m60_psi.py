@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _SPLIT = "2024-01-08"  # reference = first week of the event window
 
@@ -27,12 +28,12 @@ _SPLIT = "2024-01-08"  # reference = first week of the event window
 @query(
     "q223_psi_drift",
     f"""
-    WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+    WITH e AS (SELECT CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                       ts < TIMESTAMP '{_SPLIT} 00:00:00' AS is_ref
                FROM events),
          cuts AS (SELECT list_transform(quantile_cont(cents,
                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
-                      x -> round(x * 1e6) / 1e6) AS c
+                      x -> CASE WHEN isnan(CAST((x * 1e6) AS DOUBLE)) OR abs(CAST((x * 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((x * 1e6) AS DOUBLE) ELSE floor(CAST((x * 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END / 1e6) AS c
                   FROM e WHERE is_ref),
          b AS (SELECT 1 + len(list_filter(cuts.c, x -> e.cents > x)) AS bin,
                       is_ref
@@ -48,12 +49,21 @@ _SPLIT = "2024-01-08"  # reference = first week of the event window
                       CAST(count(*) AS BIGINT) AS nb
                FROM g)
     SELECT g.bin, g.n_ref, g.n_cur,
-           round(CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb), 6) AS ref_share,
-           round(CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb), 6) AS cur_share,
-           round((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)
+           CASE WHEN isnan(CAST((CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)) AS DOUBLE)) OR abs(CAST((CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)) AS DOUBLE) ELSE floor(CAST((CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS ref_share,
+           CASE WHEN isnan(CAST((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)) AS DOUBLE)) OR abs(CAST((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)) AS DOUBLE) ELSE floor(CAST((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS cur_share,
+           CASE WHEN isnan(CAST(((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)
                   - CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb))
                  * ln((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb))
-                      / (CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb))), 6)
+                      / (CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)))) AS DOUBLE)) OR abs(CAST(((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)
+                  - CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb))
+                 * ln((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb))
+                      / (CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)))) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)
+                  - CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb))
+                 * ln((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb))
+                      / (CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)))) AS DOUBLE) ELSE floor(CAST(((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb)
+                  - CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb))
+                 * ln((CAST(g.n_cur + 1 AS DOUBLE) / (t.tc + t.nb))
+                      / (CAST(g.n_ref + 1 AS DOUBLE) / (t.tr + t.nb)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS psi_term
     FROM g, t
     """,
@@ -66,13 +76,13 @@ def q223_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     column sum).  Two combinable aggregates + a 9-value broadcast —
     the monitoring metric costs one pass regardless of table size."""
     e = load_table(spark, sf_dir, "events").select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        bfround(F.col("value") * 100).cast("long").alias("cents"),
         (F.col("ts") < F.lit(f"{_SPLIT} 00:00:00").cast("timestamp")).alias("is_ref"),
     )
     cuts = e.filter("is_ref").agg(
         F.expr(
             "transform(percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)),"
-            " x -> round(x * 1e6) / 1e6)"
+            " x -> CASE WHEN isnan(CAST((x * 1e6) AS DOUBLE)) OR abs(CAST((x * 1e6) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((x * 1e6) AS DOUBLE) ELSE floor(CAST((x * 1e6) AS DOUBLE) * 1e0 + 0.5) / 1e0 END / 1e6)"
         ).alias("c")
     )
     b = e.crossJoin(F.broadcast(cuts)).select(
@@ -101,9 +111,9 @@ def q223_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "n_ref",
             "n_cur",
-            F.round(ref_share, 6).alias("ref_share"),
-            F.round(cur_share, 6).alias("cur_share"),
-            F.round((cur_share - ref_share) * F.log(cur_share / ref_share), 6).alias(
+            bfround(ref_share, 6).alias("ref_share"),
+            bfround(cur_share, 6).alias("cur_share"),
+            bfround((cur_share - ref_share) * F.log(cur_share / ref_share), 6).alias(
                 "psi_term"
             ),
         )

@@ -26,6 +26,7 @@ from ..operators.multimodal import pool_frame_embeddings
 from ..operators.similarity import hard_negative_topk
 from ..queries import query
 from ._shared import _COS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q228: l-diversity audit over (nation, segment) quasi-identifiers
@@ -78,7 +79,7 @@ def q228_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH f AS (SELECT vec_id // 8 AS media_id, embedding
                FROM embeddings WHERE vec_id // 8 < 200),
          u AS (SELECT media_id, i AS pos,
-                      CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                      CAST(CASE WHEN isnan(CAST((CAST(embedding[i] AS DOUBLE) * 1000000) AS DOUBLE)) OR abs(CAST((CAST(embedding[i] AS DOUBLE) * 1000000) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((CAST(embedding[i] AS DOUBLE) * 1000000) AS DOUBLE) ELSE floor(CAST((CAST(embedding[i] AS DOUBLE) * 1000000) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                            AS BIGINT) AS micro
                FROM f, unnest(generate_series(1, len(embedding))) AS t(i))
     SELECT media_id, CAST(pos AS BIGINT) AS pos,
@@ -119,7 +120,7 @@ def q229_frame_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY score DESC, vec_id) AS rank
             FROM scored
          )
-    SELECT query_id, vec_id, round(score, 6) AS score, rank
+    SELECT query_id, vec_id, CASE WHEN isnan(CAST((score) AS DOUBLE)) OR abs(CAST((score) AS DOUBLE)) >= 9007199254.740992 THEN CAST((score) AS DOUBLE) ELSE floor(CAST((score) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS score, rank
     FROM ranked WHERE rank <= 5
     """,
 )
@@ -158,7 +159,7 @@ def q230_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
          nl AS (SELECT n.name, l.cluster_id
                 FROM names n JOIN lab l ON l.nid = n.nid),
          j AS (SELECT nl.cluster_id, p.p_name,
-                      CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+                      CAST(CASE WHEN isnan(CAST((p_retailprice * 100) AS DOUBLE)) OR abs(CAST((p_retailprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((p_retailprice * 100) AS DOUBLE) ELSE floor(CAST((p_retailprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM part p JOIN nl ON nl.name = p.p_name)
     SELECT min(p_name) AS canonical_name,
            CAST(count(DISTINCT p_name) AS BIGINT) AS n_names,
@@ -210,7 +211,7 @@ def q231_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_name").alias("canonical_name"),
             F.countDistinct("p_name").cast("long").alias("n_names"),
             F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.sum(F.round(F.col("p_retailprice") * 100).cast("long"))
+            F.sum(bfround(F.col("p_retailprice") * 100).cast("long"))
             .cast("long")
             .alias("retail_cents"),
         )

@@ -29,6 +29,7 @@ from ..io import load_table
 from ..operators.ivm import maintain_join_totals
 from ..operators.temporal import asof_nearest
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -40,7 +41,7 @@ _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
     """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
              AS total_cents
     FROM events WHERE user_id % 13 = 0
     GROUP BY 1
@@ -65,7 +66,7 @@ def q232_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "event_id",
                 "user_id",
-                F.round(F.col("value") * 100).cast("long").alias("cents"),
+                bfround(F.col("value") * 100).cast("long").alias("cents"),
             )
         )
         ev.filter(F.col("event_id") % 2 == 0).write.parquet(src)
@@ -112,7 +113,7 @@ def q232_stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q233_ivm_join_totals",
     """
     WITH a AS (SELECT o_custkey,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM orders),
          b AS (SELECT c_custkey, c_nationkey FROM customer)
     SELECT b.c_nationkey AS nat,
@@ -131,7 +132,7 @@ def q233_ivm_join_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the maintained view bit-identical to the recompute."""
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        bfround(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nat")

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q235: unpivot (wide metrics → long) with exact integer cells
@@ -29,7 +30,7 @@ from ..queries import query
     WITH w AS (SELECT o_orderpriority AS pri,
                       CAST(count(*) AS BIGINT) AS n_orders,
                       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
-                      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      CAST(sum(CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT))
                            AS BIGINT) AS cents
                FROM orders GROUP BY 1)
     SELECT pri, metric, value FROM w
@@ -42,7 +43,7 @@ def q235_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics exporter needs; one aggregate then a zero-shuffle melt
     (unpivot is a generator projection, not an exchange)."""
     orders = load_table(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = bfround(F.col("o_totalprice") * 100).cast("long")
     wide = orders.groupBy(F.col("o_orderpriority").alias("pri")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.countDistinct("o_custkey").cast("long").alias("n_custs"),

@@ -34,7 +34,7 @@ _LATERAL_SQL = """
     FROM top_cust t,
     LATERAL (
         SELECT o_orderkey,
-               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
         FROM orders
         WHERE o_custkey = t.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey

@@ -28,6 +28,7 @@ from ..io import load_table
 from ..operators.ranking import global_row_number
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # model artifact: (pair → marker) merge list, applied in order; markers
 # are control chars absent from any corpus text
@@ -56,7 +57,7 @@ def _apply_merges_sql(expr: str) -> str:
                            - (n_words - 1) AS BIGINT) AS n_bpe_tokens
                FROM t)
     SELECT doc_id, n_words, n_char_tokens, n_bpe_tokens,
-           round(CAST(n_bpe_tokens AS DOUBLE) / n_char_tokens, 6)
+           CASE WHEN isnan(CAST((CAST(n_bpe_tokens AS DOUBLE) / n_char_tokens) AS DOUBLE)) OR abs(CAST((CAST(n_bpe_tokens AS DOUBLE) / n_char_tokens) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(n_bpe_tokens AS DOUBLE) / n_char_tokens) AS DOUBLE) ELSE floor(CAST((CAST(n_bpe_tokens AS DOUBLE) / n_char_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS compression
     FROM e
     """,
@@ -96,7 +97,7 @@ def q248_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_char_tokens",
         "n_bpe_tokens",
-        F.round(F.col("n_bpe_tokens") / F.col("n_char_tokens"), 6).alias(
+        bfround(F.col("n_bpe_tokens") / F.col("n_char_tokens"), 6).alias(
             "compression"
         ),
     )

@@ -59,11 +59,11 @@ def q31_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
          )
     SELECT ida, idb,
-           round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+           CASE WHEN isnan(CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE)) OR abs(CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE) ELSE floor(CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS jaccard
     FROM common
     JOIN sizes sa ON sa.did = ida
     JOIN sizes sb ON sb.did = idb
-    WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.5
+    WHERE CASE WHEN isnan(CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE)) OR abs(CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE) ELSE floor(CAST((CAST(common AS DOUBLE) / (sa.sz + sb.sz - common)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END >= 0.5
     """,
 )
 def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

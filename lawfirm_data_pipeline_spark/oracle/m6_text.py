@@ -141,10 +141,19 @@ def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM t
          )
     SELECT doc_id,
-           round(((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+           CASE WHEN isnan(CAST((((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
                 + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
                 + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.2 END)
-                + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.4 END)) / 4.0, 6) AS quality
+                + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.4 END)) / 4.0) AS DOUBLE)) OR abs(CAST((((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+                + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.2 END)
+                + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.4 END)) / 4.0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+                + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.2 END)
+                + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.4 END)) / 4.0) AS DOUBLE) ELSE floor(CAST((((CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 WHEN n_tok >= 5 THEN 0.5 ELSE 0.0 END)
+                + (CASE WHEN wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.3 END)
+                + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.2 END)
+                + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.4 END)) / 4.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS quality
     FROM feats
     """,
 )

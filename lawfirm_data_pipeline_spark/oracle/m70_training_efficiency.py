@@ -24,6 +24,7 @@ from ..operators.ranking import global_row_number
 from ..operators.text import tokens
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _STOPWORDS = ["a", "and", "in", "is", "it", "of", "the", "to"]
 
@@ -103,14 +104,14 @@ _TEMP = 2.0
     f"""
     WITH s AS (SELECT source,
                       CAST(count(*) AS BIGINT) AS n_docs,
-                      round(avg(n_chars) / 100.0, 6) AS score
+                      CASE WHEN isnan(CAST((avg(n_chars) / 100.0) AS DOUBLE)) OR abs(CAST((avg(n_chars) / 100.0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((avg(n_chars) / 100.0) AS DOUBLE) ELSE floor(CAST((avg(n_chars) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS score
                FROM documents GROUP BY 1),
          e AS (SELECT source, n_docs, score,
                       exp(score / {_TEMP}) AS u
                FROM s),
          z AS (SELECT sum(u) AS z FROM e)
     SELECT e.source, e.n_docs, e.score,
-           round(e.u / z.z, 6) AS weight
+           CASE WHEN isnan(CAST((e.u / z.z) AS DOUBLE)) OR abs(CAST((e.u / z.z) AS DOUBLE)) >= 9007199254.740992 THEN CAST((e.u / z.z) AS DOUBLE) ELSE floor(CAST((e.u / z.z) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS weight
     FROM e, z
     """,
 )
@@ -123,7 +124,7 @@ def q251_domain_softmax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(F.avg("n_chars") / 100.0, 6).alias("score"),
+        bfround(F.avg("n_chars") / 100.0, 6).alias("score"),
     )
     e = s.withColumn("u", F.exp(F.col("score") / _TEMP))
     z = e.agg(F.sum("u").alias("z"))
@@ -131,7 +132,7 @@ def q251_domain_softmax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "score",
-        F.round(F.col("u") / F.col("z"), 6).alias("weight"),
+        bfround(F.col("u") / F.col("z"), 6).alias("weight"),
     )
 
 
@@ -162,7 +163,7 @@ _BATCH = 32
            CAST(count(*) AS BIGINT) AS n_batches,
            CAST(sum(tok) AS BIGINT) AS token_sum,
            CAST(sum(mx * n_rows) AS BIGINT) AS padded_sum,
-           round(1.0 - CAST(sum(tok) AS DOUBLE) / sum(mx * n_rows), 6)
+           CASE WHEN isnan(CAST((1.0 - CAST(sum(tok) AS DOUBLE) / sum(mx * n_rows)) AS DOUBLE)) OR abs(CAST((1.0 - CAST(sum(tok) AS DOUBLE) / sum(mx * n_rows)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((1.0 - CAST(sum(tok) AS DOUBLE) / sum(mx * n_rows)) AS DOUBLE) ELSE floor(CAST((1.0 - CAST(sum(tok) AS DOUBLE) / sum(mx * n_rows)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS waste_ratio
     FROM per_batch GROUP BY 1
     """,
@@ -208,7 +209,5 @@ def q252_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_batches"),
         F.sum("tok").cast("long").alias("token_sum"),
         padded.cast("long").alias("padded_sum"),
-        F.round(
-            1.0 - F.sum("tok").cast("double") / padded.cast("double"), 6
-        ).alias("waste_ratio"),
+        bfround(1.0 - F.sum("tok").cast("double") / padded.cast("double"), 6).alias("waste_ratio"),
     )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q253: calibration bins + per-bin ECE contribution
@@ -39,11 +40,17 @@ from ..queries import query
                FROM b GROUP BY 1),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
     SELECT g.bin, g.n,
-           round(CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0, 6) AS mean_conf,
-           round(CAST(g.n_pos AS DOUBLE) / g.n, 6) AS obs_rate,
-           round(CAST(g.n AS DOUBLE) / t.total
+           CASE WHEN isnan(CAST((CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0) AS DOUBLE)) OR abs(CAST((CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0) AS DOUBLE) ELSE floor(CAST((CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS mean_conf,
+           CASE WHEN isnan(CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE)) OR abs(CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE) ELSE floor(CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS obs_rate,
+           CASE WHEN isnan(CAST((CAST(g.n AS DOUBLE) / t.total
                  * abs(CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0
-                       - CAST(g.n_pos AS DOUBLE) / g.n), 6) AS ece_term
+                       - CAST(g.n_pos AS DOUBLE) / g.n)) AS DOUBLE)) OR abs(CAST((CAST(g.n AS DOUBLE) / t.total
+                 * abs(CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0
+                       - CAST(g.n_pos AS DOUBLE) / g.n)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(g.n AS DOUBLE) / t.total
+                 * abs(CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0
+                       - CAST(g.n_pos AS DOUBLE) / g.n)) AS DOUBLE) ELSE floor(CAST((CAST(g.n AS DOUBLE) / t.total
+                 * abs(CAST(g.conf_sum AS DOUBLE) / g.n / 1000.0
+                       - CAST(g.n_pos AS DOUBLE) / g.n)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS ece_term
     FROM g, t
     """,
 )
@@ -74,11 +81,9 @@ def q253_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(t)).select(
         "bin",
         "n",
-        F.round(mean_conf, 6).alias("mean_conf"),
-        F.round(obs, 6).alias("obs_rate"),
-        F.round(
-            F.col("n").cast("double") / F.col("total") * F.abs(mean_conf - obs), 6
-        ).alias("ece_term"),
+        bfround(mean_conf, 6).alias("mean_conf"),
+        bfround(obs, 6).alias("obs_rate"),
+        bfround(F.col("n").cast("double") / F.col("total") * F.abs(mean_conf - obs), 6).alias("ece_term"),
     )
 
 
@@ -106,9 +111,9 @@ def q253_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
                          sum(rel / log2(r + 1.0)) AS idcg
                   FROM ideal WHERE r <= 5 GROUP BY 1)
     SELECT d.o_custkey AS cust,
-           round(d.dcg, 6) AS dcg,
-           round(i.idcg, 6) AS idcg,
-           round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 1.0 END, 6)
+           CASE WHEN isnan(CAST((d.dcg) AS DOUBLE)) OR abs(CAST((d.dcg) AS DOUBLE)) >= 9007199254.740992 THEN CAST((d.dcg) AS DOUBLE) ELSE floor(CAST((d.dcg) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS dcg,
+           CASE WHEN isnan(CAST((i.idcg) AS DOUBLE)) OR abs(CAST((i.idcg) AS DOUBLE)) >= 9007199254.740992 THEN CAST((i.idcg) AS DOUBLE) ELSE floor(CAST((i.idcg) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS idcg,
+           CASE WHEN isnan(CAST((CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 1.0 END) AS DOUBLE)) OR abs(CAST((CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 1.0 END) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 1.0 END) AS DOUBLE) ELSE floor(CAST((CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 1.0 END) AS DOUBLE) * 1e6 + 0.5) / 1e6 END
              AS ndcg
     FROM dcg d JOIN idcg i ON i.o_custkey = d.o_custkey
     """,
@@ -140,14 +145,11 @@ def q254_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcg.join(idcg, "o_custkey")
         .select(
             F.col("o_custkey").alias("cust"),
-            F.round("dcg", 6).alias("dcg"),
-            F.round("idcg", 6).alias("idcg"),
-            F.round(
-                F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+            bfround("dcg", 6).alias("dcg"),
+            bfround("idcg", 6).alias("idcg"),
+            bfround(F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
                     1.0
-                ),
-                6,
-            ).alias("ndcg"),
+                ), 6).alias("ndcg"),
         )
     )
 
@@ -163,8 +165,8 @@ def q254_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM customer GROUP BY 1),
          m AS (SELECT max(CAST(n_pos AS DOUBLE) / n) AS max_rate FROM g)
     SELECT g.seg, g.n, g.n_pos,
-           round(CAST(g.n_pos AS DOUBLE) / g.n, 6) AS pos_rate,
-           round(CAST(g.n_pos AS DOUBLE) / g.n / m.max_rate, 6) AS di_ratio,
+           CASE WHEN isnan(CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE)) OR abs(CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE) ELSE floor(CAST((CAST(g.n_pos AS DOUBLE) / g.n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS pos_rate,
+           CASE WHEN isnan(CAST((CAST(g.n_pos AS DOUBLE) / g.n / m.max_rate) AS DOUBLE)) OR abs(CAST((CAST(g.n_pos AS DOUBLE) / g.n / m.max_rate) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(g.n_pos AS DOUBLE) / g.n / m.max_rate) AS DOUBLE) ELSE floor(CAST((CAST(g.n_pos AS DOUBLE) / g.n / m.max_rate) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS di_ratio,
            CAST(g.n_pos AS DOUBLE) / g.n / m.max_rate < 0.8 AS below_80pct
     FROM g, m
     """,
@@ -186,7 +188,7 @@ def q255_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         "n",
         "n_pos",
-        F.round(rate, 6).alias("pos_rate"),
-        F.round(rate / F.col("max_rate"), 6).alias("di_ratio"),
+        bfround(rate, 6).alias("pos_rate"),
+        bfround(rate / F.col("max_rate"), 6).alias("di_ratio"),
         (rate / F.col("max_rate") < 0.8).alias("below_80pct"),
     )

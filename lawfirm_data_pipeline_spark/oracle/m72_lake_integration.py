@@ -28,6 +28,7 @@ from ..io import load_table
 from ..queries import query
 from ..sources.lake import Catalog
 from ..streaming.catalog_sink import exactly_once_totals_sink
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -42,8 +43,8 @@ _BACKFILL_DAY = "2024-01-15"
     WITH e AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                       CASE WHEN CAST(date_trunc('day', ts) AS DATE)
                                 = DATE '{_BACKFILL_DAY}'
-                           THEN 2 * CAST(round(value * 100) AS BIGINT)
-                           ELSE CAST(round(value * 100) AS BIGINT)
+                           THEN 2 * CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
+                           ELSE CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)
                       END AS cents
                FROM events WHERE user_id % 5 = 0)
     SELECT CAST(day AS VARCHAR) AS day,
@@ -66,7 +67,7 @@ def q256_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             .filter(F.col("user_id") % 5 == 0)
             .select(
                 F.to_date(F.date_trunc("day", "ts")).alias("day"),
-                F.round(F.col("value") * 100).cast("long").alias("cents"),
+                bfround(F.col("value") * 100).cast("long").alias("cents"),
             )
         )
         ev.write.partitionBy("day").parquet(scratch)
@@ -100,7 +101,7 @@ def q256_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
              AS total_cents
     FROM events WHERE user_id % 11 = 0
     GROUP BY 1
@@ -129,7 +130,7 @@ def q257_stream_catalog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_events_stream(spark, sf_dir)
             .filter(F.col("user_id") % 11 == 0)
             .select(
-                "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+                "user_id", bfround(F.col("value") * 100).cast("long").alias("cents")
             )
         )
         q = (

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.similarity import pq_codes
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -34,7 +35,7 @@ _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
     """
     WITH v AS (SELECT vec_id,
                       list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                          x -> CAST(CASE WHEN isnan(CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) OR abs(CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE) ELSE floor(CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                                     AS BIGINT)) AS fp
                FROM embeddings),
          seeds AS (SELECT vec_id AS c, fp FROM v WHERE vec_id < 16),
@@ -74,11 +75,11 @@ def q261_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q262_schema_merge_read",
     """
     WITH old AS (SELECT o_orderkey,
-                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                         NULL AS channel
                  FROM orders WHERE o_orderkey % 2 = 0),
          new AS (SELECT o_orderkey,
-                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents,
                         'web-' || (o_orderkey % 3) AS channel
                  FROM orders WHERE o_orderkey % 2 = 1),
          u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
@@ -98,7 +99,7 @@ def q262_schema_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch = os.path.join(_TMP_ROOT, f"sm_{uuid.uuid4().hex}")
     try:
         orders = load_table(spark, sf_dir, "orders")
-        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        cents = bfround(F.col("o_totalprice") * 100).cast("long")
         old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
             "o_orderkey", cents.alias("cents")
         )

@@ -26,7 +26,7 @@ from ..queries import query
     """
     WITH v AS (SELECT vec_id,
                       list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) * 1000000)
+                          x -> CAST(CASE WHEN isnan(CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) OR abs(CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE) ELSE floor(CAST((CAST(x AS DOUBLE) * 1000000) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                                     AS BIGINT)) AS fp
                FROM embeddings),
          seeds AS (SELECT vec_id AS c, fp FROM v WHERE vec_id < 16),

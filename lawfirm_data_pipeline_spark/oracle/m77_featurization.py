@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.ranking import top_k_ranked
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q264: MaxSim late-interaction retrieval (query doc 0 vs corpus)
@@ -30,7 +31,7 @@ from ..queries import query
     """
     WITH t AS (SELECT vec_id // 8 AS doc_id, vec_id % 8 AS tok,
                       list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                          x -> CAST(CASE WHEN isnan(CAST((CAST(x AS DOUBLE) * 1000) AS DOUBLE)) OR abs(CAST((CAST(x AS DOUBLE) * 1000) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((CAST(x AS DOUBLE) * 1000) AS DOUBLE) ELSE floor(CAST((CAST(x AS DOUBLE) * 1000) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                                     AS BIGINT)) AS fp
                FROM embeddings WHERE vec_id // 8 < 250),
          q AS (SELECT tok AS qtok, fp AS qfp FROM t WHERE doc_id = 0),
@@ -65,7 +66,7 @@ def q264_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 8).alias("tok"),
         F.transform(
             F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * 1000).cast("long"),
+            lambda x: bfround(x * 1000).cast("long"),
         ).alias("fp"),
     ).filter(F.col("doc_id") < 250)
     q = t.filter(F.col("doc_id") == 0).select(
@@ -131,7 +132,7 @@ def q265_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q266_target_encoding_loo",
     """
     WITH o AS (SELECT o_orderkey, o_orderpriority AS cat,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM orders WHERE o_orderkey % 5 = 0),
          g AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
                       CAST(sum(cents) AS BIGINT) AS s
@@ -140,7 +141,7 @@ def q265_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- binary-floor 6dp rounding: floor(x*1e6 + 0.5)/1e6 is the
            -- same IEEE ops on the same double in BOTH engines, so ties
            -- at a decimal half cannot split them the way each engine's
-           -- own round() does (r10 fresh-draw finding)
+           -- own CASE WHEN isnan(CAST(() AS DOUBLE)) OR abs(CAST(() AS DOUBLE)) >= 9007199254740992.0 THEN CAST(() AS DOUBLE) ELSE floor(CAST(() AS DOUBLE) * 1e0 + 0.5) / 1e0 END does (r10 fresh-draw finding)
            floor(CASE WHEN g.n > 1
                       THEN CAST(g.s - o.cents AS DOUBLE) / (g.n - 1) / 100.0
                       ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS loo_mean
@@ -156,7 +157,7 @@ def q266_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.select(
         "o_orderkey",
         F.col("o_orderpriority").alias("cat"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        bfround(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     g = o.groupBy("cat").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -23,6 +23,7 @@ from ..io import load_table
 from ..operators.ranking import global_running_sum
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 # -- q267: deterministic span-corruption plan (merged hash spans)
@@ -61,7 +62,7 @@ from ._shared import LTOKS_SQL as _LTOKS
     SELECT doc_id, n_tokens,
            CAST(count(*) AS BIGINT) AS n_spans,
            CAST(sum(me - ms) AS BIGINT) AS n_masked,
-           round(CAST(sum(me - ms) AS DOUBLE) / n_tokens, 6) AS mask_rate
+           CASE WHEN isnan(CAST((CAST(sum(me - ms) AS DOUBLE) / n_tokens) AS DOUBLE)) OR abs(CAST((CAST(sum(me - ms) AS DOUBLE) / n_tokens) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sum(me - ms) AS DOUBLE) / n_tokens) AS DOUBLE) ELSE floor(CAST((CAST(sum(me - ms) AS DOUBLE) / n_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS mask_rate
     FROM merged GROUP BY 1, 2
     """,
 )
@@ -110,9 +111,7 @@ def q267_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("doc_id", "n_tokens").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("n_masked"),
-        F.round(
-            F.sum(F.col("me") - F.col("ms")).cast("double") / F.col("n_tokens"), 6
-        ).alias("mask_rate"),
+        bfround(F.sum(F.col("me") - F.col("ms")).cast("double") / F.col("n_tokens"), 6).alias("mask_rate"),
     )
 
 

@@ -21,8 +21,9 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.text import tfidf_topk
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
-_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_CENTS = "CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)"
 
 
 # -- q41: ROLLUP — subtotal hierarchy (nation → nation+year → grand total)
@@ -57,7 +58,7 @@ def q41_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             F.year("o_orderdate").cast("int").alias("o_year"),
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            bfround(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
     )
     return base.rollup("n_name", "o_year").agg(
@@ -119,7 +120,7 @@ def q43_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
                coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+               sum(CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS sum_cents
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         """
@@ -171,11 +172,17 @@ def q44_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round(CAST(sq AS DOUBLE) / n, 6) AS mean_qty,
-           round(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1)), 6) AS stddev_qty,
-           round((CAST(sql_ AS DOUBLE) - CAST(sq AS DOUBLE) * sl / n)
+           CASE WHEN isnan(CAST((CAST(sq AS DOUBLE) / n) AS DOUBLE)) OR abs(CAST((CAST(sq AS DOUBLE) / n) AS DOUBLE)) >= 9007199254.740992 THEN CAST((CAST(sq AS DOUBLE) / n) AS DOUBLE) ELSE floor(CAST((CAST(sq AS DOUBLE) / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS mean_qty,
+           CASE WHEN isnan(CAST((sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1))) AS DOUBLE)) OR abs(CAST((sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1))) AS DOUBLE)) >= 9007199254.740992 THEN CAST((sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1))) AS DOUBLE) ELSE floor(CAST((sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n) / (n - 1))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS stddev_qty,
+           CASE WHEN isnan(CAST(((CAST(sql_ AS DOUBLE) - CAST(sq AS DOUBLE) * sl / n)
                  / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
-                        * (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n)), 6) AS corr_qty_line
+                        * (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n))) AS DOUBLE)) OR abs(CAST(((CAST(sql_ AS DOUBLE) - CAST(sq AS DOUBLE) * sl / n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+                        * (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n))) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(sql_ AS DOUBLE) - CAST(sq AS DOUBLE) * sl / n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+                        * (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n))) AS DOUBLE) ELSE floor(CAST(((CAST(sql_ AS DOUBLE) - CAST(sq AS DOUBLE) * sl / n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+                        * (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * sl / n))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS corr_qty_line
     FROM s
     """,
 )
@@ -199,9 +206,9 @@ def q45_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        F.round(sq / n, 6).alias("mean_qty"),
-        F.round(F.sqrt(var_q / (n - 1)), 6).alias("stddev_qty"),
-        F.round((sql_ - sq * F.col("sl") / n) / F.sqrt(var_q * var_l), 6).alias("corr_qty_line"),
+        bfround(sq / n, 6).alias("mean_qty"),
+        bfround(F.sqrt(var_q / (n - 1)), 6).alias("stddev_qty"),
+        bfround((sql_ - sq * F.col("sl") / n) / F.sqrt(var_q * var_l), 6).alias("corr_qty_line"),
     )
 
 
@@ -220,7 +227,7 @@ _LTOKS = "list_filter(str_split_regex(trim(lower(text)), '\\s+'), t -> t != '')"
          nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
          scored AS (
             SELECT tc.doc_id, tc.term,
-                   round((CAST(cnt AS DOUBLE) / dlen) * ln(CAST(n_docs AS DOUBLE) / dfreq), 6) AS tfidf
+                   CASE WHEN isnan(CAST(((CAST(cnt AS DOUBLE) / dlen) * ln(CAST(n_docs AS DOUBLE) / dfreq)) AS DOUBLE)) OR abs(CAST(((CAST(cnt AS DOUBLE) / dlen) * ln(CAST(n_docs AS DOUBLE) / dfreq)) AS DOUBLE)) >= 9007199254.740992 THEN CAST(((CAST(cnt AS DOUBLE) / dlen) * ln(CAST(n_docs AS DOUBLE) / dfreq)) AS DOUBLE) ELSE floor(CAST(((CAST(cnt AS DOUBLE) / dlen) * ln(CAST(n_docs AS DOUBLE) / dfreq)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS tfidf
             FROM tc JOIN dl USING (doc_id) JOIN dfc USING (term) CROSS JOIN nd
          ),
          ranked AS (
@@ -304,8 +311,8 @@ def q48_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q49_percentiles",
     """
     SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
-           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+           CASE WHEN isnan(CAST((quantile_cont(l_quantity, 0.5)) AS DOUBLE)) OR abs(CAST((quantile_cont(l_quantity, 0.5)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((quantile_cont(l_quantity, 0.5)) AS DOUBLE) ELSE floor(CAST((quantile_cont(l_quantity, 0.5)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS p50_qty,
+           CASE WHEN isnan(CAST((quantile_cont(l_quantity, 0.9)) AS DOUBLE)) OR abs(CAST((quantile_cont(l_quantity, 0.9)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((quantile_cont(l_quantity, 0.9)) AS DOUBLE) ELSE floor(CAST((quantile_cont(l_quantity, 0.9)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS p90_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -317,8 +324,8 @@ def q49_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     because sketches differ across engines by construction."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        bfround(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        bfround(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
     )
 
 

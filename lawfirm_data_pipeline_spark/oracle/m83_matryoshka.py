@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _FP = 1_000_000
 _K = 10
@@ -48,7 +49,7 @@ _RANK_SQL = """
     f"""
     WITH vecs AS (SELECT vec_id,
                          list_transform(embedding,
-                             x -> CAST(round(CAST(x AS DOUBLE) * {_FP})
+                             x -> CAST(CASE WHEN isnan(CAST((CAST(x AS DOUBLE) * {_FP}) AS DOUBLE)) OR abs(CAST((CAST(x AS DOUBLE) * {_FP}) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((CAST(x AS DOUBLE) * {_FP}) AS DOUBLE) ELSE floor(CAST((CAST(x AS DOUBLE) * {_FP}) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                                        AS BIGINT)) AS fp
                   FROM embeddings),
          qs AS (SELECT * FROM vecs WHERE vec_id < {_NQ}),
@@ -73,7 +74,7 @@ def q272_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * _FP).cast("long"),
+            lambda x: bfround(x * _FP).cast("long"),
         ).alias("fp"),
     )
     qs = vecs.filter(F.col("vec_id") < _NQ).select(

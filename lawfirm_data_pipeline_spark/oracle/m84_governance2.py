@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 @query(
@@ -33,7 +34,7 @@ from ..queries import query
     """
     WITH ent AS (
         SELECT col, CAST(count(*) AS BIGINT) AS n_distinct,
-               round(-sum((n / tot) * ln(n / tot)), 6) AS entropy
+               CASE WHEN isnan(CAST((-sum((n / tot) * ln(n / tot))) AS DOUBLE)) OR abs(CAST((-sum((n / tot) * ln(n / tot))) AS DOUBLE)) >= 9007199254.740992 THEN CAST((-sum((n / tot) * ln(n / tot))) AS DOUBLE) ELSE floor(CAST((-sum((n / tot) * ln(n / tot))) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS entropy
         FROM (
             SELECT col, v, CAST(count(*) AS DOUBLE) AS n,
                    CAST(sum(count(*)) OVER (PARTITION BY col) AS DOUBLE) AS tot
@@ -93,10 +94,7 @@ def q273_entropy_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct"),
-            F.round(
-                -F.sum((F.col("n") / F.col("tot")) * F.log(F.col("n") / F.col("tot"))),
-                6,
-            ).alias("entropy"),
+            bfround(-F.sum((F.col("n") / F.col("tot")) * F.log(F.col("n") / F.col("tot"))), 6).alias("entropy"),
         )
         .select(
             F.col("col").alias("item"),
@@ -170,7 +168,7 @@ _NBUCKETS = 5
         FROM grid
     )
     SELECT grp AS group_id,
-           round(sum(abs(cd)) / ({_NBUCKETS} - 1), 6) AS emd,
+           CASE WHEN isnan(CAST((sum(abs(cd)) / ({_NBUCKETS} - 1)) AS DOUBLE)) OR abs(CAST((sum(abs(cd)) / ({_NBUCKETS} - 1)) AS DOUBLE)) >= 9007199254.740992 THEN CAST((sum(abs(cd)) / ({_NBUCKETS} - 1)) AS DOUBLE) ELSE floor(CAST((sum(abs(cd)) / ({_NBUCKETS} - 1)) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS emd,
            sum(abs(cd)) / ({_NBUCKETS} - 1) > {_T} AS breach
     FROM cum GROUP BY grp
     """,
@@ -222,6 +220,6 @@ def q274_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = grid.withColumn("cd", F.sum(F.col("p") - F.col("q")).over(w))
     emd = F.sum(F.abs(F.col("cd"))) / F.lit(_NBUCKETS - 1)
     return cum.groupBy(F.col("grp").alias("group_id")).agg(
-        F.round(emd, 6).alias("emd"),
+        bfround(emd, 6).alias("emd"),
         (emd > _T).alias("breach"),
     )

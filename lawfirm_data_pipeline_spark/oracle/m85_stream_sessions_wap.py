@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..io import load_events_stream, load_table
 from ..queries import query
 from ..sources.lake import Catalog
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -54,7 +55,7 @@ _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
            min(ts) AS session_start,
            max(ts) + INTERVAL '30 minutes' AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CASE WHEN isnan(CAST((sum(value)) AS DOUBLE)) OR abs(CAST((sum(value)) AS DOUBLE)) >= 90071992547409.92 THEN CAST((sum(value)) AS DOUBLE) ELSE floor(CAST((sum(value)) AS DOUBLE) * 1e2 + 0.5) / 1e2 END AS sum_value
     FROM islands
     GROUP BY user_id, sid
     """,
@@ -73,7 +74,7 @@ def q275_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: session_windows(s, "30 minutes"),
         f"q275_sessions_{uuid.uuid4().hex[:8]}",
     )
-    return out.withColumn("sum_value", F.round("sum_value", 2)).withColumn(
+    return out.withColumn("sum_value", bfround("sum_value", 2)).withColumn(
         "n_events", F.col("n_events").cast("long")
     )
 
@@ -99,7 +100,7 @@ def q275_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM good) AS n
     UNION ALL
     SELECT 'published_cents',
-           (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           (SELECT CAST(sum(CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
             FROM good)
     UNION ALL SELECT 'rejected_bad_price', (SELECT n_bad_price FROM bad_audit)
     UNION ALL SELECT 'rejected_dup_keys',
@@ -172,7 +173,7 @@ def q276_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         published = cat.read(spark, "audited_orders", (head_id, tables))
         summary = published.agg(
             F.count(F.lit(1)).cast("long").alias("published_rows"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(bfround(F.col("o_totalprice") * 100).cast("long"))
             .cast("long")
             .alias("published_cents"),
         ).collect()[0]

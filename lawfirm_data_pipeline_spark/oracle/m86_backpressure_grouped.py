@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -42,7 +43,7 @@ _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
     """
     WITH e AS (
         SELECT event_type,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
         FROM events WHERE user_id % 13 = 0
     )
     SELECT 'batches_match_files' AS metric, CAST(1 AS BIGINT) AS n
@@ -67,7 +68,7 @@ def q277_stream_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") % 13 == 0)
         .select(
-            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+            "event_type", bfround(F.col("value") * 100).cast("long").alias("cents")
         )
     )
     scratch = os.path.join(_TMP_ROOT, f"bp_{uuid.uuid4().hex}")
@@ -135,7 +136,7 @@ _OLS_SQL_TERMS = """
             SELECT user_id,
                    CAST(floor(epoch(ts) / 60) AS BIGINT)
                      - 28401120 AS x,
-                   CAST(round(value * 100) AS BIGINT) AS y
+                   CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS y
             FROM events WHERE user_id % 29 = 0
         ) GROUP BY user_id
 """
@@ -164,7 +165,7 @@ def q278_grouped_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.unix_timestamp("ts") / 60).cast("long") - F.lit(28401120)).alias(
             "x"
         ),
-        F.round(F.col("value") * 100).cast("long").alias("y"),
+        bfround(F.col("value") * 100).cast("long").alias("y"),
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

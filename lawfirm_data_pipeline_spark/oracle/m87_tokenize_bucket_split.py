@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # 26 single letters guarantee termination; multi-char entries make the
 # greedy choice nontrivial.
@@ -216,7 +217,7 @@ def _touch_bucket_table_dirs(spark: SparkSession, tables: tuple[str, str]) -> No
     """
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+           CAST(sum(CAST(CASE WHEN isnan(CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE)) OR abs(CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE) ELSE floor(CAST((l.l_extendedprice * (1 - l.l_discount) * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                          AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'O'
@@ -272,9 +273,7 @@ def q280_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed(
             load_table(spark, sf_dir, "lineitem").select(
                 F.col("l_orderkey").alias("k"),
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                )
+                bfround(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
                 .cast("long")
                 .alias("cents"),
             ),

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _TMP_ROOT = os.path.join(_REPO, ".tmp_lake")
@@ -60,7 +61,7 @@ def dpp_revenue(spark: SparkSession, sf_dir: str, fact_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            F.sum(bfround(F.col("o_totalprice") * 100).cast("long"))
             .cast("long")
             .alias("cents"),
         )
@@ -72,7 +73,7 @@ def dpp_revenue(spark: SparkSession, sf_dir: str, fact_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS BIGINT)
              AS cents
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -101,7 +102,7 @@ def pseudonymize(df: DataFrame, col: str, secret: str = "s3cr3t") -> DataFrame:
     "q285_pseudonymized_join",
     """
     WITH e AS (SELECT md5('s3cr3t:' || CAST(user_id AS VARCHAR)) AS pid,
-                      CAST(round(value * 100) AS BIGINT) AS cents
+                      CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
                FROM events WHERE user_id % 37 = 0),
          c AS (SELECT md5('s3cr3t:' || CAST(c_custkey AS VARCHAR)) AS pid,
                       c_mktsegment
@@ -123,7 +124,7 @@ def q285_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 37 == 0)
         .select(
             F.col("user_id").alias("pid"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            bfround(F.col("value") * 100).cast("long").alias("cents"),
         ),
         "pid",
     )

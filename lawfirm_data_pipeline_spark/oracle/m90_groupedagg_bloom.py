@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 @query(
@@ -37,7 +38,7 @@ from ..queries import query
     """
     WITH e AS (
         SELECT user_id % 50 AS grp,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
         FROM events WHERE user_id % 3 = 0
     ),
     r AS (
@@ -83,7 +84,7 @@ def q286_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("user_id") % 3 == 0)
         .select(
             (F.col("user_id") % 50).alias("grp"),
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            bfround(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
     return e.groupBy("grp").agg(

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 @query(
@@ -117,7 +118,7 @@ def q290_fd_majority_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     ),
     fact AS (
-        SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        SELECT user_id, ts, CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
         FROM events WHERE user_id % 19 = 0
     )
     SELECT f.user_id, v.version,
@@ -155,7 +156,7 @@ def q291_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
     )
     fact = ev.select(
-        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+        "user_id", "ts", bfround(F.col("value") * 100).cast("long").alias("cents")
     )
     return (
         fact.join(

@@ -35,13 +35,14 @@ from pyspark.sql.window import Window
 
 from ..io import load_table
 from ..queries import query
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 _ROUNDS = 3
 
 _BASE_SQL = """
         SELECT user_id % 32 AS x1,
                CAST(hour(ts) AS BIGINT) AS x2,
-               CAST(round(value * 100) AS BIGINT) * 1000 AS res
+               CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) * 1000 AS res
         FROM events WHERE user_id % 3 = 1
 """
 
@@ -120,7 +121,7 @@ def q292_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = ev.select(
         (F.col("user_id") % 32).alias("x1"),
         F.hour("ts").cast("long").alias("x2"),
-        (F.round(F.col("value") * 100).cast("long") * 1000).alias("res"),
+        (bfround(F.col("value") * 100).cast("long") * 1000).alias("res"),
     )
     d = lambda c: c.cast("double")  # noqa: E731
     out = None

@@ -30,6 +30,7 @@ from ..io import load_table
 from ..operators.ranking import global_running_sum
 from ..queries import query
 from ._shared import LTOKS_SQL as _LTOKS
+from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 
 @query(
@@ -47,8 +48,11 @@ from ._shared import LTOKS_SQL as _LTOKS
     ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
     model AS (
         SELECT l.lang, v.tok,
-               CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
-                             / CAST(l.n + vs.v AS DOUBLE)) * 1000000000)
+               CAST(CASE WHEN isnan(CAST((ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(l.n + vs.v AS DOUBLE)) * 1000000000) AS DOUBLE)) OR abs(CAST((ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(l.n + vs.v AS DOUBLE)) * 1000000000) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(l.n + vs.v AS DOUBLE)) * 1000000000) AS DOUBLE) ELSE floor(CAST((ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                             / CAST(l.n + vs.v AS DOUBLE)) * 1000000000) AS DOUBLE) * 1e0 + 0.5) / 1e0 END
                     AS BIGINT) AS nano_logp
         FROM ltot l
         CROSS JOIN vocab v
@@ -111,13 +115,11 @@ def q293_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "tok",
-            F.round(
-                F.log(
+            bfround(F.log(
                     (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
                     / (F.col("n") + F.col("v")).cast("double")
                 )
-                * 1e9
-            )
+                * 1e9)
             .cast("long")
             .alias("nano_logp"),
         )
@@ -146,7 +148,7 @@ def q293_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
         SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
-               CAST(round(o_totalprice * 100) AS BIGINT) % 10000 AS score
+               CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) % 10000 AS score
         FROM orders WHERE o_orderkey % 2 = 0
     ),
     ranked AS (
@@ -190,7 +192,7 @@ def q294_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 2 == 0)
         .select(
             F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
-            (F.round(F.col("o_totalprice") * 100).cast("long") % 10000).alias(
+            (bfround(F.col("o_totalprice") * 100).cast("long") % 10000).alias(
                 "score"
             ),
         )

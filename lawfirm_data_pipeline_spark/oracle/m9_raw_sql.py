@@ -25,7 +25,7 @@ _RAW_SQL = """
     ),
     spend AS (
         SELECT o.o_custkey, count(*) AS n_orders,
-               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+               sum(CAST(CASE WHEN isnan(CAST((o.o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o.o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o.o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o.o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT)) AS cents
         FROM orders o
         GROUP BY o.o_custkey
     )

@@ -1,32 +1,51 @@
-"""Pins for the fresh-draw sf1 corpus (r9 verdict task #5).
+"""Pins for the fresh-draw corpora (r9 verdict task #5; rotating seed
+r10 verdict task #3).
 
 The cardinality-sensitive family (HLL, heavy hitters, join-card
-estimators, capture-recapture, KMV) is differentialed on
-benchdata/freshdraw_sf1 — genuinely fresh 10x draws, NOT key-shifted
-copies.  These tests pin the generator's contract: schema identity
-with the driver tables and fresh-draw (saturating, non-copy)
-cardinality structure.  Skipped when the corpus has not been
-materialized (python tools/freshdraw_sf1.py).
+estimators, capture-recapture, KMV) is differentialed on genuinely
+fresh draws, NOT key-shifted copies.  These tests pin the generator's
+contract for EVERY materialized corpus (legacy fixed-seed
+``freshdraw_sf1`` plus each per-round ``freshdraw_sf{1,3}_s{seed}``):
+schema identity with the driver tables and fresh-draw (saturating,
+non-copy) cardinality structure.  Skipped when no corpus has been
+materialized (python tools/freshdraw_sf1.py --round N).
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 
 import pytest
 
-_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "benchdata",
-    "freshdraw_sf1",
+_BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata"
 )
+
+
+def _corpora() -> list[str]:
+    dirs = sorted(glob.glob(os.path.join(_BENCH, "freshdraw_sf*_s*")))
+    legacy = os.path.join(_BENCH, "freshdraw_sf1")
+    if os.path.isdir(legacy):
+        dirs.append(legacy)
+    return dirs
+
+
+def _factor(d: str) -> int:
+    mpath = os.path.join(d, "MANIFEST.json")
+    if os.path.isfile(mpath):
+        return json.load(open(mpath))["factor"]
+    return 10  # legacy seed-4242 corpus predates the manifest
+
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(_DIR), reason="fresh-draw corpus not materialized"
+    not _corpora(), reason="no fresh-draw corpus materialized"
 )
 
 
-def test_schemas_match_driver_tables():
+@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+def test_schemas_match_driver_tables(d):
     import pyarrow.parquet as pq
 
     for t in (
@@ -34,44 +53,68 @@ def test_schemas_match_driver_tables():
         "events documents embeddings"
     ).split():
         want = pq.read_schema(f"/root/testdata/sf0.1/{t}.parquet")
-        got = pq.read_schema(os.path.join(_DIR, f"{t}.parquet"))
+        got = pq.read_schema(os.path.join(d, f"{t}.parquet"))
         assert [(f.name, str(f.type)) for f in got] == [
             (f.name, str(f.type)) for f in want
         ], t
 
 
-def test_rowcounts_are_10x():
+@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+def test_rowcounts_match_declared_factor(d):
     import pyarrow.parquet as pq
 
+    f = _factor(d)
     for t, n in [
-        ("orders", 1_500_000),
-        ("lineitem", 6_000_000),
-        ("events", 1_000_000),
-        ("documents", 50_000),
-        ("customer", 150_000),
+        ("orders", 150_000 * f),
+        ("lineitem", 600_000 * f),
+        ("events", 100_000 * f),
+        ("documents", 5_000 * f),
+        ("customer", 15_000 * f),
     ]:
-        assert pq.read_metadata(os.path.join(_DIR, f"{t}.parquet")).num_rows == n
+        assert pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows == n
 
 
-def test_orderkey_multiplicity_is_fresh_not_copied():
+@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+def test_orderkey_multiplicity_is_fresh_not_copied(d):
     """Key-shifted copies preserve sf0.1's per-key line counts exactly
     (every orderkey present, multiplicities a verbatim repeat); fresh
     uniform draws leave a Poisson tail of orderkeys with NO lineitem
-    at 4 lines/order (e^-4 ~ 1.8% of 1.5M ~ 27k absent keys)."""
+    at 4 lines/order (e^-4 ~ 1.8% of 150k*f ~ 2745*f absent keys)."""
     import duckdb
 
+    f = _factor(d)
     con = duckdb.connect()
     absent = con.execute(
         f"""
-        SELECT count(*) FROM read_parquet('{_DIR}/orders.parquet') o
+        SELECT count(*) FROM read_parquet('{d}/orders.parquet') o
         WHERE NOT EXISTS (SELECT 1 FROM
-            read_parquet('{_DIR}/lineitem.parquet') l
+            read_parquet('{d}/lineitem.parquet') l
             WHERE l.l_orderkey = o.o_orderkey)
         """
     ).fetchone()[0]
-    # copies of sf0.1 would give exactly 10*(150000-147236) = 27640
+    # copies of sf0.1 would give exactly f*(150000-147236) = 2764*f
     # absent keys, but per-copy IDENTICAL; the cheap distinguishing
     # fact is that fresh draws land in the Poisson band yet not on the
     # copy's exact figure
-    assert 20_000 < absent < 35_000
-    assert absent != 27_640
+    assert 2_000 * f < absent < 3_500 * f
+    assert absent != 2_764 * f
+
+
+def test_per_seed_corpora_differ_pairwise():
+    """Rotating the seed must actually change the draw: any two
+    materialized corpora (different seed or factor) must disagree on
+    the orders table's custkey sequence head."""
+    import pyarrow.parquet as pq
+
+    heads = {}
+    for d in _corpora():
+        t = pq.read_table(os.path.join(d, "orders.parquet"), columns=["o_custkey"])
+        heads[d] = tuple(t.column("o_custkey").to_pylist()[:100])
+    vals = list(heads.values())
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            assert vals[i] != vals[j], (
+                list(heads)[i],
+                list(heads)[j],
+                "identical draw heads — seed rotation is not rotating",
+            )

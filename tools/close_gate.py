@@ -160,6 +160,26 @@ def main() -> None:
 
     py = sys.executable
 
+    # SEED ROTATION (r10 verdict task #3): each round's fresh-draw
+    # differential runs on a per-round corpus drawn from seed
+    # 4242+round; a fixed-seed corpus is a fixture after its first
+    # green pass.  Materialize it here if absent (the dir is gitignored
+    # so generation never dirties the stamps).
+    fresh_dir = None
+    if "freshdraw" not in skip:
+        sys.path.insert(0, os.path.join(_REPO, "tools"))
+        import freshdraw_sf1
+
+        seed = freshdraw_sf1.SEED_BASE + args.round
+        fresh_dir = freshdraw_sf1.out_dir(seed, 10)
+        if not os.path.isfile(os.path.join(fresh_dir, "MANIFEST.json")):
+            print(
+                f"== close-gate: materializing fresh-draw corpus "
+                f"(seed {seed}) at {fresh_dir}",
+                flush=True,
+            )
+            freshdraw_sf1.materialize(seed, 10)
+
     if args.parallel:
         big_env = dict(os.environ)
         big_env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -183,7 +203,7 @@ def main() -> None:
             ),
             "freshdraw": (
                 [py, "tools/differential_sf1.py",
-                 "--sf-dir", os.path.join(_REPO, "benchdata", "freshdraw_sf1"),
+                 "--sf-dir", fresh_dir,
                  "--out", f"differential_freshdraw_r{args.round}.json"],
                 None, big_env,
             ),
@@ -291,7 +311,7 @@ def main() -> None:
             "fresh-draw cardinality differential",
             [
                 py, "tools/differential_sf1.py",
-                "--sf-dir", os.path.join(_REPO, "benchdata", "freshdraw_sf1"),
+                "--sf-dir", fresh_dir,
                 "--out", f"differential_freshdraw_r{args.round}.json",
             ],
             None,

@@ -233,8 +233,18 @@ def main() -> None:
         results[name] = row
         print(json.dumps({name: row}), flush=True)
 
+    # a fresh-draw corpus carries its draw parameters (seed/factor/row
+    # counts) in MANIFEST.json; echo it into the artifact so the
+    # rotating-seed evidence is self-describing (r10 verdict task #3)
+    manifest = None
+    mpath = os.path.join(args.sf_dir, "MANIFEST.json")
+    if os.path.isfile(mpath):
+        with open(mpath) as mf:
+            manifest = json.load(mf)
+
     out = {
         "sf_dir": args.sf_dir,
+        **({"sf_manifest": manifest} if manifest else {}),
         "n_queries": len(names),
         "n_green": n_green,
         "n_excluded": n_excluded,

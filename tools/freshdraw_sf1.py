@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Fresh-draw sf1-scale corpus for cardinality-sensitive verification
-(r9 verdict task #5).
+"""Fresh-draw corpus for cardinality-sensitive verification
+(r9 verdict task #5; seed rotation + second decade r10 verdict #3/#6).
 
 The standing sf1/sf3 replicas (`bench_sf1.materialize`) are ORGANIC
 COPIES of sf0.1 — key-shifted x10/x30 — which is exactly right for
@@ -11,8 +11,8 @@ internal distributions verbatim.  HLL/KMV sketches, heavy hitters,
 join-cardinality estimators and capture-recapture would therefore see
 an artificial distinct-growth pattern a real 10x corpus never shows.
 
-This tool generates a genuinely FRESH 10x-row corpus (seeded numpy
-draws, no copies): 10x the entity counts of sf0.1 with the same
+This tool generates a genuinely FRESH corpus (seeded numpy draws, no
+copies): ``factor`` x the entity counts of sf0.1 with the same
 schemas, value domains and distribution shapes (profiled from
 /root/testdata/sf0.1 — uniform keys, zipf-ish document vocabulary,
 5-way categorical event types, TPC-H-like date/price ranges).  It is
@@ -21,16 +21,25 @@ distinct/sketch/estimator family — both engines read the SAME parquet,
 so the data need not match the driver generator byte-for-byte; it
 needs the right CARDINALITY STRUCTURE.
 
+SEED ROTATION (r10 verdict task #3): a fixed-seed corpus is a fixture
+after its first green pass — re-running it proves nothing new.  Each
+round draws from seed 4242+round into a per-seed directory, and the
+seed/factor land in the corpus MANIFEST.json (echoed into the
+differential artifact), so the fresh-draw axis stays adversarial.
+
 Usage:
-    python tools/freshdraw_sf1.py           # writes benchdata/freshdraw_sf1/
+    python tools/freshdraw_sf1.py --round 11              # 10x, seed 4253
+    python tools/freshdraw_sf1.py --round 11 --factor 30  # second decade
     python tools/differential_sf1.py \
-        --sf-dir benchdata/freshdraw_sf1 \
+        --sf-dir benchdata/freshdraw_sf1_s4253 \
         --only q50,q107,q153,q194,q196,q239,q273 \
-        --out differential_freshdraw_r10.json
+        --out differential_freshdraw_r11.json
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import shutil
 
@@ -40,20 +49,9 @@ import pyarrow.parquet as pq
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(_REPO, "benchdata", "freshdraw_sf1")
 
-SEED = 4242
-F = 10  # scale factor over sf0.1 entity counts
+SEED_BASE = 4242  # round-10's original corpus was exactly seed 4242
 
-N_CUST = 15_000 * F
-N_SUPP = 1_000 * F
-N_PART = 20_000 * F
-N_ORDERS = 150_000 * F
-N_LINE = 600_000 * F
-N_EVENTS = 100_000 * F
-N_USERS = 1_500 * F
-N_DOCS = 5_000 * F
-N_VECS = 2_000 * F
 DIM = 64
 
 _WORDS = (
@@ -73,45 +71,66 @@ _P_ADJ = "large hot blue old cold small new dark".split()
 _P_NOUN = "ring bolt plate wheel cog pin rod cap".split()
 
 
+def out_dir(seed: int, factor: int) -> str:
+    """Per-seed corpus directory: freshdraw_sf{factor/10}_s{seed}."""
+    tag = {10: "sf1", 30: "sf3"}.get(factor, f"x{factor}")
+    return os.path.join(_REPO, "benchdata", f"freshdraw_{tag}_s{seed}")
+
+
 def _ts_us(base: str, span_days: float, offs: np.ndarray) -> pa.Array:
     base_us = np.datetime64(base, "us").astype("int64")
     us = base_us + (offs * span_days * 86_400e6).astype("int64")
     return pa.array(us, type=pa.timestamp("us"))
 
 
-def _write(name: str, table: pa.Table) -> None:
-    path = os.path.join(OUT, f"{name}.parquet")
-    pq.write_table(table, path)
-    print(f"  {name}: {table.num_rows} rows -> {path}")
+def materialize(seed: int = SEED_BASE, factor: int = 10, out: str | None = None) -> str:
+    out = out or out_dir(seed, factor)
+    rng = np.random.default_rng(seed)
+    os.makedirs(out, exist_ok=True)
 
+    f = factor
+    n_cust = 15_000 * f
+    n_supp = 1_000 * f
+    n_part = 20_000 * f
+    n_orders = 150_000 * f
+    n_line = 600_000 * f
+    n_events = 100_000 * f
+    n_users = 1_500 * f
+    n_docs = 5_000 * f
+    n_vecs = 2_000 * f
 
-def materialize() -> str:
-    rng = np.random.default_rng(SEED)
-    os.makedirs(OUT, exist_ok=True)
+    rows: dict[str, int] = {}
+
+    def _write(name: str, table: pa.Table) -> None:
+        path = os.path.join(out, f"{name}.parquet")
+        pq.write_table(table, path)
+        rows[name] = table.num_rows
+        print(f"  {name}: {table.num_rows} rows -> {path}", flush=True)
 
     # dimensions: copy verbatim (FK domains must match exactly)
     for t in ("nation", "region"):
         shutil.copyfile(
-            os.path.join(SRC, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet")
+            os.path.join(SRC, f"{t}.parquet"), os.path.join(out, f"{t}.parquet")
         )
-        print(f"  {t}: copied")
+        rows[t] = pq.read_metadata(os.path.join(out, f"{t}.parquet")).num_rows
+        print(f"  {t}: copied", flush=True)
 
     _write(
         "customer",
         pa.table(
             {
-                "c_custkey": pa.array(np.arange(N_CUST), type=pa.int64()),
-                "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)]),
+                "c_custkey": pa.array(np.arange(n_cust), type=pa.int64()),
+                "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
                 "c_nationkey": pa.array(
-                    rng.integers(0, 25, N_CUST), type=pa.int32()
+                    rng.integers(0, 25, n_cust), type=pa.int32()
                 ),
                 "c_acctbal": pa.array(
-                    np.round(rng.uniform(-999.99, 9999.99, N_CUST), 2)
+                    np.round(rng.uniform(-999.99, 9999.99, n_cust), 2)
                 ),
                 "c_mktsegment": pa.array(
                     np.array(
                         ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
-                    )[rng.integers(0, 5, N_CUST)]
+                    )[rng.integers(0, 5, n_cust)]
                 ),
             }
         ),
@@ -121,11 +140,11 @@ def materialize() -> str:
         "supplier",
         pa.table(
             {
-                "s_suppkey": pa.array(np.arange(N_SUPP), type=pa.int64()),
-                "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)]),
-                "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP), type=pa.int32()),
+                "s_suppkey": pa.array(np.arange(n_supp), type=pa.int64()),
+                "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+                "s_nationkey": pa.array(rng.integers(0, 25, n_supp), type=pa.int32()),
                 "s_acctbal": pa.array(
-                    np.round(rng.uniform(-999.99, 9999.99, N_SUPP), 2)
+                    np.round(rng.uniform(-999.99, 9999.99, n_supp), 2)
                 ),
             }
         ),
@@ -135,26 +154,26 @@ def materialize() -> str:
         "part",
         pa.table(
             {
-                "p_partkey": pa.array(np.arange(N_PART), type=pa.int64()),
+                "p_partkey": pa.array(np.arange(n_part), type=pa.int64()),
                 "p_name": pa.array(
                     [
                         f"{_P_ADJ[a]} {_P_NOUN[b]}"
                         for a, b in zip(
-                            rng.integers(0, 8, N_PART), rng.integers(0, 8, N_PART)
+                            rng.integers(0, 8, n_part), rng.integers(0, 8, n_part)
                         )
                     ]
                 ),
                 "p_brand": pa.array(
-                    [f"Brand#{i}" for i in rng.integers(10, 55, N_PART)]
+                    [f"Brand#{i}" for i in rng.integers(10, 55, n_part)]
                 ),
                 "p_type": pa.array(
                     np.array(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"])[
-                        rng.integers(0, 6, N_PART)
+                        rng.integers(0, 6, n_part)
                     ]
                 ),
-                "p_size": pa.array(rng.integers(1, 51, N_PART), type=pa.int32()),
+                "p_size": pa.array(rng.integers(1, 51, n_part), type=pa.int32()),
                 "p_retailprice": pa.array(
-                    np.round(rng.uniform(900.0, 2000.0, N_PART), 2)
+                    np.round(rng.uniform(900.0, 2000.0, n_part), 2)
                 ),
             }
         ),
@@ -168,23 +187,23 @@ def materialize() -> str:
         "orders",
         pa.table(
             {
-                "o_orderkey": pa.array(np.arange(N_ORDERS), type=pa.int64()),
+                "o_orderkey": pa.array(np.arange(n_orders), type=pa.int64()),
                 "o_custkey": pa.array(
-                    rng.integers(0, N_CUST, N_ORDERS), type=pa.int64()
+                    rng.integers(0, n_cust, n_orders), type=pa.int64()
                 ),
                 "o_orderstatus": pa.array(
-                    np.array(["O", "P", "F"])[rng.integers(0, 3, N_ORDERS)]
+                    np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]
                 ),
                 "o_totalprice": pa.array(
-                    np.round(rng.uniform(1000.0, 500000.0, N_ORDERS), 2)
+                    np.round(rng.uniform(1000.0, 500000.0, n_orders), 2)
                 ),
                 "o_orderdate": _ts_us(
-                    "1995-01-01", 2400, np.floor(rng.uniform(0, 1, N_ORDERS) * 2400) / 2400
+                    "1995-01-01", 2400, np.floor(rng.uniform(0, 1, n_orders) * 2400) / 2400
                 ),
                 "o_orderpriority": pa.array(
                     np.array(
                         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-                    )[rng.integers(0, 5, N_ORDERS)]
+                    )[rng.integers(0, 5, n_orders)]
                 ),
             }
         ),
@@ -197,29 +216,29 @@ def materialize() -> str:
         pa.table(
             {
                 "l_orderkey": pa.array(
-                    rng.integers(0, N_ORDERS, N_LINE), type=pa.int64()
+                    rng.integers(0, n_orders, n_line), type=pa.int64()
                 ),
-                "l_partkey": pa.array(rng.integers(0, N_PART, N_LINE), type=pa.int64()),
-                "l_suppkey": pa.array(rng.integers(0, N_SUPP, N_LINE), type=pa.int64()),
-                "l_linenumber": pa.array(rng.integers(1, 8, N_LINE), type=pa.int32()),
+                "l_partkey": pa.array(rng.integers(0, n_part, n_line), type=pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, n_supp, n_line), type=pa.int64()),
+                "l_linenumber": pa.array(rng.integers(1, 8, n_line), type=pa.int32()),
                 "l_quantity": pa.array(
-                    rng.integers(1, 51, N_LINE).astype("float64")
+                    rng.integers(1, 51, n_line).astype("float64")
                 ),
                 "l_extendedprice": pa.array(
-                    np.round(rng.uniform(900.0, 105000.0, N_LINE), 2)
+                    np.round(rng.uniform(900.0, 105000.0, n_line), 2)
                 ),
                 "l_discount": pa.array(
-                    np.round(rng.integers(0, 11, N_LINE) / 100.0, 2)
+                    np.round(rng.integers(0, 11, n_line) / 100.0, 2)
                 ),
-                "l_tax": pa.array(np.round(rng.integers(0, 9, N_LINE) / 100.0, 2)),
+                "l_tax": pa.array(np.round(rng.integers(0, 9, n_line) / 100.0, 2)),
                 "l_returnflag": pa.array(
-                    np.array(["A", "N", "R"])[rng.integers(0, 3, N_LINE)]
+                    np.array(["A", "N", "R"])[rng.integers(0, 3, n_line)]
                 ),
                 "l_linestatus": pa.array(
-                    np.array(["O", "F"])[rng.integers(0, 2, N_LINE)]
+                    np.array(["O", "F"])[rng.integers(0, 2, n_line)]
                 ),
                 "l_shipdate": _ts_us(
-                    "1995-01-02", 2500, np.floor(rng.uniform(0, 1, N_LINE) * 2500) / 2500
+                    "1995-01-02", 2500, np.floor(rng.uniform(0, 1, n_line) * 2500) / 2500
                 ),
             }
         ),
@@ -229,19 +248,19 @@ def materialize() -> str:
         "events",
         pa.table(
             {
-                "event_id": pa.array(np.arange(N_EVENTS), type=pa.int64()),
-                "ts": _ts_us("2024-01-01", 30, rng.uniform(0, 1, N_EVENTS)),
+                "event_id": pa.array(np.arange(n_events), type=pa.int64()),
+                "ts": _ts_us("2024-01-01", 30, rng.uniform(0, 1, n_events)),
                 "user_id": pa.array(
-                    rng.integers(0, N_USERS, N_EVENTS), type=pa.int64()
+                    rng.integers(0, n_users, n_events), type=pa.int64()
                 ),
                 "event_type": pa.array(
                     np.array(["view", "click", "purchase", "signup", "error"])[
-                        rng.integers(0, 5, N_EVENTS)
+                        rng.integers(0, 5, n_events)
                     ]
                 ),
-                "value": pa.array(np.round(rng.uniform(0, 560.0, N_EVENTS), 2)),
+                "value": pa.array(np.round(rng.uniform(0, 560.0, n_events), 2)),
                 "props": pa.array(
-                    [f'{{"k": {k}}}' for k in rng.integers(0, 100, N_EVENTS)]
+                    [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)]
                 ),
             }
         ),
@@ -251,7 +270,7 @@ def materialize() -> str:
     # organic frequency tail (fresh draws per doc, not repeated texts)
     probs = 1.0 / np.arange(1, len(_WORDS) + 1) ** 1.1
     probs /= probs.sum()
-    lengths = rng.integers(10, 60, N_DOCS)
+    lengths = rng.integers(10, 60, n_docs)
     texts = [
         " ".join(rng.choice(_WORDS, n, p=probs)) for n in lengths
     ]
@@ -259,15 +278,15 @@ def materialize() -> str:
         "documents",
         pa.table(
             {
-                "doc_id": pa.array(np.arange(N_DOCS), type=pa.int64()),
+                "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
                 "text": pa.array(texts),
                 "lang": pa.array(
                     np.array(["en", "de", "fr", "es"])[
-                        rng.choice(4, N_DOCS, p=[0.85, 0.05, 0.05, 0.05])
+                        rng.choice(4, n_docs, p=[0.85, 0.05, 0.05, 0.05])
                     ]
                 ),
                 "source": pa.array(
-                    [f"src{s}" for s in rng.integers(0, 20, N_DOCS)]
+                    [f"src{s}" for s in rng.integers(0, 20, n_docs)]
                 ),
                 "n_chars": pa.array(
                     np.array([len(t) for t in texts]), type=pa.int64()
@@ -276,21 +295,47 @@ def materialize() -> str:
         ),
     )
 
-    vecs = rng.normal(0, 0.3, (N_VECS, DIM)).astype("float32")
+    vecs = rng.normal(0, 0.3, (n_vecs, DIM)).astype("float32")
     _write(
         "embeddings",
         pa.table(
             {
-                "vec_id": pa.array(np.arange(N_VECS), type=pa.int64()),
+                "vec_id": pa.array(np.arange(n_vecs), type=pa.int64()),
                 "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
-                "label": pa.array(rng.integers(0, 8, N_VECS), type=pa.int32()),
+                "label": pa.array(rng.integers(0, 8, n_vecs), type=pa.int32()),
             }
         ),
     )
-    return OUT
+
+    # MANIFEST records the draw parameters so the differential artifact
+    # (which copies it through as `sf_manifest`) proves WHICH corpus the
+    # run saw — the rotation is worthless if the artifact can't show it
+    with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
+        json.dump({"seed": seed, "factor": factor, "rows": rows}, fh, indent=1)
+    return out
 
 
 if __name__ == "__main__":
-    print(f"materializing fresh-draw sf1 corpus at {OUT} (seed {SEED})")
-    materialize()
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--round", type=int, default=None,
+        help="round number: seed = 4242 + round (rotating, r10 verdict #3)",
+    )
+    ap.add_argument(
+        "--seed", type=int, default=None,
+        help="explicit seed (overrides --round)",
+    )
+    ap.add_argument(
+        "--factor", type=int, default=10, choices=(10, 30),
+        help="entity-count multiple over sf0.1 (30 = second decade)",
+    )
+    args = ap.parse_args()
+    seed = (
+        args.seed
+        if args.seed is not None
+        else SEED_BASE + args.round if args.round is not None else SEED_BASE
+    )
+    dest = out_dir(seed, args.factor)
+    print(f"materializing fresh-draw corpus at {dest} (seed {seed}, x{args.factor})")
+    materialize(seed, args.factor)
     print("done")
