@@ -350,6 +350,7 @@ def test_git_stamp_ignores_untracked_measurement_outputs():
 
     ignored = [
         "?? plan_lint_r10.json",
+        "?? rounding_audit_r11.json",
         "?? determinism_r10.json",
         "?? determinism_sf3_r9.json",
         "?? differential_sf3.json",

@@ -24,6 +24,7 @@ _MEASUREMENT_OUTPUTS = re.compile(
     r"plan_lint_r\d+\.json|"
     r"determinism(_sf\d+)?_r\d+\.json|"
     r"differential_[a-z0-9_]+\.json|"
+    r"rounding_audit_r\d+\.json|"
     r"bench_sweep_[a-z0-9_]+\.json|"
     r"bench_queries\.json"
     r")$"
