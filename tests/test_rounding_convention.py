@@ -155,3 +155,48 @@ def test_audit_artifact_shows_zero_paired_double_rounds():
     assert d["risky_paired_double_rounds"] == [], [
         (h["query"], h["expr"]) for h in d["risky_paired_double_rounds"]
     ][:10]
+
+
+def test_tie_injected_aggregate_matches_end_to_end(spark, tmp_path):
+    """End-to-end pairing proof on a REAL tie: avg(1.00, 1.01) = 1.005
+    — the exact value class where engine rounds split (Spark 1.01,
+    DuckDB 1.00).  Both sides computing bfround(avg(x), 2) over the
+    same parquet must agree bit-for-bit."""
+    from lawfirm_data_pipeline_spark.functions.rounding import (
+        bfround,
+        bfround_sql,
+    )
+
+    pq_path = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(1, 1.00), (1, 1.01), (2, 0.10), (2, 0.11), (2, 0.105)],
+        "g int, x double",
+    ).coalesce(1).write.parquet(pq_path)
+
+    got = {
+        r["g"]: r["m"]
+        for r in spark.read.parquet(pq_path)
+        .groupBy("g")
+        .agg(bfround(F.avg("x"), 2).alias("m"))
+        .collect()
+    }
+
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT g, {bfround_sql('avg(x)', 2)} AS m "
+            f"FROM read_parquet('{pq_path}/*.parquet') GROUP BY g"
+        ).fetchall()
+    )
+    assert got == want, (got, want)
+    # and the engine-round pairing would NOT have agreed here:
+    eng_s = (
+        spark.read.parquet(pq_path)
+        .filter("g = 1")
+        .agg(F.round(F.avg("x"), 2).alias("m"))
+        .collect()[0]["m"]
+    )
+    eng_d = con.execute(
+        f"SELECT round(avg(x), 2) FROM read_parquet('{pq_path}/*.parquet') WHERE g = 1"
+    ).fetchone()[0]
+    assert eng_s != eng_d, "engines now agree on the avg-tie — revisit"
