@@ -107,8 +107,16 @@ def pca_explained_variance(
         cov[r.i, r.j] = cov[r.j, r.i] = r.cov
     eig = np.linalg.eigvalsh(cov)[::-1]
     # trace via exact fixed point (entries carry 6 decimals): a float
-    # sum's order differs between numpy and the SQL twin's aggregate
-    trace = round(sum(int(round(cov[i, i] * 1e6)) for i in range(dim)) / 1e6, 4)
+    # sum's order differs between numpy and the SQL twin's aggregate.
+    # Outer rounding is binary-floor — the SAME IEEE ops as the SQL
+    # twin's bfround_sql(..., 4); python round() half-EVENs on the repr
+    # and splits from binfloor on half the repr-tie class (r11 rounding
+    # audit).  Inner micro-snap margin: entries are already 6dp-exact,
+    # so round() there sits >= ~0.5-1e-9 from any tie.
+    import math
+
+    _sum6 = sum(int(round(cov[i, i] * 1e6)) for i in range(dim)) / 1e6
+    trace = math.floor(_sum6 * 1e4 + 0.5) / 1e4
     ratios = eig / eig.sum()
     spark = embeddings.sparkSession
     return spark.createDataFrame(
