@@ -7,6 +7,8 @@ like plan-lint and the determinism census, not one-shot evidence).
 Runs, in order (each subprocess so sessions don't share state):
 
   1. plan-lint census          -> plan_lint_r{N}.json
+  1b. rounding audit           -> rounding_audit_r{N}.json
+      (plan-walk: zero engine Round-on-double in paired positions)
   2. determinism (sf0.1)       -> determinism_r{N}.json
   3. sf1 VALUE differential    -> differential_sf1.json
   4. sf3 VALUE differential    -> differential_sf3.json
@@ -107,7 +109,7 @@ def main() -> None:
     ap.add_argument(
         "--skip",
         default="",
-        help="comma list from {lint,det,sf1,sf3,freshdraw}",
+        help="comma list from {lint,raudit,det,sf1,sf3,freshdraw}",
     )
     ap.add_argument(
         "--commit",
@@ -139,6 +141,7 @@ def main() -> None:
         "differential_sf1.json",
         "differential_sf3.json",
         f"differential_freshdraw_r{args.round}.json",
+        f"rounding_audit_r{args.round}.json",
     }
     foreign = [
         ln for ln in dirty.splitlines() if ln.split(None, 1)[-1] not in own
@@ -187,6 +190,11 @@ def main() -> None:
         big_env.setdefault("DIFF_SF1_SPARK_TIMEOUT", "600")
         steps = {
             "lint": ([py, "tools/plan_lint.py"], f"plan_lint_r{args.round}.json", None),
+            "raudit": (
+                [py, "tools/rounding_audit.py",
+                 "--out", f"rounding_audit_r{args.round}.json"],
+                None, None,
+            ),
             "det": (
                 [py, "tools/determinism_check.py", "/root/testdata/sf0.1"],
                 f"determinism_r{args.round}.json", None,
@@ -274,6 +282,14 @@ def main() -> None:
             f"plan_lint_r{args.round}.json",
         )
         _commit(f"plan_lint_r{args.round}.json")
+    if "raudit" not in skip:
+        ok &= _run(
+            "rounding-audit",
+            [py, "tools/rounding_audit.py",
+             "--out", f"rounding_audit_r{args.round}.json"],
+            None,
+        )
+        _commit(f"rounding_audit_r{args.round}.json")
     if "det" not in skip:
         ok &= _run(
             "determinism sf0.1",
@@ -326,6 +342,7 @@ def _summarize(args, ok: bool) -> None:
     summary = {}
     for label, path in [
         ("plan_lint", f"plan_lint_r{args.round}.json"),
+        ("rounding_audit", f"rounding_audit_r{args.round}.json"),
         ("determinism", f"determinism_r{args.round}.json"),
         ("sf1", "differential_sf1.json"),
         ("sf3", "differential_sf3.json"),
