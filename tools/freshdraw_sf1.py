@@ -71,10 +71,11 @@ _P_ADJ = "large hot blue old cold small new dark".split()
 _P_NOUN = "ring bolt plate wheel cog pin rod cap".split()
 
 
-def out_dir(seed: int, factor: int) -> str:
+def out_dir(seed: int, factor: int, skew: float = 0.0) -> str:
     """Per-seed corpus directory: freshdraw_sf{factor/10}_s{seed}."""
     tag = {10: "sf1", 30: "sf3"}.get(factor, f"x{factor}")
-    return os.path.join(_REPO, "benchdata", f"freshdraw_{tag}_s{seed}")
+    sk = f"_zipf{skew:g}" if skew else ""
+    return os.path.join(_REPO, "benchdata", f"freshdraw_{tag}_s{seed}{sk}")
 
 
 def _ts_us(base: str, span_days: float, offs: np.ndarray) -> pa.Array:
@@ -83,8 +84,32 @@ def _ts_us(base: str, span_days: float, offs: np.ndarray) -> pa.Array:
     return pa.array(us, type=pa.timestamp("us"))
 
 
-def materialize(seed: int = SEED_BASE, factor: int = 10, out: str | None = None) -> str:
-    out = out or out_dir(seed, factor)
+def _keydraw(rng, n_keys: int, n_draws: int, skew: float) -> np.ndarray:
+    """FK draws: uniform (skew=0) or zipf-ish power-law multiplicities.
+
+    The uniform corpus verifies values under organic UNIQUENESS; the
+    skew corpus (r11) verifies the same values — and the join/agg plans
+    — under organic HOT KEYS: rank r's draw probability ~ (r+1)^-skew
+    via inverse-CDF over the exact normalized tail, so the top key of a
+    1.5M-row orders draw at skew 1.2 holds tens of thousands of rows
+    (the AQE-skew-join / salting regime the 100 TB posture claims)."""
+    if not skew:
+        return rng.integers(0, n_keys, n_draws)
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    probs = ranks ** -skew
+    probs /= probs.sum()
+    cdf = np.cumsum(probs)
+    idx = np.searchsorted(cdf, rng.uniform(0, 1, n_draws), side="left")
+    # hot ranks land on SCATTERED key ids (deterministic permutation), so
+    # hotness is not correlated with key locality/partition ranges
+    perm = rng.permutation(n_keys)
+    return perm[np.clip(idx, 0, n_keys - 1)]
+
+
+def materialize(
+    seed: int = SEED_BASE, factor: int = 10, out: str | None = None, skew: float = 0.0
+) -> str:
+    out = out or out_dir(seed, factor, skew)
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -189,7 +214,7 @@ def materialize(seed: int = SEED_BASE, factor: int = 10, out: str | None = None)
             {
                 "o_orderkey": pa.array(np.arange(n_orders), type=pa.int64()),
                 "o_custkey": pa.array(
-                    rng.integers(0, n_cust, n_orders), type=pa.int64()
+                    _keydraw(rng, n_cust, n_orders, skew), type=pa.int64()
                 ),
                 "o_orderstatus": pa.array(
                     np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]
@@ -216,10 +241,14 @@ def materialize(seed: int = SEED_BASE, factor: int = 10, out: str | None = None)
         pa.table(
             {
                 "l_orderkey": pa.array(
-                    rng.integers(0, n_orders, n_line), type=pa.int64()
+                    _keydraw(rng, n_orders, n_line, skew), type=pa.int64()
                 ),
-                "l_partkey": pa.array(rng.integers(0, n_part, n_line), type=pa.int64()),
-                "l_suppkey": pa.array(rng.integers(0, n_supp, n_line), type=pa.int64()),
+                "l_partkey": pa.array(
+                    _keydraw(rng, n_part, n_line, skew), type=pa.int64()
+                ),
+                "l_suppkey": pa.array(
+                    _keydraw(rng, n_supp, n_line, skew), type=pa.int64()
+                ),
                 "l_linenumber": pa.array(rng.integers(1, 8, n_line), type=pa.int32()),
                 "l_quantity": pa.array(
                     rng.integers(1, 51, n_line).astype("float64")
@@ -251,7 +280,7 @@ def materialize(seed: int = SEED_BASE, factor: int = 10, out: str | None = None)
                 "event_id": pa.array(np.arange(n_events), type=pa.int64()),
                 "ts": _ts_us("2024-01-01", 30, rng.uniform(0, 1, n_events)),
                 "user_id": pa.array(
-                    rng.integers(0, n_users, n_events), type=pa.int64()
+                    _keydraw(rng, n_users, n_events, skew), type=pa.int64()
                 ),
                 "event_type": pa.array(
                     np.array(["view", "click", "purchase", "signup", "error"])[
@@ -311,7 +340,9 @@ def materialize(seed: int = SEED_BASE, factor: int = 10, out: str | None = None)
     # (which copies it through as `sf_manifest`) proves WHICH corpus the
     # run saw — the rotation is worthless if the artifact can't show it
     with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
-        json.dump({"seed": seed, "factor": factor, "rows": rows}, fh, indent=1)
+        json.dump(
+            {"seed": seed, "factor": factor, "skew": skew, "rows": rows}, fh, indent=1
+        )
     return out
 
 
@@ -329,13 +360,21 @@ if __name__ == "__main__":
         "--factor", type=int, default=10, choices=(10, 30),
         help="entity-count multiple over sf0.1 (30 = second decade)",
     )
+    ap.add_argument(
+        "--skew", type=float, default=0.0,
+        help="zipf exponent for FK multiplicities (0 = uniform; 1.2 = "
+        "hot-key regime for the skew-join/salting posture)",
+    )
     args = ap.parse_args()
     seed = (
         args.seed
         if args.seed is not None
         else SEED_BASE + args.round if args.round is not None else SEED_BASE
     )
-    dest = out_dir(seed, args.factor)
-    print(f"materializing fresh-draw corpus at {dest} (seed {seed}, x{args.factor})")
-    materialize(seed, args.factor)
+    dest = out_dir(seed, args.factor, args.skew)
+    print(
+        f"materializing fresh-draw corpus at {dest} "
+        f"(seed {seed}, x{args.factor}, skew {args.skew:g})"
+    )
+    materialize(seed, args.factor, skew=args.skew)
     print("done")
