@@ -68,6 +68,9 @@ def copurchase_edges(lineitem: DataFrame, min_weight: int = 1) -> DataFrame:
     """
     from .itemsets import basket_pairs
 
+    # mega-basket cap applies inside basket_pairs (itemsets.MAX_BASKET;
+    # r11 skew finding) — the whole-graph family's SQL twins carry the
+    # matching QUALIFY on their items CTE
     items = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()

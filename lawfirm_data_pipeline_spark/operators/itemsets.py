@@ -23,9 +23,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
+# Baskets with more distinct items than this are EXCLUDED from pair
+# mining — on every side of every oracle pair (the SQL twins carry the
+# matching QUALIFY).  C(basket, 2) output is inherently infeasible for
+# degenerate baskets no matter how it is partitioned (a 200k-item hot
+# basket is 2e10 pairs — the r11 zipf-skew corpus killed the JVM on
+# exactly this), and a 4096-item "basket" is not a transaction, it's a
+# catalog.  C(4096, 2) ≈ 8.4M pairs ≈ tens of MB per task: inside any
+# 100 TB executor budget.  All driver/sf/fresh corpora have baskets
+# ≤ ~60 items, so the cap is value-invisible everywhere except the
+# adversarial skew corpus it exists for.
+MAX_BASKET = 4096
+
 
 def basket_pairs(
-    items: DataFrame, basket_col: str = "ok", item_col: str = "pk"
+    items: DataFrame,
+    basket_col: str = "ok",
+    item_col: str = "pk",
+    max_basket: int = MAX_BASKET,
 ) -> DataFrame:
     """Canonical co-occurrence pairs ``(x < y, w = n shared baskets)``
     via per-basket sorted-array expansion: ONE shuffle (groupBy basket,
@@ -42,17 +57,23 @@ def basket_pairs(
     materialized inside a single row before the explode, so a
     mega-basket's C(basket, 2) blowup lands in ONE task's memory where
     the self-join spread it across partitions — e.g. a 100k-item
-    basket is ~5e9 structs in one task, an OOM.  The form assumes
-    baskets bounded at ~10^3–10^4 items (orders: tens of lines; here
-    C(1e4, 2) = 5e7 structs ≈ low-GiB, inside a 100 TB executor's task
-    budget).  Above that, pre-split oversized baskets into salted
-    sub-baskets (pairs within a sub-basket stay exact; cross-salt
-    pairs need a second mirrored pass) or fall back to the self-join
-    for the heavy tail only.
+    basket is ~5e9 structs in one task, an OOM.
+
+    ``max_basket`` (r11, proven by the zipf-skew corpus where a hot
+    orderkey carried 19% of lineitem and its C(~195k, 2) pair build
+    killed the JVM at any layout): baskets above the cap are EXCLUDED
+    from pair mining entirely — the OUTPUT is the infeasibility, not
+    the plan, so capping loudly beats any salting scheme that would
+    still emit 2e10 rows.  Every SQL oracle that mirrors this build
+    carries the matching ``QUALIFY count(*) OVER (PARTITION BY basket)
+    <= cap``; all non-adversarial corpora sit far below the cap, so
+    values are unchanged there.
     """
     adj = items.groupBy(F.col(basket_col)).agg(
         F.sort_array(F.collect_set(F.col(item_col))).alias("ps")
     )
+    if max_basket is not None:
+        adj = adj.filter(F.size("ps") <= max_basket)
     return (
         adj.select(
             F.explode(
@@ -73,18 +94,30 @@ def association_rules(
     basket_col: str = "ok",
     item_col: str = "pk",
     min_support: int = 3,
+    max_basket: int = MAX_BASKET,
 ) -> DataFrame:
     """Directed rules (ante -> cons) for item pairs co-occurring in at
     least ``min_support`` baskets.  ``baskets`` is (basket, item),
-    deduplicated by the caller or here (distinct is idempotent)."""
+    deduplicated by the caller or here (distinct is idempotent).
+
+    Mega-baskets (> ``max_basket`` distinct items — see
+    :data:`MAX_BASKET`) are excluded from the WHOLE mining universe —
+    supports, basket count, and pairs — so confidence/lift stay
+    internally consistent; the SQL twin applies the identical QUALIFY
+    before any aggregate."""
     # materialized once: the distinct basket-item table feeds THREE
     # consumers (basket count, item supports, both sides of the pair
     # join) — Spark plans are trees, so without the checkpoint the
     # distinct shuffle runs once per consumer (the round-3 self-join
     # materialization lesson, BASELINE.md)
+    from pyspark.sql import Window
+
     items = (
         baskets.select(F.col(basket_col).alias("ok"), F.col(item_col).alias("pk"))
         .distinct()
+        .withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .filter(F.col("_bn") <= max_basket)
+        .drop("_bn")
         .localCheckpoint(eager=True)
     )
     n_baskets = items.agg(F.count_distinct("ok").cast("long").alias("nb"))

@@ -32,7 +32,9 @@ from ..queries import query
 # 187 s at sf1); q128's iterative unroll needs the OPPOSITE and
 # carries its own MATERIALIZED copy below.
 _EDGES_SQL = """
-    items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    items AS (SELECT ok, pk
+              FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+              QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
     edges AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS weight
               FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
               GROUP BY 1, 2),
@@ -48,7 +50,9 @@ _EDGES_SQL = """
 # byte-identical — the hint is planner-only).
 _EDGES_SQL_MAT = """
     items AS MATERIALIZED (
-        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        SELECT ok, pk
+        FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
     edges AS MATERIALIZED (
         SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS weight
         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk

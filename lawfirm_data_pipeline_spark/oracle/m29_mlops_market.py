@@ -74,7 +74,9 @@ def q141_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q142_association_rules",
     """
     WITH items AS MATERIALIZED (
-            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            SELECT ok, pk
+            FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+            QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
          nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM items),
          sup AS MATERIALIZED (
             SELECT pk, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),

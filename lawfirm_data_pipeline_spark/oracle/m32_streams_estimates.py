@@ -256,7 +256,9 @@ def q155_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q156_bfs_3hop",
     """
     WITH items AS MATERIALIZED (
-             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             SELECT ok, pk
+             FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+             QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
          edges AS MATERIALIZED (
              SELECT a.pk AS src, b.pk AS dst
              FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..operators.itemsets import basket_pairs
+from ..operators.itemsets import MAX_BASKET, basket_pairs
 from ..queries import query
 from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
@@ -28,7 +28,9 @@ from lawfirm_data_pipeline_spark.functions.rounding import bfround
 @query(
     "q164_rec_precision",
     """
-    WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    WITH items AS (SELECT ok, pk
+                   FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+                   QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
          train AS (SELECT * FROM items WHERE ok % 10 != 0),
          test AS (SELECT * FROM items WHERE ok % 10 = 0),
          pairs AS (SELECT a.pk AS x, b.pk AS y, CAST(count(*) AS BIGINT) AS w
@@ -63,10 +65,16 @@ def q164_rec_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts exact integers; precision is one division.  Pair counts come
     from the one-shuffle basket_pairs expansion (canonical x < y, both
     orientations from one evaluation) instead of basket self-joins."""
+    # mega-basket cap (itemsets.MAX_BASKET, r11 skew finding) applied at
+    # the shared items table: the ok%10 split is BY BASKET, so one cap
+    # here equals basket_pairs' internal cap on both train and test
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy("ok")))
+        .filter(F.col("_bn") <= MAX_BASKET)
+        .drop("_bn")
         .localCheckpoint(eager=True)
     )
     train = items.filter(F.col("ok") % 10 != 0)
