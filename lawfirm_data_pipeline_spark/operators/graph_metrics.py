@@ -55,7 +55,25 @@ def _maybe_broadcast(df: DataFrame, n_rows: int, cap: int | None) -> DataFrame:
     return F.broadcast(df) if n_rows <= cap else df
 
 
-def copurchase_edges(lineitem: DataFrame, min_weight: int = 1) -> DataFrame:
+# The GRAPH family's basket bound is TIGHTER than pair mining's
+# (itemsets.MAX_BASKET = 4096): a basket becomes a CLIQUE in the
+# co-purchase graph, and downstream graph algorithms are superlinear in
+# clique size — triangle wedges ~ C(b, 3), BFS frontiers ~ b² — where
+# rule mining only pays C(b, 2) in a streaming aggregate.  On the r11
+# zipf-skew corpus the 4096 cap still left ~1e9 clique edges (the ~900
+# mid-rank hot baskets), and the edge CHECKPOINT of q156's shared
+# artifacts OOM-killed the JVM; at 256 the skew edge set is ~1e7 —
+# checkpointable and wedge-feasible at any layout.  A 256-item basket
+# is already not a co-purchase signal (it's a catalog crawl); all
+# driver/sf/fresh corpora sit at ≤ ~60 items, so values are unchanged
+# everywhere except the adversarial corpus.  SQL twins carry the
+# matching QUALIFY (m25 edge builds, m32 q156).
+GRAPH_MAX_BASKET = 256
+
+
+def copurchase_edges(
+    lineitem: DataFrame, min_weight: int = 1, max_basket: int = GRAPH_MAX_BASKET
+) -> DataFrame:
     """Undirected co-purchase edge list: (src < dst, weight = number of
     orders containing both parts).
 
@@ -64,17 +82,16 @@ def copurchase_edges(lineitem: DataFrame, min_weight: int = 1) -> DataFrame:
     C(distinct_parts, 2) pairs — bounded per key by order size — from
     ONE shuffle on the order key, and the pair groupBy that follows is
     map-side combinable.  ``min_weight`` prunes noise edges (scale
-    knob: weight >= 2 drops ~95% of edges on uniform baskets).
+    knob: weight >= 2 drops ~95% of edges on uniform baskets);
+    ``max_basket`` excludes clique-degenerate baskets (see
+    :data:`GRAPH_MAX_BASKET`).
     """
     from .itemsets import basket_pairs
 
-    # mega-basket cap applies inside basket_pairs (itemsets.MAX_BASKET;
-    # r11 skew finding) — the whole-graph family's SQL twins carry the
-    # matching QUALIFY on their items CTE
     items = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
-    edges = basket_pairs(items).select(
+    edges = basket_pairs(items, max_basket=max_basket).select(
         F.col("x").alias("src"), F.col("y").alias("dst"), F.col("w").alias("weight")
     )
     if min_weight > 1:

@@ -34,7 +34,7 @@ from ..queries import query
 _EDGES_SQL = """
     items AS (SELECT ok, pk
               FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
-              QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
+              QUALIFY count(*) OVER (PARTITION BY ok) <= 256),
     edges AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS weight
               FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
               GROUP BY 1, 2),
@@ -52,7 +52,7 @@ _EDGES_SQL_MAT = """
     items AS MATERIALIZED (
         SELECT ok, pk
         FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
-        QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
+        QUALIFY count(*) OVER (PARTITION BY ok) <= 256),
     edges AS MATERIALIZED (
         SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS weight
         FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk

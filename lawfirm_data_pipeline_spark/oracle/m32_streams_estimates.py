@@ -258,7 +258,7 @@ def q155_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH items AS MATERIALIZED (
              SELECT ok, pk
              FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
-             QUALIFY count(*) OVER (PARTITION BY ok) <= 4096),
+             QUALIFY count(*) OVER (PARTITION BY ok) <= 256),
          edges AS MATERIALIZED (
              SELECT a.pk AS src, b.pk AS dst
              FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
