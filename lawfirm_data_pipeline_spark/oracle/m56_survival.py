@@ -118,7 +118,8 @@ def q217_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (SELECT user_id, ts, event_id, event_type,
                       CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
-               FROM events),
+               FROM events
+               QUALIFY count(*) OVER (PARTITION BY user_id) <= 5000),
          conv AS (SELECT user_id, ts, event_id, cents FROM e
                   WHERE event_type = 'purchase'),
          touch AS (SELECT user_id, ts, event_id, event_type FROM e
@@ -158,12 +159,24 @@ def q218_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division — order-independent sums, no float drift.  The
     candidate join is the bounded range join shape (7-day window per
     conversion); rank/count windows run per conversion group."""
+    # bot filter (r11 zipf-skew finding): a hot user with 190k events
+    # makes conversions x trailing-touches OUTPUT-quadratic (~1e9 pair
+    # rows for one join key — no partitioning fixes an output), and no
+    # real attribution path has 5000 touchpoints.  The SQL twin carries
+    # the identical QUALIFY; standard corpora max ~150 events/user.
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         "event_type",
         bfround(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    e = (
+        e.withColumn(
+            "_un", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("_un") <= 5000)
+        .drop("_un")
     )
     conv = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
