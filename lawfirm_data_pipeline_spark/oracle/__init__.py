@@ -163,51 +163,17 @@ from . import m17_retrieval_quality  # noqa: F401
 # to resolve to their canonical modules rather than the placeholder
 # delegates.
 #
-# ROUND-11 WINDOW (r10 verdict task #1): the 50 stalest queries by
-# (last green driver round, registry number), where a query with NO
-# green driver row at all ranks stalest-of-all (last-green round 0) —
-# the never-green blind-spot fix.  That puts q295 (baseline JPEG
-# decode, registered r10 outside the pinned r10 window) at the head
-# for its FIRST driver row, followed by the r5-green round-4 additions
-# q224-q268 and the stragglers q69b/q129/q130/q212; q131 (the least-
-# stale slot of the old pre-stage) is displaced to the r12 head.
-# 49 slots are deliberate re-checks (tests/test_rotation.py::
-# _RECHECK_SLOTS == this set minus q295); test_rotation.py::
+# ROUND-12 WINDOW: CORRECTNESS_r11 greened the full r11 window (q295's
+# first driver row included — the registry's cumulative driver-green is
+# now 300/300, no never-green queries remain), so the window advances to
+# the r11 pre-stage: the 50 stalest queries by (last green driver round,
+# registry number) — q131 (displaced from the r11 window by q295) plus
+# the r6-green q132-q151 / q157-q174 / q177-q187 block.  All 50 slots
+# are deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS ==
+# this whole set); test_rotation.py::
 # test_recheck_window_is_the_stalest_greens recomputes the list from
 # the on-disk CORRECTNESS files so it cannot silently rot.
 _ROTATION_FRONT = [
-    "q295_jpeg_decode",
-    "q69b_ivf_ann_nprobe", "q129_name_variants", "q130_ivm_totals",
-    "q212_interval_join",
-    "q224_multi_table_transaction", "q225_semantic_dedup",
-    "q226_keyword_tags", "q227_cuped_readout", "q228_l_diversity",
-    "q229_frame_pooling", "q230_hard_negatives", "q231_er_clusters",
-    "q232_stream_restart_recovery", "q233_ivm_join_totals",
-    "q234_asof_nearest", "q235_unpivot_metrics", "q236_map_event_counts",
-    "q237_null_safe_join", "q238_decimal_totals", "q239_kmv_union",
-    "q240_lateral_topk", "q241_subquery_kit", "q242_python_stream_source",
-    "q243_geo_grid", "q244_bmp_decode", "q245_wav_decode",
-    "q246_gzip_corpus", "q247_record_stream", "q248_bpe_encode",
-    "q249_balanced_shards", "q250_gopher_rules",
-    "q251_domain_softmax_weights", "q252_padding_waste",
-    "q253_calibration_ece", "q254_ndcg_at_5", "q255_disparate_impact",
-    "q256_dynamic_partition_overwrite", "q257_stream_catalog_sink",
-    "q258_unicode_normalize", "q259_deletion_vectors",
-    "q260_stl_decompose", "q261_pq_codes", "q262_schema_merge_read",
-    "q263_pq_adc_topk", "q264_maxsim_retrieval", "q265_feature_hashing",
-    "q266_target_encoding_loo", "q267_span_corruption",
-    "q268_token_budget_trim",
-]
-if len(_ROTATION_FRONT) != 50:
-    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
-
-# PRE-STAGED ROUND-12 WINDOW: the next-50 stalest (staleness ranks
-# 51-100 today; once CORRECTNESS_r11 greens the current window those
-# become exactly the 50 stalest) — q131 (displaced from the r11 window
-# by q295) plus the r6-green q132-q151 / q157-q174 / q177-q187 block.
-# The r12 opener swaps it into _ROTATION_FRONT; test_rotation.py::
-# test_prestaged_next_window_is_the_next_stalest recomputes it.
-_ROTATION_NEXT_R12 = [
     "q131_skyline_parts", "q132_session_paths", "q133_prefix_jaccard",
     "q134_state_intervals", "q135_zonemap_prune", "q136_attribution",
     "q137_max_concurrency", "q138_mad_outliers",
@@ -228,9 +194,43 @@ _ROTATION_NEXT_R12 = [
     "q184_event_transitions", "q185_source_overlap",
     "q186_knn_label_noise", "q187_woe_binning",
 ]
-if len(_ROTATION_NEXT_R12) != 50:
+if len(_ROTATION_FRONT) != 50:
+    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
+
+# PRE-STAGED ROUND-13 WINDOW: the next-50 stalest (staleness ranks
+# 51-100 today; once CORRECTNESS_r12 greens the current window those
+# become exactly the 50 stalest) — the r7-green governance/estimation/
+# velocity block q188-q222 plus the r7-green round-5/6 additions
+# q269-q294.  The r13 opener swaps it into _ROTATION_FRONT;
+# test_rotation.py::test_prestaged_next_window_is_the_next_stalest
+# recomputes it.
+_ROTATION_NEXT_R13 = [
+    "q188_jackknife_ci", "q189_dow_seasonality", "q190_ses_backtest",
+    "q191_k_anonymity", "q192_benford_audit", "q193_neyman_allocation",
+    "q194_capture_recapture", "q195_readability",
+    "q196_join_card_estimate", "q199_event_velocity",
+    "q200_grouping_sets", "q201_watermark_audit", "q209_zorder_audit",
+    "q210_reshard_audit", "q211_salt_planner", "q213_link_prediction",
+    "q214_expectations", "q215_rfm_segments", "q216_abc_classification",
+    "q217_km_churn", "q218_position_attribution",
+    "q219_duplicate_payments", "q220_cohort_ltv",
+    "q222_order_reconciliation", "q269_png_decode",
+    "q270_pipeline_composite", "q271_waiting_suppliers",
+    "q272_matryoshka_audit", "q273_entropy_fd_profile",
+    "q274_t_closeness", "q275_stream_session_windows",
+    "q276_write_audit_publish", "q277_stream_backpressure",
+    "q278_grouped_ols_slopes", "q279_greedy_wordpiece",
+    "q280_bucketed_join_revenue", "q281_stratified_split",
+    "q282_incremental_minhash", "q283_watermark_drop",
+    "q284_dynamic_partition_pruning", "q285_pseudonymized_join",
+    "q286_grouped_agg_trimmed_mean", "q287_runtime_bloom_join",
+    "q288_parameterized_sql", "q289_observed_metrics",
+    "q290_fd_majority_repair", "q291_scd2_temporal_join",
+    "q292_gbdt_stumps", "q293_naive_bayes_langid", "q294_exact_auc",
+]
+if len(_ROTATION_NEXT_R13) != 50:
     raise RuntimeError(
-        f"pre-staged r12 window must hold 50 slots, got {len(_ROTATION_NEXT_R12)}"
+        f"pre-staged r13 window must hold 50 slots, got {len(_ROTATION_NEXT_R13)}"
     )
 
 

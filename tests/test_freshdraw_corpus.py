@@ -39,6 +39,13 @@ def _factor(d: str) -> int:
     return 10  # legacy seed-4242 corpus predates the manifest
 
 
+def _skew(d: str) -> float:
+    mpath = os.path.join(d, "MANIFEST.json")
+    if os.path.isfile(mpath):
+        return json.load(open(mpath)).get("skew", 0.0)
+    return 0.0  # legacy corpus predates both manifest and skew mode
+
+
 pytestmark = pytest.mark.skipif(
     not _corpora(), reason="no fresh-draw corpus materialized"
 )
@@ -79,7 +86,18 @@ def test_orderkey_multiplicity_is_fresh_not_copied(d):
     """Key-shifted copies preserve sf0.1's per-key line counts exactly
     (every orderkey present, multiplicities a verbatim repeat); fresh
     uniform draws leave a Poisson tail of orderkeys with NO lineitem
-    at 4 lines/order (e^-4 ~ 1.8% of 150k*f ~ 2745*f absent keys)."""
+    at 4 lines/order (e^-4 ~ 1.8% of 150k*f ~ 2745*f absent keys).
+
+    Skew corpora (MANIFEST ``skew`` > 0, r11's zipf mode) intentionally
+    violate the uniform band: rank-r draw probability ~ (r+1)^-skew
+    concentrates the lineitem mass on a few hot orderkeys, so the
+    signature is the OPPOSITE tail shape — a majority of orderkeys
+    absent from lineitem AND a hottest key holding a macroscopic share
+    of all lineitem rows (the AQE-skew-join regime the corpus exists to
+    exercise).  Measured at seed 4253 / skew 1.2: 80.7% absent, hottest
+    key 18.9% of 6M rows; the bands below are generous enough for any
+    seed at skew >= 1 yet unreachable by a uniform draw (1.8% absent,
+    hottest key ~1e-5 share)."""
     import duckdb
 
     f = _factor(d)
@@ -92,6 +110,24 @@ def test_orderkey_multiplicity_is_fresh_not_copied(d):
             WHERE l.l_orderkey = o.o_orderkey)
         """
     ).fetchone()[0]
+    if _skew(d):
+        n_orders = 150_000 * f
+        assert 0.5 * n_orders < absent < 0.97 * n_orders, (
+            f"skew corpus absent-key share {absent / n_orders:.3f} not in "
+            "the power-law regime"
+        )
+        hot, total = con.execute(
+            f"""
+            SELECT max(c), sum(c) FROM (
+                SELECT count(*) AS c
+                FROM read_parquet('{d}/lineitem.parquet') GROUP BY l_orderkey)
+            """
+        ).fetchone()
+        assert 0.03 < hot / total < 0.6, (
+            f"hottest orderkey share {hot / total:.4f} outside the hot-key "
+            "regime the skew corpus exists to exercise"
+        )
+        return
     # copies of sf0.1 would give exactly f*(150000-147236) = 2764*f
     # absent keys, but per-copy IDENTICAL; the cheap distinguishing
     # fact is that fresh draws land in the Poisson band yet not on the

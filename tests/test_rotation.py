@@ -34,12 +34,12 @@ import os
 import re
 
 import __spark_entry__ as e
-from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT, _ROTATION_NEXT_R12
+from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT, _ROTATION_NEXT_R13
 
-# 49 of the r11 slots are deliberate re-checks of already-green queries
-# (re-check era, r7 verdict task #1); q295 is the registry's only
-# never-driver-checked query, taking its FIRST driver row this round.
-_RECHECK_SLOTS: set[str] = set(_ROTATION_FRONT) - {"q295_jpeg_decode"}
+# CORRECTNESS_r11 greened q295's first driver row, so cumulative
+# driver-green is 300/300 and no never-green query remains: all 50 r12
+# slots are deliberate re-checks (re-check era, r7 verdict task #1).
+_RECHECK_SLOTS: set[str] = set(_ROTATION_FRONT)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -86,12 +86,12 @@ def _staleness_order(last: dict[str, int]) -> list[str]:
     return sorted(names, key=lambda n: (last.get(n, 0), qnum(n), n))
 
 
-def test_round11_window_is_first_50():
+def test_round12_window_is_first_50():
     names = list(e.queries())
     assert names[:50] == _ROTATION_FRONT
-    assert names[0] == "q295_jpeg_decode"
-    assert names[1] == "q69b_ivf_ann_nprobe"
-    assert names[49] == "q268_token_budget_trim"
+    assert names[0] == "q131_skyline_parts"
+    assert names[1] == "q132_session_paths"
+    assert names[49] == "q187_woe_binning"
 
 
 def test_registry_size_frozen_at_300():
@@ -180,16 +180,16 @@ def test_recheck_window_is_the_stalest_greens():
 
 
 def test_prestaged_next_window_is_the_next_stalest():
-    """The pre-staged r12 window must be the next-50 stalest AFTER the
+    """The pre-staged r13 window must be the next-50 stalest AFTER the
     current window's slots are excluded (equivalently: staleness ranks
-    51-100 today; exactly the stalest 50 once CORRECTNESS_r11 greens
+    51-100 today; exactly the stalest 50 once CORRECTNESS_r12 greens
     the current window).  Recomputed from disk so the list cannot
     rot."""
     last = _green_last_round()
     front = set(_ROTATION_FRONT)
     order = [n for n in _staleness_order(last) if n not in front]
     expect = order[:50]
-    assert sorted(_ROTATION_NEXT_R12) == sorted(expect), (
-        sorted(set(_ROTATION_NEXT_R12) - set(expect)),
-        sorted(set(expect) - set(_ROTATION_NEXT_R12)),
+    assert sorted(_ROTATION_NEXT_R13) == sorted(expect), (
+        sorted(set(_ROTATION_NEXT_R13) - set(expect)),
+        sorted(set(expect) - set(_ROTATION_NEXT_R13)),
     )
