@@ -123,3 +123,24 @@ def test_attribution_bot_filter_excludes_hot_user(spark, tmp_path):
         "view": (1, 500_000 * 1000),
         "click": (1, 500_000 * 1000),
     }
+
+
+def test_skew_axis_is_a_standing_close_gate_step():
+    """r11 verdict task #3: the zipf-skew differential must be part of
+    the per-round close gate (a one-shot adversarial corpus is a
+    fixture after its first pass).  Pins the step's presence in both
+    execution paths, the artifact in the dirty-tree allowance and the
+    summary, and the rotating-seed materialization."""
+    import inspect
+
+    from tools import close_gate
+
+    src = inspect.getsource(close_gate)
+    assert close_gate.SKEW_EXP == 1.2
+    # parallel steps dict + sequential path + summary row + own-set
+    assert src.count('differential_skew_r{args.round}.json"') >= 4
+    assert '"skew": (' in src  # parallel launch entry
+    assert "zipf-skew hot-key differential" in src  # sequential entry
+    # per-round seed rotation (never a fixed corpus)
+    assert "freshdraw_sf1.out_dir(seed, 10, skew=SKEW_EXP)" in src
+    assert "freshdraw_sf1.materialize(seed, 10, skew=SKEW_EXP)" in src

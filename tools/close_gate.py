@@ -14,6 +14,12 @@ Runs, in order (each subprocess so sessions don't share state):
   4. sf3 VALUE differential    -> differential_sf3.json
   5. fresh-draw differential   -> differential_freshdraw_r{N}.json
      (cardinality-sensitive family on the non-copy 10x corpus)
+  6. zipf-skew differential    -> differential_skew_r{N}.json
+     (full registry on the per-round hot-key corpus, skew 1.2 —
+      hottest orderkey ~19% of lineitem: exercises the AQE-skew-join/
+      salting plans and the three degenerate-group caps for real;
+      r11 verdict task — a one-shot adversarial corpus is a fixture
+      after its first pass, so the seed rotates with the round)
 
 Refuses to start on a dirty tree — a stale/dirty-stamped artifact is
 the exact judge-complaint class this gate exists to close.  Each
@@ -37,6 +43,12 @@ import sys
 import tempfile
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# zipf exponent for the per-round skew corpus (step 6).  1.2 puts the
+# hottest orderkey at ~19% of lineitem — deep inside the AQE-skew-join
+# regime — while DuckDB's oracle side still completes everything except
+# the two adjudicated resource exclusions (q127 disk, q156 spill).
+SKEW_EXP = 1.2
 
 # the fresh-draw step runs the FULL registry: the corpus's different
 # distribution (organic uniqueness, fresh multiplicities, different
@@ -109,7 +121,7 @@ def main() -> None:
     ap.add_argument(
         "--skip",
         default="",
-        help="comma list from {lint,raudit,det,sf1,sf3,freshdraw}",
+        help="comma list from {lint,raudit,det,sf1,sf3,freshdraw,skew}",
     )
     ap.add_argument(
         "--commit",
@@ -141,6 +153,7 @@ def main() -> None:
         "differential_sf1.json",
         "differential_sf3.json",
         f"differential_freshdraw_r{args.round}.json",
+        f"differential_skew_r{args.round}.json",
         f"rounding_audit_r{args.round}.json",
     }
     foreign = [
@@ -168,12 +181,13 @@ def main() -> None:
     # 4242+round; a fixed-seed corpus is a fixture after its first
     # green pass.  Materialize it here if absent (the dir is gitignored
     # so generation never dirties the stamps).
-    fresh_dir = None
-    if "freshdraw" not in skip:
+    fresh_dir = skew_dir = None
+    if "freshdraw" not in skip or "skew" not in skip:
         sys.path.insert(0, os.path.join(_REPO, "tools"))
         import freshdraw_sf1
 
         seed = freshdraw_sf1.SEED_BASE + args.round
+    if "freshdraw" not in skip:
         fresh_dir = freshdraw_sf1.out_dir(seed, 10)
         if not os.path.isfile(os.path.join(fresh_dir, "MANIFEST.json")):
             print(
@@ -182,6 +196,19 @@ def main() -> None:
                 flush=True,
             )
             freshdraw_sf1.materialize(seed, 10)
+    if "skew" not in skip:
+        # same per-round seed, zipf-1.2 FK multiplicities: the hot-key
+        # axis (r11).  Distinct from the uniform fresh draw — this one
+        # exists to drive the skew-join/salting plans and the
+        # degenerate-group caps, not the cardinality estimators.
+        skew_dir = freshdraw_sf1.out_dir(seed, 10, skew=SKEW_EXP)
+        if not os.path.isfile(os.path.join(skew_dir, "MANIFEST.json")):
+            print(
+                f"== close-gate: materializing zipf-skew corpus "
+                f"(seed {seed}, skew {SKEW_EXP}) at {skew_dir}",
+                flush=True,
+            )
+            freshdraw_sf1.materialize(seed, 10, skew=SKEW_EXP)
 
     if args.parallel:
         big_env = dict(os.environ)
@@ -213,6 +240,12 @@ def main() -> None:
                 [py, "tools/differential_sf1.py",
                  "--sf-dir", fresh_dir,
                  "--out", f"differential_freshdraw_r{args.round}.json"],
+                None, big_env,
+            ),
+            "skew": (
+                [py, "tools/differential_sf1.py",
+                 "--sf-dir", skew_dir,
+                 "--out", f"differential_skew_r{args.round}.json"],
                 None, big_env,
             ),
         }
@@ -334,6 +367,18 @@ def main() -> None:
             env=big,
         )
         _commit(f"differential_freshdraw_r{args.round}.json")
+    if "skew" not in skip:
+        ok &= _run(
+            "zipf-skew hot-key differential",
+            [
+                py, "tools/differential_sf1.py",
+                "--sf-dir", skew_dir,
+                "--out", f"differential_skew_r{args.round}.json",
+            ],
+            None,
+            env=big,
+        )
+        _commit(f"differential_skew_r{args.round}.json")
 
     _summarize(args, ok)
 
@@ -347,6 +392,7 @@ def _summarize(args, ok: bool) -> None:
         ("sf1", "differential_sf1.json"),
         ("sf3", "differential_sf3.json"),
         ("freshdraw", f"differential_freshdraw_r{args.round}.json"),
+        ("skew", f"differential_skew_r{args.round}.json"),
     ]:
         try:
             d = json.load(open(os.path.join(_REPO, path)))
