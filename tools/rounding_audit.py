@@ -25,9 +25,13 @@ children agree across engines (both HALF_UP on exact decimals), and
 binary-floor sites compile to Floor, not Round, so they never appear.
 
 Python-side kernels (mapInPandas) can't round-drift through this walk;
-they are inventoried by the companion grep in the artifact
-(`python_kernel_rounds`) and covered by the mirror inventory
-(SURVEY §5.0).
+they are found by a tokenize scan (comments/docstrings excluded — SQL
+string literals are the plan walk's + ``sql_rounds``'s jurisdiction)
+and each site MUST carry an entry in ``_KERNEL_SITE_CLASSIFICATION``
+stating how it sits on the repo convention (binary-floor / exact-
+decimal snap / plan-time integer constant / unpaired driver metric).
+An unclassified site fails the audit (r11 verdict task #5 — the bare
+count was informational-only before).
 
 Usage: python tools/rounding_audit.py [--out rounding_audit_r11.json]
 """
@@ -49,6 +53,91 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # plan_lint census executes them instead); their rounding surface is
 # the Python grep + the captured-plan census, not this walk
 _EXECUTING = re.compile(r"q(22|25|104|110|232|242|257|270|275|276|277|283)_")
+
+
+# Every RUNTIME Python round() call site in the package must be listed
+# here, keyed by (relpath, exact stripped source line) — editing a site
+# invalidates its entry, forcing re-classification.  The classification
+# states how the site sits on the repo's cross-engine convention
+# (SCALE.md "Rounding/tie-class closure"):
+#
+#   plan-time-integer-constant: round() snaps a driver-side float
+#     product onto the integer grid BEFORE the plan is built; the
+#     snapped literal is what both engines execute.  Split/sample
+#     fractions carry <= 4 decimals by contract, so frac*10_000's
+#     intended value is a whole integer and the float error (~1e-12)
+#     is ~12 orders of magnitude from the 0.5 tie; the DuckDB twins
+#     hardcode the same integers (oracle/m8_training_ops.py 9000/9500/
+#     2000/5000/10000).
+#   exact-decimal-snap: round() re-snaps values already exact on a
+#     decimal grid (covariance entries carry 6dp), so the nearest tie
+#     is >= 0.5-1e-9 away; the paired OUTER rounding is binary-floor
+#     (math.floor(x*1e4+0.5)), identical to the SQL twin's bfround_sql.
+#   unpaired-driver-metric: observability-only value that never reaches
+#     a DataFrame or an oracle comparison (grep: no query consumes it).
+_KERNEL_SITE_CLASSIFICATION: dict[tuple[str, str], str] = {
+    (
+        "lawfirm_data_pipeline_spark/operators/sampling.py",
+        "cond = bucket < int(round(hi * 10_000))",
+    ): "plan-time-integer-constant",
+    (
+        "lawfirm_data_pipeline_spark/operators/sampling.py",
+        "cond = (F.col(stratum) == value) & (bucket < int(round(frac * 10_000)))",
+    ): "plan-time-integer-constant",
+    (
+        "lawfirm_data_pipeline_spark/operators/stats.py",
+        "_sum6 = sum(int(round(cov[i, i] * 1e6)) for i in range(dim)) / 1e6",
+    ): "exact-decimal-snap",
+    (
+        "lawfirm_data_pipeline_spark/pipeline/metrics.py",
+        "return round(100.0 * done / total, 2) if total else 0.0",
+    ): "unpaired-driver-metric",
+}
+
+
+def _kernel_round_sites() -> tuple[list[dict], list[dict]]:
+    """Tokenize-scan the package for runtime ``round`` call sites.
+
+    Comments and string literals never reach the tokenizer's NAME
+    stream, so docstring prose and SQL text (the old regex counted 10
+    of those among its 14 "sites") are structurally excluded.  Method
+    calls on the JVM expression builder (``F.round``) build Catalyst
+    Round nodes — the plan walk's jurisdiction — so a NAME preceded by
+    '.' with a preceding 'F' is skipped; any other attribute round
+    (e.g. a pandas ``.round``) is reported for classification."""
+    import io
+    import tokenize
+
+    pkg = os.path.join(_REPO, "lawfirm_data_pipeline_spark")
+    sites, unclassified = [], []
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, _REPO)
+            src = open(path).read()
+            toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
+            for k, t in enumerate(toks):
+                if t.type != tokenize.NAME or t.string != "round":
+                    continue
+                if k + 1 >= len(toks) or toks[k + 1].string != "(":
+                    continue  # bare name (e.g. a kwarg), not a call
+                if k and toks[k - 1].string == ".":
+                    owner = toks[k - 2].string if k >= 2 else ""
+                    if owner == "F":
+                        continue  # Catalyst Round node: plan-walk audits it
+                row = {
+                    "site": f"{rel}:{t.start[0]}",
+                    "line": t.line.strip(),
+                }
+                cls = _KERNEL_SITE_CLASSIFICATION.get((rel, row["line"]))
+                if cls:
+                    row["classification"] = cls
+                    sites.append(row)
+                else:
+                    unclassified.append(row)
+    return sites, unclassified
 
 
 def _walk_expr(expr, hits: list, qname: str) -> None:
@@ -135,20 +224,7 @@ def main() -> None:
         and sql_rounds.get(h["query"], 0) == 0
     ]
 
-    # Python-kernel rounding inventory (informational; covered by the
-    # SURVEY §5.0 mirror inventory, not by the plan walk)
-    py_rounds = []
-    pkg = os.path.join(_REPO, "lawfirm_data_pipeline_spark")
-    for root, _dirs, files in os.walk(pkg):
-        for f in files:
-            if not f.endswith(".py"):
-                continue
-            path = os.path.join(root, f)
-            for i, ln in enumerate(open(path), 1):
-                if re.search(r"(?<![.\w])(np\.round|round)\s*\(", ln) and not re.search(
-                    r"F\.round|#.*round|\"\"\"|'''", ln
-                ):
-                    py_rounds.append(f"{os.path.relpath(path, _REPO)}:{i}")
+    py_rounds, unclassified = _kernel_round_sites()
 
     out = {
         "sf_dir": SF_DIR,
@@ -162,7 +238,8 @@ def main() -> None:
         "spark_only_double_rounds": spark_only,
         "skipped_streaming": skipped,
         "errors": errors,
-        "python_kernel_round_sites": len(py_rounds),
+        "python_kernel_round_sites": py_rounds,
+        "unclassified_kernel_rounds": unclassified,
         **st,
         "round_nodes": hits,
     }
@@ -175,11 +252,13 @@ def main() -> None:
                 "by_child_type": out["by_child_type"],
                 "risky_paired": len(risky),
                 "spark_only_double": len(spark_only),
+                "kernel_sites": len(py_rounds),
+                "unclassified_kernel": len(unclassified),
                 "errors": len(errors),
             }
         )
     )
-    sys.exit(1 if errors else 0)
+    sys.exit(1 if errors or unclassified else 0)
 
 
 if __name__ == "__main__":
