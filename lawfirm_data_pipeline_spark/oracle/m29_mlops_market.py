@@ -156,7 +156,7 @@ def q143_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND s.st IS NOT NULL AND e.ts >= s.st
                   GROUP BY e.user_id)
     SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           -- binary-floor 6dp rounding (see q266): engine CASE WHEN isnan(CAST(() AS DOUBLE)) OR abs(CAST(() AS DOUBLE)) >= 9007199254740992.0 THEN CAST(() AS DOUBLE) ELSE floor(CAST(() AS DOUBLE) * 1e0 + 0.5) / 1e0 ENDs
+           -- binary-floor 6dp rounding (see q266): engine round()s
            -- split on decimal-half ties of midpoint percentiles
            floor(quantile_cont(delta_us, 0.5) / 1000000.0
                  * 1000000.0 + 0.5) / 1000000.0 AS p50_sec,

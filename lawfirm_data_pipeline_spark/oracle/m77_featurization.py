@@ -141,7 +141,7 @@ def q265_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- binary-floor 6dp rounding: floor(x*1e6 + 0.5)/1e6 is the
            -- same IEEE ops on the same double in BOTH engines, so ties
            -- at a decimal half cannot split them the way each engine's
-           -- own CASE WHEN isnan(CAST(() AS DOUBLE)) OR abs(CAST(() AS DOUBLE)) >= 9007199254740992.0 THEN CAST(() AS DOUBLE) ELSE floor(CAST(() AS DOUBLE) * 1e0 + 0.5) / 1e0 END does (r10 fresh-draw finding)
+           -- own round() does (r10 fresh-draw finding)
            floor(CASE WHEN g.n > 1
                       THEN CAST(g.s - o.cents AS DOUBLE) / (g.n - 1) / 100.0
                       ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS loo_mean

@@ -149,16 +149,69 @@ def _convert_code(src: str, path: str, review: list[str]) -> tuple[str, int]:
     return out, n
 
 
+def _sql_comment_spans(text: str) -> list[tuple[int, int]]:
+    """[start, end) spans of SQL '--' line comments and /* */ blocks.
+
+    Single-quoted SQL string literals are honored so a quoted '--' or
+    '/*' does not open a phantom comment (r11 ADVICE #1: the converter
+    rewrote prose inside a '--' comment into a garbled CASE)."""
+    spans = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":  # SQL string literal; '' is the escaped quote
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+        elif text.startswith("--", i):
+            j = text.find("\n", i)
+            j = n if j < 0 else j
+            spans.append((i, j))
+            i = j
+        elif text.startswith("/*", i):
+            j = text.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            spans.append((i, j))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+_ROUND_RE = re.compile(r"(?<![\w.])round\s*\(", re.I)
+
+
 def _convert_sql_text(text: str, path: str, review: list[str]) -> tuple[str, int]:
-    """Expand bare round( tokens inside one string literal's text."""
+    """Expand bare round( tokens inside one string literal's text.
+
+    Nested calls convert INNERMOST-FIRST (r11 ADVICE #2): converting an
+    outer round() while an inner one still sits in its argument would
+    splice the unconverted inner into every copy of the CASE expansion
+    — correct but exponentially blown up — and the old scan's
+    resume-past-the-replacement skipped the inner entirely."""
     n = 0
     pos = 0
     while True:
-        m = re.search(r"(?<![\w.])round\s*\(", text[pos:], re.I)
+        m = _ROUND_RE.search(text, pos)
         if not m:
             break
-        start = pos + m.start()
-        op = pos + m.end() - 1
+        start = m.start()
+        op = m.end() - 1
+        # comment text is prose, not SQL to convert (r11 ADVICE #1);
+        # spans are recomputed per hit since text mutates on replace
+        comment = next(
+            (sp for sp in _sql_comment_spans(text) if sp[0] <= start < sp[1]),
+            None,
+        )
+        if comment:
+            pos = comment[1]
+            continue
         try:
             end = _match_paren(text, op)
         except ValueError:
@@ -166,6 +219,13 @@ def _convert_sql_text(text: str, path: str, review: list[str]) -> tuple[str, int
             pos = op + 1
             continue
         inner = text[op + 1 : end - 1]
+        nested = _ROUND_RE.search(inner)
+        if nested and not any(
+            a <= op + 1 + nested.start() < b for a, b in _sql_comment_spans(text)
+        ):
+            # convert the inner call first; the outer re-matches after
+            pos = op + 1
+            continue
         if "..." in inner:
             # prose like "round(...,2)" inside SQL comments/docstrings
             review.append(f"{path}: prose round( left: {inner[:60]}")
@@ -181,6 +241,12 @@ def _convert_sql_text(text: str, path: str, review: list[str]) -> tuple[str, int
         args = _split_top_comma(inner)
         if len(args) > 1 and not args[-1].strip():
             args = args[:-1]  # trailing comma
+        if len(args) == 1 and re.fullmatch(r"\s*-?[\d.]+\s*", args[0]):
+            # "round(6)" / "round(4)" is prose naming a scale, never a
+            # real SQL call (rounding a literal constant)
+            review.append(f"{path}: literal-constant round( left: {inner[:60]}")
+            pos = end
+            continue
         if len(args) == 1:
             d = 0
         elif len(args) == 2 and re.fullmatch(r"\s*-?\d+\s*", args[1]):
@@ -191,8 +257,28 @@ def _convert_sql_text(text: str, path: str, review: list[str]) -> tuple[str, int
             continue
         repl = bfround_sql(args[0].strip(), d)
         text = text[:start] + repl + text[end:]
-        pos = start + len(repl)
+        # rescan from the top: an OUTER round() whose argument this
+        # site just was (skipped above to convert innermost-first) sits
+        # BEFORE start and must now be revisited.  Converges: each
+        # replacement removes one bare round( and bfround_sql's own
+        # text contains none.
+        pos = 0
         n += 1
+    # outer calls deferred to a nested site that then proved
+    # unconvertible (decimal/prose/non-literal) end the loop silently;
+    # surface them so no bare round( is ever dropped from review
+    for m in _ROUND_RE.finditer(text):
+        if any(a <= m.start() < b for a, b in _sql_comment_spans(text)):
+            continue
+        try:
+            end = _match_paren(text, m.end() - 1)
+        except ValueError:
+            continue
+        if _ROUND_RE.search(text[m.end() : end - 1]):
+            review.append(
+                f"{path}: outer round( with unconvertible nested round "
+                f"left as-is: {text[m.start():m.start()+80]}"
+            )
     return text, n
 
 
@@ -216,6 +302,11 @@ def _convert_sql(src: str, path: str, review: list[str]) -> tuple[str, int]:
         a, b = to_off(tok.start), to_off(tok.end)
         lit = src[a:b]
         if not re.search(r"(?<![\w.])round\s*\(", lit, re.I):
+            continue
+        if not re.search(r"\bSELECT\b", lit, re.I):
+            # docstring/helper prose, not an oracle SQL literal — the
+            # convention docs themselves say "round(6)" etc. (r12 fix:
+            # a re-run must not garble the prose describing the rule)
             continue
         # split the literal into prefix+quote, body, quote
         m = re.match(r"(?i)([a-z]*)('''|\"\"\"|'|\")", lit)
