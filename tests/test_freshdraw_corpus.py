@@ -46,6 +46,13 @@ def _skew(d: str) -> float:
     return 0.0  # legacy corpus predates both manifest and skew mode
 
 
+def _nulls(d: str) -> float:
+    mpath = os.path.join(d, "MANIFEST.json")
+    if os.path.isfile(mpath):
+        return json.load(open(mpath)).get("nulls", 0.0)
+    return 0.0
+
+
 pytestmark = pytest.mark.skipif(
     not _corpora(), reason="no fresh-draw corpus materialized"
 )
@@ -111,8 +118,10 @@ def test_orderkey_multiplicity_is_fresh_not_copied(d):
         """
     ).fetchone()[0]
     if _skew(d):
+        # measured: skew 1.2 -> 80.7% absent / hottest 18.9%;
+        # skew 1.5 -> 97.1% absent / hottest 38.3%
         n_orders = 150_000 * f
-        assert 0.5 * n_orders < absent < 0.97 * n_orders, (
+        assert 0.5 * n_orders < absent < 0.99 * n_orders, (
             f"skew corpus absent-key share {absent / n_orders:.3f} not in "
             "the power-law regime"
         )
@@ -154,3 +163,47 @@ def test_per_seed_corpora_differ_pairwise():
                 list(heads)[j],
                 "identical draw heads — seed rotation is not rotating",
             )
+
+
+@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+def test_null_injection_contract(d):
+    """r12 NULL-injection axis: a nulls corpus must null ONLY the
+    declared measure/attribute columns at ~the manifest rate, and
+    every key/join column must stay exactly non-null (the loader
+    contract).  Non-nulls corpora must stay all-non-null like the
+    driver testdata."""
+    import duckdb
+
+    p = _nulls(d)
+    con = duckdb.connect()
+
+    def nullfrac(table: str, col: str) -> float:
+        tot, nn = con.execute(
+            f"SELECT count(*), count({col}) FROM "
+            f"read_parquet('{d}/{table}.parquet')"
+        ).fetchone()
+        return 1.0 - nn / tot
+
+    # keys and contract-non-null columns: zero nulls ALWAYS
+    for t, c in [
+        ("orders", "o_orderkey"), ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+        ("events", "ts"), ("events", "user_id"),
+        ("documents", "doc_id"), ("documents", "text"),
+        ("embeddings", "embedding"),
+    ]:
+        assert nullfrac(t, c) == 0.0, (t, c)
+
+    probes = [
+        ("events", "value", 1.0), ("customer", "c_mktsegment", 1.0),
+        ("lineitem", "l_returnflag", 0.5), ("orders", "o_totalprice", 0.5),
+        ("documents", "lang", 1.0),
+    ]
+    if not p:
+        for t, c, _m in probes:
+            assert nullfrac(t, c) == 0.0, (t, c)
+        return
+    for t, c, mult in probes:
+        got = nullfrac(t, c)
+        want = p * mult
+        assert abs(got - want) < 0.25 * want + 0.01, (t, c, got, want)

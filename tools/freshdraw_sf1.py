@@ -71,11 +71,12 @@ _P_ADJ = "large hot blue old cold small new dark".split()
 _P_NOUN = "ring bolt plate wheel cog pin rod cap".split()
 
 
-def out_dir(seed: int, factor: int, skew: float = 0.0) -> str:
+def out_dir(seed: int, factor: int, skew: float = 0.0, nulls: float = 0.0) -> str:
     """Per-seed corpus directory: freshdraw_sf{factor/10}_s{seed}."""
     tag = {10: "sf1", 30: "sf3"}.get(factor, f"x{factor}")
     sk = f"_zipf{skew:g}" if skew else ""
-    return os.path.join(_REPO, "benchdata", f"freshdraw_{tag}_s{seed}{sk}")
+    nu = f"_nulls{nulls:g}" if nulls else ""
+    return os.path.join(_REPO, "benchdata", f"freshdraw_{tag}_s{seed}{sk}{nu}")
 
 
 def _ts_us(base: str, span_days: float, offs: np.ndarray) -> pa.Array:
@@ -107,11 +108,32 @@ def _keydraw(rng, n_keys: int, n_draws: int, skew: float) -> np.ndarray:
 
 
 def materialize(
-    seed: int = SEED_BASE, factor: int = 10, out: str | None = None, skew: float = 0.0
+    seed: int = SEED_BASE,
+    factor: int = 10,
+    out: str | None = None,
+    skew: float = 0.0,
+    nulls: float = 0.0,
 ) -> str:
-    out = out or out_dir(seed, factor, skew)
+    out = out or out_dir(seed, factor, skew, nulls)
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
+
+    def _nullable(arr, rate_mult: float = 1.0):
+        """NULL-injection axis (r12): the driver testdata and every
+        prior corpus carry ZERO nulls, so the registry's 3VL
+        predicates, null group keys, null-skipping aggregates, and
+        null ordering had never been exercised by a differential.
+        Only measure/attribute columns are nulled — never keys, join
+        columns, event timestamps, document text, or embedding
+        vectors (those are non-null by the loader contract)."""
+        if not nulls:
+            return arr
+        if not isinstance(arr, pa.Array):
+            arr = pa.array(arr)
+        import pyarrow.compute as pc
+
+        keep = pa.array(rng.uniform(0, 1, len(arr)) >= nulls * rate_mult)
+        return pc.if_else(keep, arr, pa.scalar(None, arr.type))
 
     f = factor
     n_cust = 15_000 * f
@@ -149,14 +171,14 @@ def materialize(
                 "c_nationkey": pa.array(
                     rng.integers(0, 25, n_cust), type=pa.int32()
                 ),
-                "c_acctbal": pa.array(
+                "c_acctbal": _nullable(pa.array(
                     np.round(rng.uniform(-999.99, 9999.99, n_cust), 2)
-                ),
-                "c_mktsegment": pa.array(
+                )),
+                "c_mktsegment": _nullable(pa.array(
                     np.array(
                         ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
                     )[rng.integers(0, 5, n_cust)]
-                ),
+                )),
             }
         ),
     )
@@ -168,9 +190,9 @@ def materialize(
                 "s_suppkey": pa.array(np.arange(n_supp), type=pa.int64()),
                 "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
                 "s_nationkey": pa.array(rng.integers(0, 25, n_supp), type=pa.int32()),
-                "s_acctbal": pa.array(
+                "s_acctbal": _nullable(pa.array(
                     np.round(rng.uniform(-999.99, 9999.99, n_supp), 2)
-                ),
+                )),
             }
         ),
     )
@@ -197,9 +219,9 @@ def materialize(
                     ]
                 ),
                 "p_size": pa.array(rng.integers(1, 51, n_part), type=pa.int32()),
-                "p_retailprice": pa.array(
+                "p_retailprice": _nullable(pa.array(
                     np.round(rng.uniform(900.0, 2000.0, n_part), 2)
-                ),
+                )),
             }
         ),
     )
@@ -219,17 +241,17 @@ def materialize(
                 "o_orderstatus": pa.array(
                     np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]
                 ),
-                "o_totalprice": pa.array(
+                "o_totalprice": _nullable(pa.array(
                     np.round(rng.uniform(1000.0, 500000.0, n_orders), 2)
-                ),
-                "o_orderdate": _ts_us(
+                ), 0.5),
+                "o_orderdate": _nullable(_ts_us(
                     "1995-01-01", 2400, np.floor(rng.uniform(0, 1, n_orders) * 2400) / 2400
-                ),
-                "o_orderpriority": pa.array(
+                ), 0.5),
+                "o_orderpriority": _nullable(pa.array(
                     np.array(
                         ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
                     )[rng.integers(0, 5, n_orders)]
-                ),
+                )),
             }
         ),
     )
@@ -256,19 +278,19 @@ def materialize(
                 "l_extendedprice": pa.array(
                     np.round(rng.uniform(900.0, 105000.0, n_line), 2)
                 ),
-                "l_discount": pa.array(
+                "l_discount": _nullable(pa.array(
                     np.round(rng.integers(0, 11, n_line) / 100.0, 2)
-                ),
-                "l_tax": pa.array(np.round(rng.integers(0, 9, n_line) / 100.0, 2)),
-                "l_returnflag": pa.array(
+                ), 0.5),
+                "l_tax": _nullable(pa.array(np.round(rng.integers(0, 9, n_line) / 100.0, 2)), 0.5),
+                "l_returnflag": _nullable(pa.array(
                     np.array(["A", "N", "R"])[rng.integers(0, 3, n_line)]
-                ),
+                ), 0.5),
                 "l_linestatus": pa.array(
                     np.array(["O", "F"])[rng.integers(0, 2, n_line)]
                 ),
-                "l_shipdate": _ts_us(
+                "l_shipdate": _nullable(_ts_us(
                     "1995-01-02", 2500, np.floor(rng.uniform(0, 1, n_line) * 2500) / 2500
-                ),
+                ), 0.5),
             }
         ),
     )
@@ -287,10 +309,10 @@ def materialize(
                         rng.integers(0, 5, n_events)
                     ]
                 ),
-                "value": pa.array(np.round(rng.uniform(0, 560.0, n_events), 2)),
-                "props": pa.array(
+                "value": _nullable(pa.array(np.round(rng.uniform(0, 560.0, n_events), 2))),
+                "props": _nullable(pa.array(
                     [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)]
-                ),
+                )),
             }
         ),
     )
@@ -309,11 +331,11 @@ def materialize(
             {
                 "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
                 "text": pa.array(texts),
-                "lang": pa.array(
+                "lang": _nullable(pa.array(
                     np.array(["en", "de", "fr", "es"])[
                         rng.choice(4, n_docs, p=[0.85, 0.05, 0.05, 0.05])
                     ]
-                ),
+                )),
                 "source": pa.array(
                     [f"src{s}" for s in rng.integers(0, 20, n_docs)]
                 ),
@@ -331,7 +353,7 @@ def materialize(
             {
                 "vec_id": pa.array(np.arange(n_vecs), type=pa.int64()),
                 "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
-                "label": pa.array(rng.integers(0, 8, n_vecs), type=pa.int32()),
+                "label": _nullable(pa.array(rng.integers(0, 8, n_vecs), type=pa.int32())),
             }
         ),
     )
@@ -341,7 +363,8 @@ def materialize(
     # run saw — the rotation is worthless if the artifact can't show it
     with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
         json.dump(
-            {"seed": seed, "factor": factor, "skew": skew, "rows": rows}, fh, indent=1
+            {"seed": seed, "factor": factor, "skew": skew, "nulls": nulls, "rows": rows},
+            fh, indent=1
         )
     return out
 
@@ -365,16 +388,21 @@ if __name__ == "__main__":
         help="zipf exponent for FK multiplicities (0 = uniform; 1.2 = "
         "hot-key regime for the skew-join/salting posture)",
     )
+    ap.add_argument(
+        "--nulls", type=float, default=0.0,
+        help="NULL-injection rate for measure/attribute columns (r12 "
+        "axis; keys/join columns/text/embeddings stay non-null)",
+    )
     args = ap.parse_args()
     seed = (
         args.seed
         if args.seed is not None
         else SEED_BASE + args.round if args.round is not None else SEED_BASE
     )
-    dest = out_dir(seed, args.factor, args.skew)
+    dest = out_dir(seed, args.factor, args.skew, args.nulls)
     print(
         f"materializing fresh-draw corpus at {dest} "
-        f"(seed {seed}, x{args.factor}, skew {args.skew:g})"
+        f"(seed {seed}, x{args.factor}, skew {args.skew:g}, nulls {args.nulls:g})"
     )
-    materialize(seed, args.factor, skew=args.skew)
+    materialize(seed, args.factor, skew=args.skew, nulls=args.nulls)
     print("done")
