@@ -44,7 +44,9 @@ def q59_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            first_value(o_orderkey) OVER w AS first_ok,
            nth_value(o_orderkey, 2) OVER w AS second_ok
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    -- NULLS FIRST mirrors Spark's ASC default (r12 nulls axis)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS FIRST, o_orderkey)
     """,
 )
 def q60_window_misc(spark: SparkSession, sf_dir: str) -> DataFrame:

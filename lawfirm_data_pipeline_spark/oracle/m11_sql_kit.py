@@ -128,23 +128,23 @@ def q63_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_custkey, o_orderkey,
            CAST(sum({_CENTS}) OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey
+                                    ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                AS BIGINT) AS moving4_cents,
            CAST(sum({_CENTS}) OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey
+                                    ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
            CASE WHEN isnan(CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
+                                     ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                  / 100.0) AS DOUBLE)) OR abs(CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
+                                     ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                  / 100.0) AS DOUBLE)) >= 9007199254.740992 THEN CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
+                                     ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                  / 100.0) AS DOUBLE) ELSE floor(CAST((avg({_CENTS}) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
+                                     ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
                  / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS moving4_avg
     FROM orders WHERE o_custkey % 11 = 0

@@ -174,7 +174,12 @@ def q186_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlab = emb.select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
     )
-    agree = F.sum((F.col("label") == F.col("qlabel")).cast("int")).cast("long")
+    # when(...).otherwise(0) mirrors the twin's CASE WHEN ... ELSE 0:
+    # a NULL label comparison counts as NOT agreeing; the bare
+    # cast("int") form summed NULLs to NULL (r12 nulls axis)
+    agree = F.sum(
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    ).cast("long")
     return (
         nn.join(lab, "vec_id")
         .join(F.broadcast(qlab), "query_id")

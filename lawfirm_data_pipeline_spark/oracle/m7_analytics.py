@@ -281,9 +281,13 @@ def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                lag(o_orderdate) OVER w AS prev_dt,
                lead(o_orderdate) OVER w AS next_dt,
                ntile(4) OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate, o_orderkey) AS quartile
+                              ORDER BY o_orderdate NULLS FIRST, o_orderkey)
+                 AS quartile
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        -- NULLS FIRST mirrors Spark's ASC default; DuckDB's
+        -- default_null_order is nulls_last even ASC (r12 nulls axis)
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     )
     SELECT o_custkey, o_orderkey,
            CAST(date_diff('day', prev_dt::DATE, o_orderdate::DATE) AS INT) AS days_since_prev,

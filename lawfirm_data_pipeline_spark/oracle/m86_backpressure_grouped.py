@@ -137,7 +137,9 @@ _OLS_SQL_TERMS = """
                    CAST(floor(epoch(ts) / 60) AS BIGINT)
                      - 28401120 AS x,
                    CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS y
-            FROM events WHERE user_id % 29 = 0
+            -- sample = observed rows (r12 nulls axis): a NULL value
+            -- has no y; count(*) must not mix denominators
+            FROM events WHERE user_id % 29 = 0 AND value IS NOT NULL
         ) GROUP BY user_id
 """
 
@@ -159,7 +161,12 @@ def q278_grouped_ols_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Σx)² inside int64); numerator and denominator each round to double
     once and divide once, bit-identical to DuckDB's CAST/CAST divide,
     so the grouped-map Arrow path is gated with zero tolerance."""
-    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 29 == 0)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 29 == 0)
+        # sample = observed rows (mirrors the SQL twin's IS NOT NULL)
+        .filter(F.col("value").isNotNull())
+    )
     base = events.select(
         "user_id",
         (F.floor(F.unix_timestamp("ts") / 60).cast("long") - F.lit(28401120)).alias(

@@ -39,7 +39,9 @@ from lawfirm_data_pipeline_spark.functions.rounding import bfround
     WITH e AS (
         SELECT user_id % 50 AS grp,
                CAST(CASE WHEN isnan(CAST((value * 100) AS DOUBLE)) OR abs(CAST((value * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((value * 100) AS DOUBLE) ELSE floor(CAST((value * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) AS cents
-        FROM events WHERE user_id % 3 = 0
+        -- sample = observed rows (r12 nulls axis): NULL value has
+        -- no cents; the trim set is over observations only
+        FROM events WHERE user_id % 3 = 0 AND value IS NOT NULL
     ),
     r AS (
         SELECT grp, cents,
@@ -82,6 +84,8 @@ def q286_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame
     e = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") % 3 == 0)
+        # sample = observed rows (mirrors the SQL twin's IS NOT NULL)
+        .filter(F.col("value").isNotNull())
         .select(
             (F.col("user_id") % 50).alias("grp"),
             bfround(F.col("value") * 100).cast("long").alias("cents"),

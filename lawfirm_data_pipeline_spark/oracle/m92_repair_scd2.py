@@ -46,8 +46,12 @@ from lawfirm_data_pipeline_spark.functions.rounding import bfround
     elected AS (
         SELECT o_custkey, seg AS fixed_seg FROM (
             SELECT o_custkey, seg,
+                   -- seg NULLS FIRST mirrors Spark's ASC default
+                   -- (r12 nulls axis: a null-seg vote can tie a real
+                   -- segment's count; both engines must elect alike)
                    row_number() OVER (PARTITION BY o_custkey
-                                      ORDER BY n DESC, seg) AS rk
+                                      ORDER BY n DESC, seg NULLS FIRST)
+                     AS rk
             FROM votes
         ) WHERE rk = 1
     ),

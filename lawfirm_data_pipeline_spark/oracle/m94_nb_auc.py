@@ -149,7 +149,9 @@ def q293_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
                CAST(CASE WHEN isnan(CAST((o_totalprice * 100) AS DOUBLE)) OR abs(CAST((o_totalprice * 100) AS DOUBLE)) >= 9007199254740992.0 THEN CAST((o_totalprice * 100) AS DOUBLE) ELSE floor(CAST((o_totalprice * 100) AS DOUBLE) * 1e0 + 0.5) / 1e0 END AS BIGINT) % 10000 AS score
-        FROM orders WHERE o_orderkey % 2 = 0
+        -- scored rows only (r12 nulls axis): a NULL o_totalprice
+        -- has no score; AUC is defined over scored examples
+        FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
     ),
     ranked AS (
         SELECT y, score,
@@ -190,6 +192,8 @@ def q294_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 2 == 0)
+        # scored rows only (mirrors the SQL twin's IS NOT NULL)
+        .filter(F.col("o_totalprice").isNotNull())
         .select(
             F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
             (bfround(F.col("o_totalprice") * 100).cast("long") % 10000).alias(
