@@ -144,3 +144,9 @@ def test_skew_axis_is_a_standing_close_gate_step():
     # per-round seed rotation (never a fixed corpus)
     assert "freshdraw_sf1.out_dir(seed, 10, skew=SKEW_EXP)" in src
     assert "freshdraw_sf1.materialize(seed, 10, skew=SKEW_EXP)" in src
+    # the r12 null-injection axis is standing the same way
+    assert close_gate.NULLS_RATE == 0.1
+    assert src.count('differential_nulls_r{args.round}.json"') >= 4
+    assert '"nulls": (' in src
+    assert "null-injection differential" in src
+    assert "freshdraw_sf1.materialize(seed, 10, nulls=NULLS_RATE)" in src

@@ -20,6 +20,10 @@ Runs, in order (each subprocess so sessions don't share state):
       salting plans and the three degenerate-group caps for real;
       r11 verdict task — a one-shot adversarial corpus is a fixture
       after its first pass, so the seed rotates with the round)
+  7. null-injection differential -> differential_nulls_r{N}.json
+     (full registry on the per-round nulls-0.1 corpus — measure/
+      attribute columns at 5-10% NULL, keys non-null: the 3VL/window-
+      null-ordering/observed-sample conventions of r12, standing)
 
 Refuses to start on a dirty tree — a stale/dirty-stamped artifact is
 the exact judge-complaint class this gate exists to close.  Each
@@ -49,6 +53,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # regime — while DuckDB's oracle side still completes everything except
 # the two adjudicated resource exclusions (q127 disk, q156 spill).
 SKEW_EXP = 1.2
+
+# NULL-injection rate for the per-round nulls corpus (step 7): measure/
+# attribute columns at rate (or rate/2), keys/text/embeddings non-null.
+NULLS_RATE = 0.1
 
 # the fresh-draw step runs the FULL registry: the corpus's different
 # distribution (organic uniqueness, fresh multiplicities, different
@@ -121,7 +129,7 @@ def main() -> None:
     ap.add_argument(
         "--skip",
         default="",
-        help="comma list from {lint,raudit,det,sf1,sf3,freshdraw,skew}",
+        help="comma list from {lint,raudit,det,sf1,sf3,freshdraw,skew,nulls}",
     )
     ap.add_argument(
         "--commit",
@@ -154,6 +162,7 @@ def main() -> None:
         "differential_sf3.json",
         f"differential_freshdraw_r{args.round}.json",
         f"differential_skew_r{args.round}.json",
+        f"differential_nulls_r{args.round}.json",
         f"rounding_audit_r{args.round}.json",
     }
     foreign = [
@@ -181,8 +190,8 @@ def main() -> None:
     # 4242+round; a fixed-seed corpus is a fixture after its first
     # green pass.  Materialize it here if absent (the dir is gitignored
     # so generation never dirties the stamps).
-    fresh_dir = skew_dir = None
-    if "freshdraw" not in skip or "skew" not in skip:
+    fresh_dir = skew_dir = nulls_dir = None
+    if {"freshdraw", "skew", "nulls"} - skip:
         sys.path.insert(0, os.path.join(_REPO, "tools"))
         import freshdraw_sf1
 
@@ -209,6 +218,17 @@ def main() -> None:
                 flush=True,
             )
             freshdraw_sf1.materialize(seed, 10, skew=SKEW_EXP)
+    if "nulls" not in skip:
+        # same per-round seed, NULL-injected measure/attribute columns:
+        # the 3VL / null-ordering / observed-sample axis (r12).
+        nulls_dir = freshdraw_sf1.out_dir(seed, 10, nulls=NULLS_RATE)
+        if not os.path.isfile(os.path.join(nulls_dir, "MANIFEST.json")):
+            print(
+                f"== close-gate: materializing null-injection corpus "
+                f"(seed {seed}, nulls {NULLS_RATE}) at {nulls_dir}",
+                flush=True,
+            )
+            freshdraw_sf1.materialize(seed, 10, nulls=NULLS_RATE)
 
     if args.parallel:
         big_env = dict(os.environ)
@@ -246,6 +266,12 @@ def main() -> None:
                 [py, "tools/differential_sf1.py",
                  "--sf-dir", skew_dir,
                  "--out", f"differential_skew_r{args.round}.json"],
+                None, big_env,
+            ),
+            "nulls": (
+                [py, "tools/differential_sf1.py",
+                 "--sf-dir", nulls_dir,
+                 "--out", f"differential_nulls_r{args.round}.json"],
                 None, big_env,
             ),
         }
@@ -379,6 +405,18 @@ def main() -> None:
             env=big,
         )
         _commit(f"differential_skew_r{args.round}.json")
+    if "nulls" not in skip:
+        ok &= _run(
+            "null-injection differential",
+            [
+                py, "tools/differential_sf1.py",
+                "--sf-dir", nulls_dir,
+                "--out", f"differential_nulls_r{args.round}.json",
+            ],
+            None,
+            env=big,
+        )
+        _commit(f"differential_nulls_r{args.round}.json")
 
     _summarize(args, ok)
 
@@ -393,6 +431,7 @@ def _summarize(args, ok: bool) -> None:
         ("sf3", "differential_sf3.json"),
         ("freshdraw", f"differential_freshdraw_r{args.round}.json"),
         ("skew", f"differential_skew_r{args.round}.json"),
+        ("nulls", f"differential_nulls_r{args.round}.json"),
     ]:
         try:
             d = json.load(open(os.path.join(_REPO, path)))
