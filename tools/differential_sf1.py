@@ -32,6 +32,7 @@ import hashlib
 import json
 import os
 import sys
+import tempfile
 import threading
 import time
 
@@ -133,6 +134,16 @@ def main() -> None:
 
     spark = get_spark(app_name="differential_sf1")
     con = duckdb.connect()
+    # Cap the oracle's memory (default would be ~80% of RAM): sharing
+    # the box with a Spark JVM, an uncapped DuckDB spill-to-RAM gets
+    # the WHOLE differential process kernel-OOM-killed mid-run (r12:
+    # the sf3 q127 twin reached 81 GB RSS and took the run with it).
+    # Capped, it raises OutOfMemoryException instead — which
+    # is_oracle_resource_failure classifies as a clean excluded-with-
+    # reason row, preserving the rest of the run.
+    duck_mem = os.environ.get("DIFF_SF1_DUCK_MEM", "40GB")
+    con.execute(f"SET memory_limit='{duck_mem}'")
+    con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duckspill'")
     for t in TABLES:
         path = os.path.join(args.sf_dir, f"{t}.parquet")
         glob = f"{path}/*.parquet" if os.path.isdir(path) else path
