@@ -58,7 +58,16 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+def _corpus_id(d) -> str:
+    """Parametrize id: with ZERO corpora on disk pytest still builds one
+    empty parameter set (a NOTSET sentinel) and calls the id function on
+    it — a bare ``os.path.basename`` raises there and kills COLLECTION
+    of the whole suite (r12: the driver wipes benchdata/ between
+    rounds, so the boundary tree must collect corpus-free)."""
+    return os.path.basename(d) if isinstance(d, str) else str(d)
+
+
+@pytest.mark.parametrize("d", _corpora(), ids=_corpus_id)
 def test_schemas_match_driver_tables(d):
     import pyarrow.parquet as pq
 
@@ -73,7 +82,7 @@ def test_schemas_match_driver_tables(d):
         ], t
 
 
-@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+@pytest.mark.parametrize("d", _corpora(), ids=_corpus_id)
 def test_rowcounts_match_declared_factor(d):
     import pyarrow.parquet as pq
 
@@ -88,7 +97,7 @@ def test_rowcounts_match_declared_factor(d):
         assert pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows == n
 
 
-@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+@pytest.mark.parametrize("d", _corpora(), ids=_corpus_id)
 def test_orderkey_multiplicity_is_fresh_not_copied(d):
     """Key-shifted copies preserve sf0.1's per-key line counts exactly
     (every orderkey present, multiplicities a verbatim repeat); fresh
@@ -177,7 +186,7 @@ def test_per_seed_corpora_differ_pairwise():
             )
 
 
-@pytest.mark.parametrize("d", _corpora(), ids=os.path.basename)
+@pytest.mark.parametrize("d", _corpora(), ids=_corpus_id)
 def test_null_injection_contract(d):
     """r12 NULL-injection axis: a nulls corpus must null ONLY the
     declared measure/attribute columns at ~the manifest rate, and
