@@ -53,6 +53,13 @@ def _nulls(d: str) -> float:
     return 0.0
 
 
+def _edge(d: str) -> float:
+    mpath = os.path.join(d, "MANIFEST.json")
+    if os.path.isfile(mpath):
+        return json.load(open(mpath)).get("edge", 0.0)
+    return 0.0
+
+
 pytestmark = pytest.mark.skipif(
     not _corpora(), reason="no fresh-draw corpus materialized"
 )
@@ -178,7 +185,9 @@ def test_per_seed_corpora_differ_pairwise():
     for i in range(len(dirs)):
         for j in range(i + 1, len(dirs)):
             if draw_id(dirs[i]) == draw_id(dirs[j]):
-                continue  # null-rate siblings share the draw by design
+                # null-rate and edge-rate siblings share the key draw by
+                # design (both inject via masks/side-streams, never keys)
+                continue
             assert heads[dirs[i]] != heads[dirs[j]], (
                 dirs[i],
                 dirs[j],
@@ -228,3 +237,56 @@ def test_null_injection_contract(d):
         got = nullfrac(t, c)
         want = p * mult
         assert abs(got - want) < 0.25 * want + 0.01, (t, c, got, want)
+
+
+@pytest.mark.parametrize("d", _corpora(), ids=_corpus_id)
+def test_edge_injection_contract(d):
+    """r12 edge-value axis: an edge corpus must actually contain the
+    pathological regimes it claims (empty documents, zero-norm
+    embedding vectors, exact timestamp ties, boundary money values) at
+    ~the manifest rate — and a NON-edge corpus must contain none of
+    them (the organic draws cannot produce an empty text, an exactly
+    -999.99 balance, or a microsecond-identical tie pileup)."""
+    import duckdb
+
+    e = _edge(d)
+    con = duckdb.connect()
+    mpath = os.path.join(d, "MANIFEST.json")
+    rows = json.load(open(mpath))["rows"] if os.path.isfile(mpath) else None
+    if rows is None:
+        pytest.skip("legacy corpus predates MANIFEST")
+
+    empty_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{d}/documents.parquet') "
+        "WHERE text = ''"
+    ).fetchone()[0]
+    zero_vecs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{d}/embeddings.parquet') "
+        "WHERE length(list_filter(embedding, x -> x <> 0)) = 0"
+    ).fetchone()[0]
+    max_tie = con.execute(
+        f"SELECT max(c) FROM (SELECT count(*) AS c FROM "
+        f"read_parquet('{d}/events.parquet') GROUP BY ts)"
+    ).fetchone()[0]
+    boundary_bal = con.execute(
+        f"SELECT count(*) FROM read_parquet('{d}/customer.parquet') "
+        "WHERE c_acctbal IN (-999.99, 9999.99)"
+    ).fetchone()[0]
+
+    if not e:
+        assert empty_docs == 0
+        assert zero_vecs == 0
+        assert boundary_bal == 0
+        assert max_tie < 10  # organic microsecond draws barely collide
+        return
+
+    n_docs, n_vecs = rows["documents"], rows["embeddings"]
+    n_events, n_cust = rows["events"], rows["customer"]
+    # ~e of docs drawn from a 13-entry pool, one of which is ""
+    assert 0.2 * e * n_docs / 13 < empty_docs < 3.0 * e * n_docs / 13
+    # zero vectors: class 0 of 5 (+ possible exact duplicates of one)
+    assert 0.2 * e * n_vecs / 5 < zero_vecs < 3.0 * e * n_vecs / 5
+    # ties concentrate ~e of events onto 3 instants
+    assert max_tie > 0.1 * e * n_events
+    # boundary balances: 2 of the 5 pool values probed here
+    assert 0.2 * e * n_cust * 2 / 5 < boundary_bal < 3.0 * e * n_cust * 2 / 5

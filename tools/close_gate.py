@@ -24,6 +24,11 @@ Runs, in order (each subprocess so sessions don't share state):
      (full registry on the per-round nulls-0.1 corpus — measure/
       attribute columns at 5-10% NULL, keys non-null: the 3VL/window-
       null-ordering/observed-sample conventions of r12, standing)
+  8. edge-value differential     -> differential_edge_r{N}.json
+     (full registry on the per-round edge-0.1 corpus — empty/emoji/
+      combining-mark/4000-token documents, zero/extreme/duplicate
+      embedding vectors, exact timestamp ties, boundary money values:
+      the web-garbage robustness conventions of r12, standing)
 
 Refuses to start on a dirty tree — a stale/dirty-stamped artifact is
 the exact judge-complaint class this gate exists to close.  Each
@@ -57,6 +62,11 @@ SKEW_EXP = 1.2
 # NULL-injection rate for the per-round nulls corpus (step 7): measure/
 # attribute columns at rate (or rate/2), keys/text/embeddings non-null.
 NULLS_RATE = 0.1
+
+# edge-value injection rate for the per-round edge corpus (step 8):
+# pathological documents/vectors/timestamps/money at this rate, keys
+# and row counts untouched.
+EDGE_RATE = 0.1
 
 # the fresh-draw step runs the FULL registry: the corpus's different
 # distribution (organic uniqueness, fresh multiplicities, different
@@ -129,7 +139,7 @@ def main() -> None:
     ap.add_argument(
         "--skip",
         default="",
-        help="comma list from {lint,raudit,det,sf1,sf3,freshdraw,skew,nulls}",
+        help="comma list from {lint,raudit,det,sf1,sf3,freshdraw,skew,nulls,edge}",
     )
     ap.add_argument(
         "--commit",
@@ -163,6 +173,7 @@ def main() -> None:
         f"differential_freshdraw_r{args.round}.json",
         f"differential_skew_r{args.round}.json",
         f"differential_nulls_r{args.round}.json",
+        f"differential_edge_r{args.round}.json",
         f"rounding_audit_r{args.round}.json",
     }
     foreign = [
@@ -190,8 +201,8 @@ def main() -> None:
     # 4242+round; a fixed-seed corpus is a fixture after its first
     # green pass.  Materialize it here if absent (the dir is gitignored
     # so generation never dirties the stamps).
-    fresh_dir = skew_dir = nulls_dir = None
-    if {"freshdraw", "skew", "nulls"} - skip:
+    fresh_dir = skew_dir = nulls_dir = edge_dir = None
+    if {"freshdraw", "skew", "nulls", "edge"} - skip:
         sys.path.insert(0, os.path.join(_REPO, "tools"))
         import freshdraw_sf1
 
@@ -229,6 +240,19 @@ def main() -> None:
                 flush=True,
             )
             freshdraw_sf1.materialize(seed, 10, nulls=NULLS_RATE)
+
+    if "edge" not in skip:
+        # same per-round seed, edge-value injection: the web-garbage
+        # robustness axis (r12) — empty/emoji/long documents, zero and
+        # extreme vectors, exact ts ties, boundary money.
+        edge_dir = freshdraw_sf1.out_dir(seed, 10, edge=EDGE_RATE)
+        if not os.path.isfile(os.path.join(edge_dir, "MANIFEST.json")):
+            print(
+                f"== close-gate: materializing edge-value corpus "
+                f"(seed {seed}, edge {EDGE_RATE}) at {edge_dir}",
+                flush=True,
+            )
+            freshdraw_sf1.materialize(seed, 10, edge=EDGE_RATE)
 
     if args.parallel:
         big_env = dict(os.environ)
@@ -272,6 +296,12 @@ def main() -> None:
                 [py, "tools/differential_sf1.py",
                  "--sf-dir", nulls_dir,
                  "--out", f"differential_nulls_r{args.round}.json"],
+                None, big_env,
+            ),
+            "edge": (
+                [py, "tools/differential_sf1.py",
+                 "--sf-dir", edge_dir,
+                 "--out", f"differential_edge_r{args.round}.json"],
                 None, big_env,
             ),
         }
@@ -417,6 +447,18 @@ def main() -> None:
             env=big,
         )
         _commit(f"differential_nulls_r{args.round}.json")
+    if "edge" not in skip:
+        ok &= _run(
+            "edge-value differential",
+            [
+                py, "tools/differential_sf1.py",
+                "--sf-dir", edge_dir,
+                "--out", f"differential_edge_r{args.round}.json",
+            ],
+            None,
+            env=big,
+        )
+        _commit(f"differential_edge_r{args.round}.json")
 
     _summarize(args, ok)
 
@@ -432,6 +474,7 @@ def _summarize(args, ok: bool) -> None:
         ("freshdraw", f"differential_freshdraw_r{args.round}.json"),
         ("skew", f"differential_skew_r{args.round}.json"),
         ("nulls", f"differential_nulls_r{args.round}.json"),
+        ("edge", f"differential_edge_r{args.round}.json"),
     ]:
         try:
             d = json.load(open(os.path.join(_REPO, path)))

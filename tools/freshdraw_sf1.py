@@ -71,12 +71,68 @@ _P_ADJ = "large hot blue old cold small new dark".split()
 _P_NOUN = "ring bolt plate wheel cog pin rod cap".split()
 
 
-def out_dir(seed: int, factor: int, skew: float = 0.0, nulls: float = 0.0) -> str:
+def out_dir(
+    seed: int, factor: int, skew: float = 0.0, nulls: float = 0.0,
+    edge: float = 0.0,
+) -> str:
     """Per-seed corpus directory: freshdraw_sf{factor/10}_s{seed}."""
     tag = {10: "sf1", 30: "sf3"}.get(factor, f"x{factor}")
     sk = f"_zipf{skew:g}" if skew else ""
     nu = f"_nulls{nulls:g}" if nulls else ""
-    return os.path.join(_REPO, "benchdata", f"freshdraw_{tag}_s{seed}{sk}{nu}")
+    ed = f"_edge{edge:g}" if edge else ""
+    return os.path.join(
+        _REPO, "benchdata", f"freshdraw_{tag}_s{seed}{sk}{nu}{ed}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# EDGE-VALUE injection (r12 axis): the pathological values a real web-
+# scale corpus is full of but every prior corpus lacked — empty /
+# whitespace-only / emoji / combining-mark / single-char / punctuation-
+# only / URL-and-digit / mixed-script / very-long documents, zero and
+# extreme-magnitude embedding vectors, exact-duplicate vectors, exact
+# timestamp ties, empty-and-null-valued JSON props, and exact range-
+# boundary money values.  Injection draws from a SEPARATE rng stream
+# (seed + _EDGE_SEED_OFFSET) applied as a post-pass over already-drawn
+# columns, so the main key/value draw is bit-identical to the same-seed
+# uniform corpus (the pairwise-differ validator exempts same-draw
+# siblings by (seed, factor, skew)).
+# ---------------------------------------------------------------------------
+
+_EDGE_SEED_OFFSET = 990_000
+
+# document replacement pool: index chosen per edge-selected doc.  Every
+# entry is VALID UTF-8 without lone surrogates or NUL bytes (parquet-
+# and engine-portable); the adversarial axis is semantic (tokenizers,
+# shingles, normalizers, length conventions), not encoding corruption.
+_EDGE_DOCS = [
+    "",                                          # empty document
+    " \t  \n ",                                  # whitespace-only
+    "a",                                         # single ASCII char
+    "漢",                                    # single CJK char
+    "\U0001f680 \U0001f600 data \U0001f525 pipeline \U0001f30d",  # astral emoji
+    "café naive résumé café",  # combining accents (NFD-ish)
+    "café naïve résumé café",  # precomposed twin
+    "!!! ??? ... --- ;;; :::",                   # punctuation-only
+    ("spam " * 64).strip(),                      # one token repeated 64x
+    "http://example.com/a?b=1&c=2 https://EXAMPLE.com/A 42 3.14159 -7",
+    "hello мир 世界 שלום mixed script",
+    "line1\nline2\r\nline3\ttabbed",             # embedded newlines/CR/tabs
+]
+
+# exact boundary money values (range endpoints + zero + one-cent)
+_EDGE_ACCTBAL = np.array([-999.99, 0.0, 9999.99, 0.01, -0.01])
+_EDGE_TOTALPRICE = np.array([1000.0, 500000.0, 123456.78])
+
+# exact tie instants inside the events window (microsecond-identical
+# timestamps across thousands of rows: window/session tie regime)
+_EDGE_TS = [
+    np.datetime64("2024-01-08T00:00:00", "us"),
+    np.datetime64("2024-01-15T12:00:00", "us"),
+    np.datetime64("2024-01-22T06:30:00", "us"),
+]
+
+_EDGE_PROPS = ["{}", '{"k": null}']
 
 
 def _ts_us(base: str, span_days: float, offs: np.ndarray) -> pa.Array:
@@ -113,10 +169,25 @@ def materialize(
     out: str | None = None,
     skew: float = 0.0,
     nulls: float = 0.0,
+    edge: float = 0.0,
 ) -> str:
-    out = out or out_dir(seed, factor, skew, nulls)
+    out = out or out_dir(seed, factor, skew, nulls, edge)
     rng = np.random.default_rng(seed)
+    # edge injection uses its OWN stream so the main draw (keys, values,
+    # multiplicities) is bit-identical to the same-seed uniform corpus
+    erng = np.random.default_rng(seed + _EDGE_SEED_OFFSET)
     os.makedirs(out, exist_ok=True)
+
+    def _edge_vals(arr: np.ndarray, pool: np.ndarray, rate_mult: float = 1.0):
+        """Overwrite ~edge*rate_mult of arr with exact boundary values
+        (range endpoints, exact zero, one-cent magnitudes): the money
+        regime where snap/compare conventions bite."""
+        if not edge:
+            return arr
+        mask = erng.uniform(0, 1, len(arr)) < edge * rate_mult
+        arr = arr.copy()
+        arr[mask] = pool[erng.integers(0, len(pool), int(mask.sum()))]
+        return arr
 
     def _nullable(arr, rate_mult: float = 1.0):
         """NULL-injection axis (r12): the driver testdata and every
@@ -171,9 +242,10 @@ def materialize(
                 "c_nationkey": pa.array(
                     rng.integers(0, 25, n_cust), type=pa.int32()
                 ),
-                "c_acctbal": _nullable(pa.array(
-                    np.round(rng.uniform(-999.99, 9999.99, n_cust), 2)
-                )),
+                "c_acctbal": _nullable(pa.array(_edge_vals(
+                    np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+                    _EDGE_ACCTBAL,
+                ))),
                 "c_mktsegment": _nullable(pa.array(
                     np.array(
                         ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
@@ -241,9 +313,10 @@ def materialize(
                 "o_orderstatus": pa.array(
                     np.array(["O", "P", "F"])[rng.integers(0, 3, n_orders)]
                 ),
-                "o_totalprice": _nullable(pa.array(
-                    np.round(rng.uniform(1000.0, 500000.0, n_orders), 2)
-                ), 0.5),
+                "o_totalprice": _nullable(pa.array(_edge_vals(
+                    np.round(rng.uniform(1000.0, 500000.0, n_orders), 2),
+                    _EDGE_TOTALPRICE,
+                )), 0.5),
                 "o_orderdate": _nullable(_ts_us(
                     "1995-01-01", 2400, np.floor(rng.uniform(0, 1, n_orders) * 2400) / 2400
                 ), 0.5),
@@ -295,24 +368,37 @@ def materialize(
         ),
     )
 
+    # events: main draw first (stream-identical to the uniform sibling),
+    # then the edge post-pass snaps ~edge of timestamps onto three fixed
+    # microsecond-identical instants (window/session/rank TIE regime),
+    # zeroes half the selected values exactly, and swaps half the
+    # selected props for "{}" / '{"k": null}' (missing-key vs JSON-null)
+    ev_ts = _ts_us("2024-01-01", 30, rng.uniform(0, 1, n_events))
+    ev_user = _keydraw(rng, n_users, n_events, skew)
+    ev_type = np.array(["view", "click", "purchase", "signup", "error"])[
+        rng.integers(0, 5, n_events)
+    ]
+    ev_value = np.round(rng.uniform(0, 560.0, n_events), 2)
+    ev_props = [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)]
+    if edge:
+        sel = np.flatnonzero(erng.uniform(0, 1, n_events) < edge)
+        us = np.asarray(ev_ts.cast(pa.int64())).copy()
+        tie = np.array([t.astype("int64") for t in _EDGE_TS])
+        us[sel] = tie[erng.integers(0, len(tie), len(sel))]
+        ev_ts = pa.array(us, type=pa.timestamp("us"))
+        ev_value[sel[erng.uniform(0, 1, len(sel)) < 0.5]] = 0.0
+        for i in sel[erng.uniform(0, 1, len(sel)) < 0.5]:
+            ev_props[i] = _EDGE_PROPS[erng.integers(0, len(_EDGE_PROPS))]
     _write(
         "events",
         pa.table(
             {
                 "event_id": pa.array(np.arange(n_events), type=pa.int64()),
-                "ts": _ts_us("2024-01-01", 30, rng.uniform(0, 1, n_events)),
-                "user_id": pa.array(
-                    _keydraw(rng, n_users, n_events, skew), type=pa.int64()
-                ),
-                "event_type": pa.array(
-                    np.array(["view", "click", "purchase", "signup", "error"])[
-                        rng.integers(0, 5, n_events)
-                    ]
-                ),
-                "value": _nullable(pa.array(np.round(rng.uniform(0, 560.0, n_events), 2))),
-                "props": _nullable(pa.array(
-                    [f'{{"k": {k}}}' for k in rng.integers(0, 100, n_events)]
-                )),
+                "ts": ev_ts,
+                "user_id": pa.array(ev_user, type=pa.int64()),
+                "event_type": pa.array(ev_type),
+                "value": _nullable(pa.array(ev_value)),
+                "props": _nullable(pa.array(ev_props)),
             }
         ),
     )
@@ -325,6 +411,15 @@ def materialize(
     texts = [
         " ".join(rng.choice(_WORDS, n, p=probs)) for n in lengths
     ]
+    if edge:
+        # replace ~edge of documents with pathological texts (empty /
+        # whitespace / emoji / combining-mark / repeated-token / URL /
+        # mixed-script / embedded-newline / 4000-token long doc) — the
+        # "web garbage" every tokenizer/shingler/normalizer meets at
+        # crawl scale; n_chars below is computed AFTER replacement
+        pool = _EDGE_DOCS + [" ".join(erng.choice(_WORDS, 4000))]
+        for i in np.flatnonzero(erng.uniform(0, 1, n_docs) < edge):
+            texts[i] = pool[erng.integers(0, len(pool))]
     _write(
         "documents",
         pa.table(
@@ -347,6 +442,26 @@ def materialize(
     )
 
     vecs = rng.normal(0, 0.3, (n_vecs, DIM)).astype("float32")
+    if edge:
+        # ~edge of vectors become pathological: all-zero (norm 0 — the
+        # cosine 0/0 guard regime), tiny 1e-20 magnitude (underflow-
+        # adjacent norms), huge 1e15 magnitude (float32 dot-product
+        # overflow regime), one-hot axis vectors, and EXACT duplicates
+        # of another edge vector (cosine==1 ties, exact-dup detection)
+        sel = np.flatnonzero(erng.uniform(0, 1, n_vecs) < edge)
+        cls = erng.integers(0, 5, len(sel))
+        for i, c in zip(sel, cls):
+            if c == 0:
+                vecs[i] = 0.0
+            elif c == 1:
+                vecs[i] = 1e-20
+            elif c == 2:
+                vecs[i] = erng.normal(0, 1e15, DIM).astype("float32")
+            elif c == 3:
+                vecs[i] = 0.0
+                vecs[i, int(erng.integers(0, DIM))] = 1.0
+            else:
+                vecs[i] = vecs[sel[0]]
     _write(
         "embeddings",
         pa.table(
@@ -363,7 +478,8 @@ def materialize(
     # run saw — the rotation is worthless if the artifact can't show it
     with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
         json.dump(
-            {"seed": seed, "factor": factor, "skew": skew, "nulls": nulls, "rows": rows},
+            {"seed": seed, "factor": factor, "skew": skew, "nulls": nulls,
+             "edge": edge, "rows": rows},
             fh, indent=1
         )
     return out
@@ -393,16 +509,26 @@ if __name__ == "__main__":
         help="NULL-injection rate for measure/attribute columns (r12 "
         "axis; keys/join columns/text/embeddings stay non-null)",
     )
+    ap.add_argument(
+        "--edge", type=float, default=0.0,
+        help="edge-value injection rate (r12 axis): pathological web-"
+        "garbage documents, zero/extreme/duplicate embedding vectors, "
+        "exact timestamp ties, empty/null JSON props, boundary money "
+        "values — keys and row counts untouched",
+    )
     args = ap.parse_args()
     seed = (
         args.seed
         if args.seed is not None
         else SEED_BASE + args.round if args.round is not None else SEED_BASE
     )
-    dest = out_dir(seed, args.factor, args.skew, args.nulls)
+    dest = out_dir(seed, args.factor, args.skew, args.nulls, args.edge)
     print(
         f"materializing fresh-draw corpus at {dest} "
-        f"(seed {seed}, x{args.factor}, skew {args.skew:g}, nulls {args.nulls:g})"
+        f"(seed {seed}, x{args.factor}, skew {args.skew:g}, "
+        f"nulls {args.nulls:g}, edge {args.edge:g})"
     )
-    materialize(seed, args.factor, skew=args.skew, nulls=args.nulls)
+    materialize(
+        seed, args.factor, skew=args.skew, nulls=args.nulls, edge=args.edge
+    )
     print("done")
