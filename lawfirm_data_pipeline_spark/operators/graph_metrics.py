@@ -195,6 +195,17 @@ def triangle_counts(
     # never materializes: the exchanges carry |E| rows + arrays, and the
     # quadratic work happens inside a codegen'd intersect.
     adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("v")).alias("nbrs"))
+    # r12 OPTIMIZATION (guide §2.4 "remove shuffles outright"): adj is
+    # consumed TWICE below (exploded edge stream + closing-join build
+    # side), and Spark evaluated the whole orient→collect_list pipeline
+    # once per consumer — the before-plan shows two identical
+    # ObjectHashAggregate legs, each with its own Exchange (plans/r12/
+    # q127_triangle_count_before.txt).  One eager localCheckpoint
+    # materializes the |V|-row adjacency (payload |E| longs, bounded by
+    # GRAPH_MAX_BASKET) so both consumers scan it: 4 Exchanges + twice-
+    # built adjacency → 3 Exchanges + once-built (sf0.1 in-session A/B:
+    # 2.30 s → 2.12 s steady-state, match-verified row-for-row).
+    adj = adj.localCheckpoint(eager=True)
     # re-derive the edge stream from adj itself (explode carries each
     # apex's own array alongside), so closing needs ONE join — probe the
     # exploded edges against adj on the head endpoint.

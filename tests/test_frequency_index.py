@@ -113,8 +113,18 @@ def test_boilerplate_preserves_passage_order(spark):
 def test_boilerplate_hot_set_broadcasts_not_sortmerge(spark):
     docs = load_table(spark, SF, "documents")
     plan = plan_of(boilerplate_filter(docs, min_docs=3, passage_tokens=8))
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    # r12: left_anti + separate totals aggregate folded into ONE
+    # left_outer broadcast mark + ONE per-doc aggregate (tokenize
+    # passes 3 -> 2); the hot set must still broadcast, never sort-merge
+    assert "BuildRight" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # exactly one per-doc aggregation (no totals re-aggregate + join);
+    # collect_list plans as ObjectHashAggregate — partial + final
+    import re
+
+    # formatted explain lists each node once in the tree and once in the
+    # details section — count the details headers
+    assert len(re.findall(r"\(\d+\) ObjectHashAggregate", plan)) == 2, plan
 
 
 # --- embedding covariance ---------------------------------------------
