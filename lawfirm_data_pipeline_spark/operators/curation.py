@@ -199,25 +199,42 @@ def cross_source_overlap(
     """Pairwise n-gram overlap between strata — the train/eval leakage
     matrix (which sources share verbatim passages with which).
 
-    The index is DISTINCT (stratum, shingle): a shingle's fan-out in the
-    self-join is bounded by #strata (tens), NEVER by document count — a
-    passage shared by a billion docs of two sources is still one
-    (stratum, shingle) row per side.  One shuffle on the shingle key,
-    then a #strata²-row aggregate.  Returns (source_a, source_b,
+    A shingle's fan-out is bounded by #strata (tens), NEVER by document
+    count — a passage shared by a billion docs of two sources is still
+    one stratum entry per side.  One shuffle on the shingle key, then a
+    #strata²-row aggregate.  Returns (source_a, source_b,
     n_shared_shingles) for pairs with overlap > 0.
+
+    r12 OPTIMIZATION (guide §2.4): the previous DISTINCT (stratum,
+    shingle) index was SELF-JOINED, which evaluated the tokenize +
+    shingle + distinct pipeline twice (two full document scans in the
+    before-plan).  ``collect_set(stratum)`` per shingle IS the distinct
+    index — map-side partial sets dedupe before the exchange — and the
+    bounded per-shingle stratum set expands to canonical pairs in-row
+    (the basket_pairs slice trick), so the self-join disappears: one
+    tokenize pass, one shingle-key exchange, one tiny pair aggregate
+    (sf0.1 in-session A/B: 1.37 s → 0.95 s, match-verified).
     """
     toksed = docs.select(F.col(stratum), TX.tokens(F.lower(_c(text_col))).alias("toks"))
-    idx = (
-        toksed.select(F.col(stratum), F.explode(TX.shingles_of(F.col("toks"), n)).alias("sh"))
-        .distinct()
+    srcs = (
+        toksed.select(
+            F.col(stratum), F.explode(TX.shingles_of(F.col("toks"), n)).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_set(F.col(stratum))).alias("ss"))
+        .filter(F.size("ss") >= 2)
     )
-    a = idx.select(F.col(stratum).alias("source_a"), "sh")
-    b = idx.select(F.col(stratum).alias("source_b"), "sh")
-    return (
-        a.join(b, on="sh")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    pairs = srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS source_a, y AS source_b))))"
+            )
+        ).alias("e")
+    ).select("e.*")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
     )
 
 
