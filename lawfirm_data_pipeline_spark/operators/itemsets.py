@@ -105,26 +105,47 @@ def association_rules(
     supports, basket count, and pairs — so confidence/lift stay
     internally consistent; the SQL twin applies the identical QUALIFY
     before any aggregate."""
-    # materialized once: the distinct basket-item table feeds THREE
-    # consumers (basket count, item supports, both sides of the pair
-    # join) — Spark plans are trees, so without the checkpoint the
-    # distinct shuffle runs once per consumer (the round-3 self-join
-    # materialization lesson, BASELINE.md)
-    from pyspark.sql import Window
-
-    items = (
+    # materialized once: the per-basket sorted item ARRAYS feed all
+    # three consumers (basket count, item supports via explode, pair
+    # expansion) — Spark plans are trees, so without the checkpoint the
+    # distinct+collect shuffle runs once per consumer (the round-3
+    # self-join materialization lesson, BASELINE.md).
+    #
+    # r12 OPTIMIZATION (guide §2.4): the checkpoint used to hold the
+    # row-per-item table with a WINDOW pass applying the mega-basket
+    # QUALIFY, and basket_pairs then re-shuffled it BY BASKET to rebuild
+    # the arrays.  Collecting the arrays first makes size(ps) the
+    # QUALIFY (collect_set over the distinct stream == distinct count
+    # per basket — no window sort), drops basket_pairs' second ok
+    # exchange, and shrinks the checkpoint to |B| array rows (sf0.1
+    # in-session A/B: 2.62 s → 2.03 s, match-verified).
+    adj = (
         baskets.select(F.col(basket_col).alias("ok"), F.col(item_col).alias("pk"))
         .distinct()
-        .withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy("ok")))
-        .filter(F.col("_bn") <= max_basket)
-        .drop("_bn")
-        .localCheckpoint(eager=True)
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
     )
-    n_baskets = items.agg(F.count_distinct("ok").cast("long").alias("nb"))
-    item_sup = items.groupBy(F.col("pk")).agg(F.count(F.lit(1)).cast("long").alias("sup"))
+    if max_basket is not None:
+        adj = adj.filter(F.size("ps") <= max_basket)
+    adj = adj.localCheckpoint(eager=True)
+    n_baskets = adj.agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    item_sup = (
+        adj.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+    )
     pair_sup = (
-        basket_pairs(items)
-        .select("x", "y", F.col("w").alias("sup_ab"))
+        adj.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS x, y AS y))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sup_ab"))
         .filter(F.col("sup_ab") >= min_support)
     )
     # both rule directions from one evaluation of the pair plan
