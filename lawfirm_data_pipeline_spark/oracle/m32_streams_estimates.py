@@ -234,19 +234,23 @@ def q155_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.alias("fp"),
         )
     )
-    tot = rev.groupBy("yr").agg(F.sum("fp").cast("long").alias("total_fp"))
-    eu = (
-        rev.filter(F.col("region") == "EUROPE")
-        .groupBy("yr")
-        .agg(F.sum("fp").cast("long").alias("eu_fp"))
+    # r12 OPTIMIZATION (guide §2.4 "aggregate before you shuffle"): tot
+    # and eu were two separate aggregates over rev — the whole 5-table
+    # fact join ran TWICE (10 scans in the before-plan).  One
+    # conditional aggregate computes both integer sums in a single fact
+    # pass; the EUROPE conditional sum is exactly COALESCE(eu_fp, 0) of
+    # the old left join (both are sums of the same exact cents rows).
+    agg = rev.groupBy("yr").agg(
+        F.sum("fp").cast("long").alias("total_fp"),
+        F.sum(F.when(F.col("region") == "EUROPE", F.col("fp")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("eu_fp"),
     )
-    return tot.join(eu, "yr", "left").select(
+    return agg.select(
         "yr",
-        bfround(F.coalesce(F.col("eu_fp"), F.lit(0)).cast("double") / 100, 2).alias(
-            "europe_revenue"
-        ),
+        bfround(F.col("eu_fp").cast("double") / 100, 2).alias("europe_revenue"),
         bfround(F.col("total_fp").cast("double") / 100, 2).alias("total_revenue"),
-        bfround(F.coalesce(F.col("eu_fp"), F.lit(0)).cast("double")
+        bfround(F.col("eu_fp").cast("double")
             / F.col("total_fp").cast("double"), 6).alias("share"),
     )
 

@@ -99,8 +99,12 @@ def q185_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the unpack bound derives from the DATA (max source index), and a
     # 63rd+ source fails loudly instead of silently wrapping shiftleft /
     # dropping its pairs (r3 ADVICE: the old fixed sequence(0,19) would
-    # under-count a 21st source while the oracle counted it)
-    smax = guarded_max_source_bit(t)
+    # under-count a 21st source while the oracle counted it).
+    # r12 OPTIMIZATION (guide §2.4): read the bound from the CHECKPOINTED
+    # p, not from t — the old form re-ran the tokenize pipeline over the
+    # whole corpus just for max(s).  shiftleft only ever sees sources
+    # present in p, so guarding p's max is exactly the overflow guard.
+    smax = guarded_max_source_bit(p)
     mask_counts = mask_counts.crossJoin(F.broadcast(smax))
     idxs = F.filter(
         F.sequence(F.lit(0), F.col("max_s")),
