@@ -105,7 +105,11 @@ def kmeans_fixed(emb: DataFrame, k: int = 8, iters: int = 2, fp: int = FP) -> Da
     (cluster, dim) aggregation whose result is k x dim rows.  Nothing
     larger than the centroid summary ever reaches the driver.
     """
-    vec = emb.select("vec_id", to_fp_vec("embedding", fp).alias("v"))
+    # cache the fixed-point projection: the init top-k, each
+    # per-iteration recompute collect, and the final assignment are
+    # separate actions, so uncached the scan+transform runs iters+2
+    # times (guide §5 — reused AND recompute costs a full input pass)
+    vec = emb.select("vec_id", to_fp_vec("embedding", fp).alias("v")).cache()
     # seed from the k SMALLEST vec_ids (not the literal vec_id < k):
     # deterministic on any id space, and a short read fails loudly
     # instead of silently running with fewer clusters (r3 ADVICE)

@@ -104,17 +104,19 @@ def ann_recall_gate(
     fixed deterministic index varies widely (measured 0.3-1.0 here)
     while the mean is stable across scales.
     """
+    # ONE pass over approx: the old shape consumed it twice (an inner
+    # hits join + a separate per-query count), so the whole approximate
+    # pipeline — including its Arrow bucket-key UDFs — was evaluated
+    # once per consumer (guide §2.4/§4.4: 4 ArrowEvalPython nodes in the
+    # q38 plan, 2 sides x 2 evaluations).  (query, id) is unique on both
+    # sides (rank-deduped top-k), so a left join against a hit marker
+    # keeps multiplicity 1 and count(__hit) == the old inner-join count.
     a = approx.select(query_id_col, id_col)
-    hits = (
-        a.join(exact.select(query_id_col, id_col), [query_id_col, id_col])
-        .groupBy(query_id_col)
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
+    ex = exact.select(query_id_col, id_col).withColumn("__hit", F.lit(1))
     per_query = (
-        a.groupBy(query_id_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(hits, query_id_col, "left")
-        .select("n", F.coalesce("hits", F.lit(0)).alias("hits"))
+        a.join(ex, [query_id_col, id_col], "left")
+        .groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n"), F.count("__hit").alias("hits"))
     )
     return per_query.agg(
         F.count(F.lit(1)).cast("long").alias("n_queries"),

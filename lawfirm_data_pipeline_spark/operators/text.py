@@ -255,7 +255,11 @@ def unigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id")
     from pyspark.sql import functions as F  # noqa: F811 (local alias clarity)
 
     tok = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
-    tc = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # tc feeds two consumers (the corpus unigram model on the broadcast
+    # side and the per-doc scoring join) — uncached the tokenize+explode+
+    # count pipeline runs once per consumer (guide §5; same fix as
+    # tfidf_topk's term_counts and q117's bigram table)
+    tc = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt")).cache()
     corpus = tc.groupBy("w").agg(F.sum("cnt").alias("cw"))
     total = corpus.agg(F.sum("cw").alias("n"))
     lp = corpus.crossJoin(F.broadcast(total)).select(

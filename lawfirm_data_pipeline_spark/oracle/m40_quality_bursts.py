@@ -85,6 +85,11 @@ def q177_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sort_array(F.collect_list(F.struct("pos", "el"))), lambda r: r["el"]
             ).alias("c")
         )
+        # cent is #labels rows but its lineage is the corpus-wide
+        # posexplode aggregate, and it feeds THREE consumers (the intra
+        # broadcast, both sides of the prototype cross) — uncached the
+        # explode+agg pipeline runs once per consumer (guide §5)
+        .cache()
     )
     intra = (
         e.join(F.broadcast(cent), "label")
