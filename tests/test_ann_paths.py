@@ -84,3 +84,33 @@ def test_quantize_int8_bounds(spark):
     for r in rows:
         assert -127 <= r.qmin <= r.qmax <= 127
         assert r.max_err <= r.scale6 / 2 + 1e-6, (r.vec_id, r.max_err, r.scale6)
+
+
+def test_ann_recall_gate_single_pass_semantics(spark):
+    """The r12 one-pass gate rewrite (left join + count of hit markers)
+    must reproduce the original two-consumer semantics exactly:
+    zero-hit queries count hits=0 (not NULL), short result lists show
+    in min_n_results, and the mean is over queries present in approx."""
+    from lawfirm_data_pipeline_spark.operators.similarity import ann_recall_gate
+
+    approx = spark.createDataFrame(
+        # q1: 2 results, both hits; q2: 2 results, zero hits;
+        # q3: 1 result (short list), 1 hit
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30)],
+        "query_id long, vec_id long",
+    )
+    exact = spark.createDataFrame(
+        # q2's exact set is disjoint from its approx results; q4 exists
+        # only in exact and must NOT create a gated query row
+        [(1, 10), (1, 11), (2, 98), (2, 99), (3, 30), (3, 31), (4, 40)],
+        "query_id long, vec_id long",
+    )
+    # mean recall@2 = (2/2 + 0/2 + 1/2) / 3 = 0.5
+    row_ok = ann_recall_gate(approx, exact, k=2, threshold=0.5).collect()[0]
+    assert (row_ok.n_queries, row_ok.min_n_results, row_ok.recall_ok) == (3, 1, True)
+    row_fail = ann_recall_gate(approx, exact, k=2, threshold=0.51).collect()[0]
+    assert (row_fail.n_queries, row_fail.min_n_results, row_fail.recall_ok) == (
+        3,
+        1,
+        False,
+    )
