@@ -37,10 +37,13 @@ def name_variant_pairs(
     (column ``name``).  Output: (name_a, name_b, dist, n_a, n_b) with
     name_a < name_b.
     """
+    # the dictionary feeds both sides of the block join — uncached the
+    # full-table distinct-name aggregate runs once per side (guide §5)
     names = (
         df.groupBy(F.col(name_col).alias("name"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .withColumn("blk", block_key)
+        .cache()
     )
     a = names.select(
         F.col("blk"), F.col("name").alias("name_a"), F.col("n").alias("n_a")

@@ -181,9 +181,12 @@ def q231_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numeric node surrogate (min partkey per name): the CC convergence
     # aggregate sums labels, so nodes must be numeric; the canonical
     # NAME is recomputed per cluster at the end
+    # the surrogate dictionary has FOUR consumers (both pair-id joins,
+    # the CC universe, the final name join) — cache it so the part
+    # aggregate runs once, not per consumer (guide §5)
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.min("p_partkey").cast("long").alias("nid")
-    )
+    ).cache()
     pairs = name_variant_pairs(
         part, "p_name", F.split(F.col("name"), " ").getItem(1), max_dist=4
     ).select("name_a", "name_b")
