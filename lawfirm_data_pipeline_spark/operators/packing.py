@@ -165,7 +165,11 @@ def shard_assignments(
         "_ok", order_key(key_col, salt)
     )
     summed = exclusive_prefix_sum(t, "_sz", "_ok", out_col="_run_off")
-    total = summed.agg(F.sum("_sz").alias("_tot"))
+    # total from the PRE-prefix-sum table: summing over `summed` made
+    # the broadcast side re-run the whole two-phase prefix-sum
+    # machinery (two windows + a join) just to add up _sz — the exact
+    # integer sum is identical on either side (guide §2.4)
+    total = t.agg(F.sum("_sz").alias("_tot"))
     return (
         summed.crossJoin(F.broadcast(total))
         .withColumn(
