@@ -290,12 +290,14 @@ def hash_bucket_negatives(
         # r12 OPTIMIZATION (guide §2.4/§5): the distinct item catalog
         # feeds BOTH the in-plan bucket-count aggregate and the bucketed
         # candidate side, and the 1-row bucket count is cross-joined
-        # into both u and it — without caching, the catalog distinct ran
-        # 3x and the count aggregate 2x per query.  Both caches are
+        # into both u and it — without pinning, the catalog distinct ran
+        # 3x and the count aggregate 2x per query.  Both pins are
         # bounded by CATALOG size (|items| rows of one key / 1 row),
         # never fact volume (sf0.1 in-session A/B: 1.81 s → 1.46 s,
-        # match-verified).
-        it_distinct = it_distinct.cache()
+        # match-verified).  r13 (r12 verdict #1): eager localCheckpoint,
+        # not cache() — no CacheManager entry survives the query;
+        # blocks are ContextCleaner-freed on GC.
+        it_distinct = it_distinct.localCheckpoint(eager=True)
         nb_df = it_distinct.agg(
             F.greatest(
                 F.lit(100),
@@ -303,7 +305,7 @@ def hash_bucket_negatives(
             )
             .cast("long")
             .alias("__nb")
-        ).cache()
+        ).localCheckpoint(eager=True)
         u = (
             positives.select(F.col(user_col))
             .distinct()

@@ -189,8 +189,13 @@ def cms_frequency_audit(
     import math
 
     toks = docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    # r13 (r12 verdict #1): eager localCheckpoint, not cache() — the
+    # vocabulary-sized pin must not outlive the query in the session
+    # CacheManager; blocks are ContextCleaner-freed on GC.
     true_counts = (
-        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).cache()
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     total = true_counts.agg(F.sum("cnt").alias("n_total"))
     cms = (

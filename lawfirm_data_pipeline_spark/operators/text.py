@@ -21,6 +21,8 @@ import pandas as pd  # noqa: F401 — pandas_udf type hints at runtime
 
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
 from lawfirm_data_pipeline_spark.functions.rounding import bfround
 
 # Tiny per-language marker vocabularies for the heuristic language id.
@@ -190,11 +192,19 @@ def tfidf_topk(docs, k: int = 3, text_col: str = "text", id_col: str = "doc_id")
 
     toks = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
     # term_counts feeds three consumers (doc lengths, document
-    # frequencies, the tf join); cached, the corpus tokenizes exactly
+    # frequencies, the tf join); pinned, the corpus tokenizes exactly
     # once.  doc_lens derives algebraically from it (sum of per-term
     # counts = token count) instead of re-exploding the corpus.
+    # r13: eager serialized-disk localCheckpoint, not cache() — the
+    # table is CORPUS-scale (one row per (doc, term)), so an unreleased
+    # MEMORY_AND_DISK cache entry is a multi-TB session leak at 100 TB;
+    # checkpoint blocks are ContextCleaner-freed on GC and the explicit
+    # serialized level keeps the resident footprint bounded (r12
+    # verdict #1, guide §5).
     term_counts = (
-        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tc")).cache()
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     doc_lens = term_counts.groupBy(id_col).agg(F.sum("tc").alias("dl"))
     df_counts = term_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -256,10 +266,18 @@ def unigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id")
 
     tok = docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
     # tc feeds two consumers (the corpus unigram model on the broadcast
-    # side and the per-doc scoring join) — uncached the tokenize+explode+
+    # side and the per-doc scoring join) — unpinned the tokenize+explode+
     # count pipeline runs once per consumer (guide §5; same fix as
-    # tfidf_topk's term_counts and q117's bigram table)
-    tc = tok.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt")).cache()
+    # tfidf_topk's term_counts and q117's bigram table).  r13: eager
+    # serialized-disk localCheckpoint instead of cache() — tc is
+    # CORPUS-scale, and a cache() entry never unpersisted leaks it into
+    # the session CacheManager for the session's lifetime (r12 verdict
+    # #1); checkpoint blocks are freed by the ContextCleaner on GC.
+    tc = (
+        tok.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     corpus = tc.groupBy("w").agg(F.sum("cnt").alias("cw"))
     total = corpus.agg(F.sum("cw").alias("n"))
     lp = corpus.crossJoin(F.broadcast(total)).select(
@@ -416,6 +434,14 @@ def bigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
     and was re-aggregated from the cached ``dbc`` once per consumer;
     persisting ``cb`` too drops two full (w1, w2) aggregation passes
     (sf0.1 in-session A/B: 2.21 s → 1.73 s, match-verified).
+
+    r13 (r12 verdict #1, guide §5): both pins are eager
+    localCheckpoints, not persist() — ``dbc`` is CORPUS-scale (one row
+    per (doc, bigram)) and an unreleased persist is a multi-TB session
+    leak at 100 TB; the explicit serialized MEMORY_AND_DISK level
+    bounds the resident footprint, and checkpoint blocks are
+    ContextCleaner-freed once the returned plan is GC'd.  ``cb`` is
+    vocabulary-pair-bounded and takes the default level.
     """
     tok = tokenized(docs, text_col=text_col, id_col=id_col)
     dbc = (
@@ -435,9 +461,13 @@ def bigram_logprob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
         .select(id_col, "b.w1", "b.w2")
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    cb = dbc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12")).persist()
+    cb = (
+        dbc.groupBy("w1", "w2")
+        .agg(F.sum("cnt").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     cl = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = cb.agg(F.count_distinct("w2").alias("v"))
     lp = (

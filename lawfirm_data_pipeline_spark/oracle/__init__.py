@@ -163,48 +163,28 @@ from . import m17_retrieval_quality  # noqa: F401
 # to resolve to their canonical modules rather than the placeholder
 # delegates.
 #
-# ROUND-12 WINDOW: CORRECTNESS_r11 greened the full r11 window (q295's
-# first driver row included — the registry's cumulative driver-green is
-# now 300/300, no never-green queries remain), so the window advances to
-# the r11 pre-stage: the 50 stalest queries by (last green driver round,
-# registry number) — q131 (displaced from the r11 window by q295) plus
-# the r6-green q132-q151 / q157-q174 / q177-q187 block.  All 50 slots
-# are deliberate re-checks (tests/test_rotation.py::_RECHECK_SLOTS ==
-# this whole set); test_rotation.py::
-# test_recheck_window_is_the_stalest_greens recomputes the list from
-# the on-disk CORRECTNESS files so it cannot silently rot.
-_ROTATION_FRONT = [
-    "q131_skyline_parts", "q132_session_paths", "q133_prefix_jaccard",
-    "q134_state_intervals", "q135_zonemap_prune", "q136_attribution",
-    "q137_max_concurrency", "q138_mad_outliers",
-    "q139_chisq_independence", "q140_trend_slopes", "q141_split_leakage",
-    "q142_association_rules", "q143_token_fertility",
-    "q144_time_to_convert", "q145_rank_fusion", "q146_negative_samples",
-    "q147_bpe_merges", "q148_zipf_fit", "q149_vocab_stats",
-    "q150_impute_audit", "q151_table_checksum", "q157_salted_join",
-    "q158_twap", "q159_delta_bits", "q160_group_digests", "q161_ab_test",
-    "q162_selectivity_profile", "q163_rolling_correlation",
-    "q164_rec_precision", "q165_kfold_balance", "q166_cdc_chunking",
-    "q167_decayed_engagement", "q168_stickiness", "q169_rolling_median",
-    "q170_spend_deciles", "q171_spend_concentration",
-    "q172_shipping_priority", "q173_returned_items",
-    "q174_customer_distribution", "q177_label_separation",
-    "q178_cusum_bursts", "q179_epoch_repeat", "q180_data_card",
-    "q181_kmeans_clusters", "q182_winnow_overlap", "q183_bloom_semijoin",
-    "q184_event_transitions", "q185_source_overlap",
-    "q186_knn_label_noise", "q187_woe_binning",
+# ROUND-13 WINDOW: CORRECTNESS_r12 greened the full r12 window (50/50,
+# zero err), so the window advances.  The r12 VERDICT (optimization
+# judge, task #4) directs this round's window to PRIORITIZE the 13
+# query paths whose r12 operator rewrites the driver has not
+# independently re-hashed — they were builder-verified only (sf1 hash +
+# twice-run sf0.01 driver emulation) and a rewrite is exactly where a
+# silent divergence would hide.  So the ordering rule for r13 is
+# VERDICT-PRIORITY FIRST, STALEST FILL: the 13 priority re-checks
+# (last green r9-r11), then the 37 stalest of the remaining registry
+# (all r7-green: q188-q222 governance/estimation/velocity block +
+# q269-q281).  The 13 tail entries of the old pre-staged list
+# (q282-q294) slide to the r14 prestage.  All 50 slots are deliberate
+# re-checks; test_rotation.py recomputes priority + fill from the
+# on-disk CORRECTNESS files so neither list can silently rot.
+_VERDICT_PRIORITY_R13 = [
+    "q38_lsh_ann_topk", "q58_unigram_logprob", "q69b_ivf_ann_nprobe",
+    "q85_shard_assignments", "q103_cross_source_overlap",
+    "q106_boilerplate_filter", "q117_bigram_lm", "q118_cms_audit",
+    "q127_triangle_count", "q155_market_share",
+    "q221_textrank_keywords", "q231_er_clusters", "q239_kmv_union",
 ]
-if len(_ROTATION_FRONT) != 50:
-    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
-
-# PRE-STAGED ROUND-13 WINDOW: the next-50 stalest (staleness ranks
-# 51-100 today; once CORRECTNESS_r12 greens the current window those
-# become exactly the 50 stalest) — the r7-green governance/estimation/
-# velocity block q188-q222 plus the r7-green round-5/6 additions
-# q269-q294.  The r13 opener swaps it into _ROTATION_FRONT;
-# test_rotation.py::test_prestaged_next_window_is_the_next_stalest
-# recomputes it.
-_ROTATION_NEXT_R13 = [
+_ROTATION_FRONT = _VERDICT_PRIORITY_R13 + [
     "q188_jackknife_ci", "q189_dow_seasonality", "q190_ses_backtest",
     "q191_k_anonymity", "q192_benford_audit", "q193_neyman_allocation",
     "q194_capture_recapture", "q195_readability",
@@ -221,16 +201,42 @@ _ROTATION_NEXT_R13 = [
     "q276_write_audit_publish", "q277_stream_backpressure",
     "q278_grouped_ols_slopes", "q279_greedy_wordpiece",
     "q280_bucketed_join_revenue", "q281_stratified_split",
+]
+if len(_ROTATION_FRONT) != 50:
+    raise RuntimeError(f"rotation window must hold 50 slots, got {len(_ROTATION_FRONT)}")
+
+# PRE-STAGED ROUND-14 WINDOW: the next-50 stalest after the r13 window
+# (no verdict priority pending for r14 as of this commit) — the 13
+# r7-green tail entries displaced by the r13 priority block
+# (q282-q294), then the stalest r8-green block (q01-q34 head).  The
+# r14 opener swaps it into _ROTATION_FRONT;
+# test_rotation.py::test_prestaged_next_window_is_the_next_stalest
+# recomputes it.
+_ROTATION_NEXT_R14 = [
     "q282_incremental_minhash", "q283_watermark_drop",
     "q284_dynamic_partition_pruning", "q285_pseudonymized_join",
     "q286_grouped_agg_trimmed_mean", "q287_runtime_bloom_join",
     "q288_parameterized_sql", "q289_observed_metrics",
     "q290_fd_majority_repair", "q291_scd2_temporal_join",
     "q292_gbdt_stumps", "q293_naive_bayes_langid", "q294_exact_auc",
+    "q01_pricing_summary", "q02_filter_predicates",
+    "q03_string_predicates", "q04_pagination", "q04b_cursor_pagination",
+    "q05_distinct", "q06_aggregate", "q07_groupby_having",
+    "q08_tristate_queue", "q08b_not_null_semantics",
+    "q09_hydration_join", "q10_relation_some", "q11_relation_none_anti",
+    "q12_relation_every", "q13_mn_hydration", "q14_topk_per_group",
+    "q14b_running_window", "q15_upsert", "q16_dedup_insert",
+    "q17_connect_or_create", "q18_update_delete_queue",
+    "q19_delete_cascade", "q20_scalar_kit", "q21_json_filters",
+    "q22_stream_tumbling_window", "q23_sliding_window",
+    "q24_session_window", "q25_stream_dedup", "q26_text_stats",
+    "q27_token_counts", "q28_lang_id", "q29_fingerprint",
+    "q30_quality_score", "q31_exact_dedup", "q32_ngram_jaccard",
+    "q33_minhash_signatures", "q34_lsh_candidates",
 ]
-if len(_ROTATION_NEXT_R13) != 50:
+if len(_ROTATION_NEXT_R14) != 50:
     raise RuntimeError(
-        f"pre-staged r13 window must hold 50 slots, got {len(_ROTATION_NEXT_R13)}"
+        f"pre-staged r14 window must hold 50 slots, got {len(_ROTATION_NEXT_R14)}"
     )
 
 

@@ -87,9 +87,11 @@ def q177_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # cent is #labels rows but its lineage is the corpus-wide
         # posexplode aggregate, and it feeds THREE consumers (the intra
-        # broadcast, both sides of the prototype cross) — uncached the
-        # explode+agg pipeline runs once per consumer (guide §5)
-        .cache()
+        # broadcast, both sides of the prototype cross) — unpinned the
+        # explode+agg pipeline runs once per consumer (guide §5).  r13
+        # (r12 verdict #1): eager localCheckpoint, not cache() — no
+        # CacheManager entry survives the query.
+        .localCheckpoint(eager=True)
     )
     intra = (
         e.join(F.broadcast(cent), "label")
@@ -163,10 +165,12 @@ def q178_cusum_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # the etype x day grid is tiny and consumed by the totals and the
     # CUSUM chain (which is itself read twice: max excursion + peak
-    # pick) — cached, events scans once (round-6 census: 4x)
+    # pick) — pinned, events scans once (round-6 census: 4x).  r13 (r12
+    # verdict #1): eager localCheckpoint, not cache() — no CacheManager
+    # entry survives the query.
     daily = events.groupBy(
         F.col("event_type").alias("etype"), F.to_date("ts").alias("d")
-    ).agg(F.count(F.lit(1)).cast("long").alias("y")).cache()
+    ).agg(F.count(F.lit(1)).cast("long").alias("y")).localCheckpoint(eager=True)
     tot = daily.groupBy("etype").agg(
         F.sum("y").cast("long").alias("sm"), F.count(F.lit(1)).cast("long").alias("n")
     )

@@ -182,11 +182,13 @@ def q231_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate sums labels, so nodes must be numeric; the canonical
     # NAME is recomputed per cluster at the end
     # the surrogate dictionary has FOUR consumers (both pair-id joins,
-    # the CC universe, the final name join) — cache it so the part
-    # aggregate runs once, not per consumer (guide §5)
+    # the CC universe, the final name join) — pin it so the part
+    # aggregate runs once, not per consumer (guide §5).  r13 (r12
+    # verdict #1): eager localCheckpoint, not cache() — the dictionary
+    # must not outlive the query in the session CacheManager.
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.min("p_partkey").cast("long").alias("nid")
-    ).cache()
+    ).localCheckpoint(eager=True)
     pairs = name_variant_pairs(
         part, "p_name", F.split(F.col("name"), " ").getItem(1), max_dist=4
     ).select("name_a", "name_b")

@@ -34,10 +34,13 @@ import os
 import re
 
 import __spark_entry__ as e
-from lawfirm_data_pipeline_spark.oracle import _ROTATION_FRONT, _ROTATION_NEXT_R13
+from lawfirm_data_pipeline_spark.oracle import (
+    _ROTATION_FRONT,
+    _ROTATION_NEXT_R14,
+    _VERDICT_PRIORITY_R13,
+)
 
-# CORRECTNESS_r11 greened q295's first driver row, so cumulative
-# driver-green is 300/300 and no never-green query remains: all 50 r12
+# Cumulative driver-green has been 300/300 since r11, so all 50 r13
 # slots are deliberate re-checks (re-check era, r7 verdict task #1).
 _RECHECK_SLOTS: set[str] = set(_ROTATION_FRONT)
 
@@ -86,12 +89,13 @@ def _staleness_order(last: dict[str, int]) -> list[str]:
     return sorted(names, key=lambda n: (last.get(n, 0), qnum(n), n))
 
 
-def test_round12_window_is_first_50():
+def test_round13_window_is_first_50():
     names = list(e.queries())
     assert names[:50] == _ROTATION_FRONT
-    assert names[0] == "q131_skyline_parts"
-    assert names[1] == "q132_session_paths"
-    assert names[49] == "q187_woe_binning"
+    assert names[0] == "q38_lsh_ann_topk"
+    assert names[12] == "q239_kmv_union"
+    assert names[13] == "q188_jackknife_ci"
+    assert names[49] == "q281_stratified_split"
 
 
 def test_registry_size_frozen_at_300():
@@ -141,10 +145,16 @@ def test_window_spends_slots_on_never_green_queries():
 
 
 def test_recheck_window_is_the_stalest_greens():
-    """The window must be exactly the 50 stalest queries by (last green
-    round, registry number), never-green ranking stalest-of-all —
-    recomputed from the on-disk CORRECTNESS files so the list cannot
-    silently rot.
+    """The window must be exactly VERDICT-PRIORITY slots first, then
+    the stalest fill by (last green round, registry number) —
+    never-green ranking stalest-of-all — recomputed from the on-disk
+    CORRECTNESS files so the list cannot silently rot.
+
+    PRIORITY OVERRIDE (r12 verdict task #4): a round's verdict may name
+    specific queries the driver must re-hash (rewritten paths with no
+    independent driver row since the rewrite); those take the leading
+    slots and the staleness rule fills the remainder.  With an empty
+    priority list this reduces to the pure stalest-50 rule of r8-r12.
 
     BOUNDARY TOLERANCE (r8 verdict task #7): the exactly-one-boundary
     state — the pinned window just greened by the LATEST correctness
@@ -155,10 +165,12 @@ def test_recheck_window_is_the_stalest_greens():
     rounds = _green_rows_by_round()
     assert rounds, "no CORRECTNESS files found — guard cannot run"
     last = _green_last_round()
-    stale = set(_staleness_order(last)[:50])
+    priority = list(_VERDICT_PRIORITY_R13)
+    fill = [n for n in _staleness_order(last) if n not in set(priority)]
+    stale = set(priority + fill[: 50 - len(priority)])
     front = set(_ROTATION_FRONT)
     if front == stale:
-        return  # normal mid-round state: window IS the stalest-50
+        return  # normal mid-round state: window IS priority + stalest fill
 
     # Boundary state: window was just greened by the latest file …
     ordered = sorted(rounds)
@@ -180,16 +192,15 @@ def test_recheck_window_is_the_stalest_greens():
 
 
 def test_prestaged_next_window_is_the_next_stalest():
-    """The pre-staged r13 window must be the next-50 stalest AFTER the
-    current window's slots are excluded (equivalently: staleness ranks
-    51-100 today; exactly the stalest 50 once CORRECTNESS_r12 greens
-    the current window).  Recomputed from disk so the list cannot
-    rot."""
+    """The pre-staged r14 window must be the next-50 stalest AFTER the
+    current window's slots are excluded (no r14 verdict priority exists
+    yet; if one lands, this list gets the same priority-first treatment
+    at swap time).  Recomputed from disk so the list cannot rot."""
     last = _green_last_round()
     front = set(_ROTATION_FRONT)
     order = [n for n in _staleness_order(last) if n not in front]
     expect = order[:50]
-    assert sorted(_ROTATION_NEXT_R13) == sorted(expect), (
-        sorted(set(_ROTATION_NEXT_R13) - set(expect)),
-        sorted(set(expect) - set(_ROTATION_NEXT_R13)),
+    assert sorted(_ROTATION_NEXT_R14) == sorted(expect), (
+        sorted(set(_ROTATION_NEXT_R14) - set(expect)),
+        sorted(set(expect) - set(_ROTATION_NEXT_R14)),
     )
